@@ -1,0 +1,430 @@
+"""Token filters of the canonical chain (reference parity: SURVEY.md §2.2).
+
+Each filter is a pure ``list[Tok] → list[Tok]`` function; the chain
+composition lives in :mod:`alix_ray.analysis.chain`.  Semantics are
+re-implemented from the reference's published behavior (file:line cited
+per filter), not ported code.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from collections import deque
+from functools import lru_cache
+
+from .tokenizer import Tok, _is_digit, _is_letter
+
+# ---------------------------------------------------------------------
+# MarkupBoundaryFilter (MarkupBoundaryFilter.java:96; behavior :1-110)
+# ---------------------------------------------------------------------
+
+PARA_ELEMENTS = frozenset(
+    "ab address blockquote cell dd div dt h1 h2 h3 h4 h5 h6 head item l "
+    "label li p pre row td th tr".split()
+)
+SECTION_ELEMENTS = frozenset(
+    "article back body chapter div0 div1 div2 div3 div4 div5 div6 div7 "
+    "front group main section text".split()
+)
+PARA_MARK = "¶"
+SECTION_MARK = "§"
+
+
+def _close_tag_local_name(tag: str) -> str | None:
+    """Local name of a closing tag ``</ns:name …>``, else None."""
+    if len(tag) < 3 or tag[1] != "/":
+        return None
+    i, n = 2, len(tag)
+    while i < n and tag[i].isspace():
+        i += 1
+    j, frm = i, i
+    while j < n and tag[j] not in ">/" and not tag[j].isspace():
+        if tag[j] == ":":
+            frm = j + 1
+        j += 1
+    return tag[frm:j].lower() if j > frm else None
+
+
+def boundary_filter(
+    toks: list[Tok],
+    para=PARA_ELEMENTS,
+    section=SECTION_ELEMENTS,
+) -> list[Tok]:
+    """Drop markup; selected *closing* tags → ¶ / § boundary tokens.
+
+    Consecutive boundaries coalesce (section wins over paragraph).
+    """
+    out: list[Tok] = []
+    pending: Tok | None = None  # pending boundary token
+    for t in toks:
+        if t.cls == "XML":
+            name = _close_tag_local_name(t.text)
+            if name is not None:
+                if name in section:
+                    pending = Tok(SECTION_MARK, "PUNCTsection", t.start, t.end)
+                elif name in para and (
+                    pending is None or pending.cls != "PUNCTsection"
+                ):
+                    pending = Tok(PARA_MARK, "PUNCTpara", t.start, t.end)
+            continue
+        if pending is not None:
+            out.append(pending)
+            pending = None
+        out.append(t)
+    if pending is not None:
+        out.append(pending)
+    return out
+
+
+# ---------------------------------------------------------------------
+# FrenchCliticSplitFilter (fr/FrenchCliticSplitFilter.java:72-330)
+# ---------------------------------------------------------------------
+
+MAX_SPLITS = 8
+
+KEEP_AS_IS = frozenset(
+    "c'est-à-dire d'abord d'accord d'ailleurs d'après d'autant d'autre "
+    "d'autres d'avec d'emblée d'entre d'ici n'empêche n'est-ce n'importe "
+    "qu'est-ce qu'en-dira-t-on quelqu'un".split()
+)
+
+# elision prefixes, anchored on the FIRST apostrophe (case-insensitive)
+PREFIX = {
+    "c'": "ce", "d'": "de", "j'": "je", "jusqu'": "jusque",
+    "l'": "l'",  # je l'aime: le/la ambiguous — kept as l'
+    "lorsqu'": "lorsque", "m'": "me", "n'": "ne", "presqu'": "presque",
+    "puisqu'": "puisque", "qu'": "que", "quoiqu'": "quoique",
+    "s'": "se", "t'": "te",
+}
+# apostrophe suffixes anchored on the LAST apostrophe; None = dropped
+APOS_SUFFIX: dict[str, str | None] = {"'s": None}  # Piaget's → Piaget
+# hyphen suffixes anchored on the LAST hyphen; None = dropped
+SUFFIX: dict[str, str | None] = {
+    "-ce": "ce", "-ci": None, "-elle": "elle", "-elles": "elles",
+    "-en": "en", "-eux": "eux", "-il": "il", "-ils": "ils", "-je": "je",
+    "-la": "la", "-là": None, "-le": "le", "-les": "les", "-leur": "leur",
+    "-lui": "lui", "-me": "me", "-moi": "moi", "-nous": "nous",
+    "-on": "on", "-t": None, "-te": "te", "-toi": "toi", "-tu": "tu",
+    "-vous": "vous", "-y": "y",
+}
+
+
+def split_clitics(text: str) -> list[str]:
+    """Split one token's elisions/enclitics; fall back to original on overflow."""
+    out: list[str] = []
+    queue: deque[str] = deque([text])
+    while queue:
+        t = queue.popleft()
+        if len(t) > 1 and t[-1] in "'’":
+            t = t[:-1]
+        if t.lower() in KEEP_AS_IS:
+            out.append(t)
+            continue
+        original = t
+        rolled_back = False
+        while True:
+            if len(t) <= 1:
+                break
+            apos_first = t.find("'")
+            hyph_last = t.rfind("-")
+            if apos_first < 0 and hyph_last < 0:
+                break
+            if apos_first == len(t) - 1:
+                break
+            if apos_first > 0:
+                repl = PREFIX.get(t[: apos_first + 1].lower())
+                if repl is not None:
+                    if len(queue) >= MAX_SPLITS:
+                        t, rolled_back = original, True
+                        break
+                    queue.append(t[apos_first + 1 :])
+                    t = repl
+                    break
+            apos_last = t.rfind("'") if apos_first >= 0 else -1
+            if apos_last > 0:
+                key = t[apos_last:].lower()
+                if key in APOS_SUFFIX:
+                    repl = APOS_SUFFIX[key]
+                    if repl is not None:
+                        if len(queue) >= MAX_SPLITS:
+                            t, rolled_back = original, True
+                            break
+                        queue.appendleft(repl)
+                    t = t[:apos_last]
+                    continue
+            if hyph_last > 0:
+                key = t[hyph_last:].lower()
+                if key in SUFFIX:
+                    repl = SUFFIX[key]
+                    if repl is not None:
+                        if len(queue) >= MAX_SPLITS:
+                            t, rolled_back = original, True
+                            break
+                        queue.appendleft(repl)
+                    t = t[:hyph_last]
+                    continue
+            break
+        out.append(t)
+        if rolled_back:
+            # keep already-buffered fragments from earlier splits of THIS
+            # token only; reference rolls back just the current term
+            continue
+    return out
+
+
+def clitic_filter(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    for t in toks:
+        if t.cls != "WORD":
+            out.append(t)
+            continue
+        parts = split_clitics(t.text)
+        if len(parts) == 1 and parts[0] == t.text:
+            out.append(t)
+            continue
+        for p in parts:
+            out.append(Tok(p, "WORD", t.start, t.end))
+    return out
+
+
+# ---------------------------------------------------------------------
+# ReplaceFilter (ReplaceFilter.java:77) — exact whole-token rewrite
+# ---------------------------------------------------------------------
+
+
+def replace_filter(toks: list[Tok], mapping: dict[str, str]) -> list[Tok]:
+    for t in toks:
+        if t.cls == "WORD":
+            r = mapping.get(t.text)
+            if r is not None:
+                t.text = r
+    return toks
+
+
+# ---------------------------------------------------------------------
+# UppercaseFilter (UppercaseFilter.java:19-99)
+# ---------------------------------------------------------------------
+
+
+def uppercase_filter(toks: list[Tok], ucwords=frozenset(), min_uc: int = 4) -> list[Tok]:
+    """All-caps handling: protected / initials / dotted kept; short
+    all-caps suppressed (emptied); long all-caps capitalized
+    (``JEAN-PAUL`` → ``Jean-Paul``)."""
+    for t in toks:
+        if t.cls != "WORD":
+            continue
+        text = t.text
+        letters = dots = 0
+        has_lower = False
+        for c in text:
+            if _is_letter(c):
+                letters += 1
+                if c.islower():
+                    has_lower = True
+                    break
+            elif c == ".":
+                dots += 1
+        if has_lower or letters == 0:
+            continue
+        if text in ucwords or text.upper() in ucwords:
+            continue
+        if letters == 1:
+            continue  # initial, kept for forename resolution
+        if dots >= letters - 1:
+            continue  # U.R.S.S
+        if letters < min_uc:
+            t.text = ""  # suppressed (dropped downstream)
+            continue
+        # capitalize: keep first char and any char right after a hyphen
+        chars = list(text)
+        keep_next = False
+        for i in range(1, len(chars)):
+            if chars[i] == "-":
+                keep_next = True
+                continue
+            if keep_next:
+                keep_next = False
+                continue
+            chars[i] = chars[i].lower()
+        t.text = "".join(chars)
+    return toks
+
+
+# ---------------------------------------------------------------------
+# Lexicon tagging (replaces PosTaggingFilter per SURVEY.md §7.0) +
+# LemmaFilter (LemmaFilter.java:130,173-220)
+# ---------------------------------------------------------------------
+
+
+def lemma_filter(toks: list[Tok], lexicon: dict[str, tuple[str, str]]) -> list[Tok]:
+    """Sparse lemma channel: lookup surface (exact, then lowercase);
+    never rewrites surface; skips punct/XML; lemma written only when
+    distinct from surface."""
+    for t in toks:
+        if t.cls != "WORD" or not t.text:
+            continue
+        hit = lexicon.get(t.text)
+        if hit is None:
+            hit = lexicon.get(t.text.lower())
+        if hit is None:
+            continue
+        pos, lemma = hit
+        t.pos = pos
+        if lemma != t.text:
+            t.lemma = lemma
+    return toks
+
+
+# ---------------------------------------------------------------------
+# MweFilter (MweFilter.java:82; semantics :1-26)
+# ---------------------------------------------------------------------
+
+
+class MweAutomaton:
+    """Two-path maximal-munch matcher over (form, lemma) channels."""
+
+    def __init__(self, form_entries: dict, lemma_entries: dict):
+        self.form = dict(form_entries)
+        self.lemma = dict(lemma_entries)
+        self.max_len = max(
+            [len(k) for k in form_entries] + [len(k) for k in lemma_entries] + [1]
+        )
+
+    def match(self, toks: list[Tok], i: int):
+        """Longest match starting at i → (length, canonical, pos) or None.
+
+        Form path reads token text; lemma path reads lemma-or-text.
+        Equal lengths → form path wins (more specific analysis).
+        """
+        best = None  # (length, canonical, pos, is_form)
+        limit = min(self.max_len, len(toks) - i)
+        forms: list[str] = []
+        lemmas: list[str] = []
+        for k in range(limit):
+            t = toks[i + k]
+            if t.cls != "WORD" or not t.text:
+                break
+            forms.append(t.text.lower())
+            lemmas.append((t.lemma or t.text).lower())
+            fkey = tuple(forms)
+            lkey = tuple(lemmas)
+            hit = self.form.get(fkey)
+            if hit is not None:
+                best = (k + 1, hit[0], hit[1], True)
+            hit = self.lemma.get(lkey)
+            if hit is not None:
+                if best is None or best[0] < k + 1:
+                    best = (k + 1, hit[0], hit[1], False)
+        return best
+
+
+def mwe_filter(toks: list[Tok], automaton: MweAutomaton) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        m = automaton.match(toks, i) if toks[i].cls == "WORD" else None
+        if m is None:
+            out.append(toks[i])
+            i += 1
+            continue
+        length, canonical, pos, _ = m
+        out.append(Tok(canonical, "WORD", toks[i].start, toks[i + length - 1].end, pos=pos))
+        i += length
+    return out
+
+
+# ---------------------------------------------------------------------
+# StopFilter (Lucene stock; after MWE, before Cleanup — holes kept)
+# ---------------------------------------------------------------------
+
+
+def stop_filter(toks: list[Tok], stopwords: frozenset) -> list[Tok]:
+    """Mark stop words for drop-with-gap (position holes preserved)."""
+    for t in toks:
+        if t.cls == "WORD" and t.text.lower() in stopwords:
+            t.cls = "STOP"
+    return toks
+
+
+# ---------------------------------------------------------------------
+# CleanupFilter (CleanupFilter.java:101,251-362)
+# ---------------------------------------------------------------------
+
+_ONE_CHAR_KEEP = frozenset({"ADP", "AUX", "PRON", "VERB"})
+
+
+@lru_cache(maxsize=4096)
+def _is_math(c: str) -> bool:
+    return unicodedata.category(c) == "Sm"
+
+
+@lru_cache(maxsize=8192)
+def _is_latin_letter(c: str) -> bool:
+    if c in "&°�":  # reference treats these as letters; not script-checked
+        return True
+    try:
+        return "LATIN" in unicodedata.name(c)
+    except ValueError:
+        return False
+
+
+def _cleanup_skip(t: Tok) -> bool:
+    """Drop WITHOUT position (noise; positions collapse)."""
+    if t.cls == "XML":
+        return True
+    text = t.text
+    n = len(text)
+    if n == 1:
+        return t.pos not in _ONE_CHAR_KEEP
+    if n == 2 and text[-1] in "'’.":
+        return True
+    if n >= 2 and _is_digit(text[-1]) and not _is_digit(text[-2]):
+        return True  # "abc4" label debris
+    return False
+
+
+def _cleanup_accept(t: Tok) -> bool:
+    """Emit, or drop WITH a position gap (punctuation & debris)."""
+    text = t.text
+    if not text:
+        return False
+    if t.cls in ("PUNCTclause", "PUNCTsent", "PUNCTpara", "PUNCTsection", "STOP"):
+        return False
+    first, last = text[0], text[-1]
+    if _is_math(first) or _is_digit(first) or first in "-'":
+        return False
+    if _is_math(last) or _is_digit(last) or last in "-'.":
+        return False
+    if t.lemma:
+        return True  # lemma copied over surface by caller
+    for c in text:
+        if _is_letter(c) and not _is_latin_letter(c):
+            return False  # greek / OCR garbage
+    return True
+
+
+def cleanup(toks: list[Tok]) -> tuple[list[tuple[str, int]], int, int]:
+    """Final hygiene → ``([(term, position)...], width, n_tokens)``.
+
+    Invariant (TermStats.java:40-46): every emitted token is a word;
+    punctuation/stop words consume positions (gaps); noise collapses;
+    ``n_tokens ≤ width``.
+    """
+    emitted: list[tuple[str, int]] = []
+    pos = 0
+    last_emitted_pos = -1
+    for t in toks:
+        if not t.text:
+            pos += 1  # emptied upstream (e.g. suppressed all-caps): hole
+            continue
+        if _cleanup_skip(t):
+            continue
+        p = pos
+        pos += 1
+        if _cleanup_accept(t):
+            term = t.lemma if t.lemma else t.text
+            emitted.append((term, p))
+            last_emitted_pos = p
+    width = last_emitted_pos + 1
+    return emitted, width, len(emitted)

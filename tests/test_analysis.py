@@ -1,0 +1,166 @@
+"""Behavioral token-sequence tests in the reference's style
+(LemmaFilterTest.java:17-80 — synthetic mini-lexicons, exact expected
+arrays).  Vectors from FIXTURES.md §5."""
+
+from alix_ray.analysis import FrenchAnalyzer, MarkupTokenizer, SimpleAnalyzer
+from alix_ray.analysis.filters import split_clitics
+
+
+def toks(s, tk=MarkupTokenizer()):
+    return [(t.text, t.cls) for t in tk.tokenize(s)]
+
+
+class TestTokenizer:
+    def test_trailing_dot_brevidot_configured(self):
+        assert toks("Dr. Martin") == [("Dr.", "WORD"), ("Martin", "WORD")]
+        assert toks("etc. Ensuite") == [("etc.", "WORD"), ("Ensuite", "WORD")]
+
+    def test_trailing_dot_sentence_end(self):
+        assert toks("fin. Début") == [
+            ("fin", "WORD"), (".", "PUNCTsent"), ("Début", "WORD")]
+
+    def test_dot_kept_before_lowercase(self):
+        assert toks("var. suivante") == [("var.", "WORD"), ("suivante", "WORD")]
+
+    def test_number_before_tag_keeps_dot(self):
+        assert toks("<p>p. 12.</p>") == [
+            ("<p>", "XML"), ("p.", "WORD"), ("12.", "DIGIT"), ("</p>", "XML")]
+
+    def test_dotted_abbrev_and_initials(self):
+        assert toks("U.S.A. et J.-J. Rousseau") == [
+            ("U.S.A.", "WORD"), ("et", "WORD"),
+            ("J.-J.", "WORD"), ("Rousseau", "WORD")]
+
+    def test_entity_decode_classified(self):
+        assert toks("B’&gt; ok") == [("B'", "WORD"), ("ok", "WORD")]
+        assert toks("AT&amp;T") == [("AT&T", "WORD")]
+
+    def test_cascade_resolution(self):
+        # rightmost dot detaches; cascades left only while bare token
+        # starts uppercase/titlecase/digit
+        assert toks("Fin. Fin. Début") == [
+            ("Fin", "WORD"), (".", "PUNCTsent"),
+            ("Fin", "WORD"), (".", "PUNCTsent"), ("Début", "WORD")]
+        assert toks("var. suiv. Ensuite") == [
+            ("var.", "WORD"), ("suiv", "WORD"), (".", "PUNCTsent"),
+            ("Ensuite", "WORD")]
+
+    def test_block_tag_is_hard_boundary(self):
+        assert toks("abc.</p>texte") == [
+            ("abc", "WORD"), (".", "PUNCTsent"), ("</p>", "XML"),
+            ("texte", "WORD")]
+
+    def test_inline_tag_transparent(self):
+        assert toks("abc. <i>rien</i> reste") == [
+            ("abc.", "WORD"), ("<i>", "XML"), ("rien", "WORD"),
+            ("</i>", "XML"), ("reste", "WORD")]
+
+    def test_numbers(self):
+        assert toks("12,5 et -42") == [
+            ("12,5", "DIGIT"), ("et", "WORD"), ("-42", "DIGIT")]
+        assert toks("page 12, suite") == [
+            ("page", "WORD"), ("12", "DIGIT"), (",", "PUNCTclause"),
+            ("suite", "WORD")]
+
+    def test_merge_dot_into_punct_run(self):
+        # detached dot adjacent to a following run merges: "mot.." → mot + ".."
+        assert toks("mot..") == [("mot", "WORD"), ("..", "PUNCTsent")]
+
+    def test_normalization(self):
+        assert toks("d’abord re­connaître") == [
+            ("d'abord", "WORD"), ("re-connaître", "WORD")]
+
+    def test_clause_punct(self):
+        assert toks("a, b ; c « d »") == [
+            ("a", "WORD"), (",", "PUNCTclause"), ("b", "WORD"),
+            (";", "PUNCTclause"), ("c", "WORD"), ("«", "PUNCTclause"),
+            ("d", "WORD"), ("»", "PUNCTclause")]
+
+
+class TestClitics:
+    def test_prefix(self):
+        assert split_clitics("j'aime") == ["je", "aime"]
+        assert split_clitics("qu'il") == ["que", "il"]
+        assert split_clitics("l'analyse") == ["l'", "analyse"]
+        assert split_clitics("Jusqu'ici") == ["jusque", "ici"]
+
+    def test_suffix(self):
+        assert split_clitics("donne-le-moi") == ["donne", "le", "moi"]
+        assert split_clitics("dit-il") == ["dit", "il"]
+        assert split_clitics("habite-t-il") == ["habite", "il"]
+        assert split_clitics("année-là") == ["année"]
+
+    def test_keep_as_is(self):
+        assert split_clitics("quelqu'un") == ["quelqu'un"]
+        assert split_clitics("c'est-à-dire") == ["c'est-à-dire"]
+
+    def test_apos_genitive(self):
+        assert split_clitics("Piaget's") == ["Piaget"]
+
+    def test_no_split(self):
+        assert split_clitics("maison") == ["maison"]
+        assert split_clitics("grand-chose") == ["grand-chose"]
+
+
+class TestChain:
+    fa = FrenchAnalyzer()
+
+    def test_positions_and_holes(self):
+        # je(stop hole) aime l'(skip) analyse qu(stop) il(stop) fit→faire
+        emitted, width, n = self.fa.analyze("<p>J'aime l'analyse qu'il fit.</p>")
+        assert emitted == [("aime", 1), ("analyse", 2), ("faire", 5)]
+        assert width == 6 and n == 3
+        assert n <= width  # TermStats.java:40-46 invariant
+
+    def test_lemma_copied_over_surface(self):
+        emitted, _, _ = self.fa.analyze("les enfants")
+        assert emitted == [("enfant", 1)]
+
+    def test_mwe_form_and_lemma_paths(self):
+        emitted, _, _ = self.fa.analyze("parce que demain")
+        assert [t for t, _ in emitted] == ["parce_que", "demain"]
+        emitted, _, _ = self.fa.analyze("cela avait lieu hier")
+        assert "avoir_lieu" in [t for t, _ in emitted]
+
+    def test_uppercase_rules(self):
+        emitted, _, _ = self.fa.analyze("JEAN-PAUL et CNRS et LES autres")
+        terms = [t for t, _ in emitted]
+        assert "Jean-Paul" in terms
+        assert "CNRS" in terms  # protected
+        assert "LES" not in terms and "les" not in terms  # suppressed → hole
+
+    def test_cleanup_rules(self):
+        emitted, _, _ = self.fa.analyze("abc4 αβγ A. mot-")
+        assert emitted == []  # all dropped (debris / non-latin / initial)
+
+    def test_digit_tokens_leave_gap(self):
+        emitted, width, n = self.fa.analyze("page 1959 suite")
+        assert [t for t, _ in emitted] == ["page", "suite"]
+        assert width == 3 and n == 2  # digit consumed a position
+
+    def test_one_char_function_words(self):
+        # "a" (AUX) and "y" (PRON) survive cleanup but are stopworded →
+        # holes;  1-char unknown letters collapse
+        emitted, width, n = self.fa.analyze("a y x b mot")
+        assert [t for t, _ in emitted] == ["mot"]
+        assert width == 3 and n == 1  # a@0 y@1 holes; x,b collapse; mot@2
+
+    def test_deterministic(self):
+        s = "<p>L'être et le néant. Qu'est-ce ?</p>"
+        assert self.fa.analyze(s) == self.fa.analyze(s)
+
+
+class TestSimple:
+    def test_matches_sql_semantics(self):
+        sa = SimpleAnalyzer()
+        emitted, w, n = sa.analyze("Key AGG row-scan 12 fast!")
+        assert [t for t, _ in emitted] == ["key", "agg", "row", "scan", "12", "fast"]
+        assert w == n == 6
+
+    def test_vectorized_equals_scalar(self):
+        import pyarrow as pa
+
+        sa = SimpleAnalyzer()
+        texts = ["Key AGG row-scan 12 fast!", "", "a b", "---", "Mixed CASE x9"]
+        la = SimpleAnalyzer.tokens_arrays(pa.array(texts))
+        assert la.to_pylist() == [sa.terms(t) for t in texts]
