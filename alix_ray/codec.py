@@ -66,6 +66,10 @@ def vb_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     term = (b & 0x80) > 0
     ends = np.nonzero(term)[0]
     n = ends.size
+    if n == 0:
+        return np.empty(0, np.uint64)
+    if ends[-1] != b.size - 1:
+        b = b[: ends[-1] + 1]  # tolerate a trailing partial value
     starts = np.empty(n, np.int64)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1

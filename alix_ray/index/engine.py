@@ -1,0 +1,311 @@
+"""BM25 top-k query engine over the built index artifacts.
+
+Scoring is pinned to the reference formula
+(``common/.../terms/IdfTermScorer.java:208-267``)::
+
+    idf     = ln(1 + (N - df + 0.5) / (df + 0.5)) ** idf_exp
+    tf_part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    score   = Σ_terms idf * tf_part        (k1=1.2, b=0.75, dl exact)
+
+with exact ``dl = doc_stats.tokens`` (NOT Lucene's lossy byte norms —
+SURVEY.md §7.4.1), fixed float64 summation in sorted-term order, and
+the ``TopArray`` tie rule (score desc, doc_id asc; TopArray.java:12-14)
+— so scores and ranks are bit-stable across runs and parallelism
+levels.
+
+Two scorers that must agree exactly (tests enforce it):
+
+- :meth:`BM25Index.search_exact` — term-at-a-time dense accumulator
+  (the oracle);
+- :meth:`BM25Index.search_wand` — block-max WAND over the compressed
+  posting blocks (the serving path); a pivot is skipped only when its
+  block upper bound is *strictly* below the heap threshold, so
+  tie-breaks stay rank-identical to the exact scorer.
+
+The index handle is immutable after load — share freely across query
+actors (reference: frozen ``LuceneIndex`` handle, SURVEY.md §3.2).  At
+10^12-doc scale postings would be row-group-pruned per term from the
+Parquet (the ``term`` column is sorted within each merge partition);
+in this sandbox the table loads into a dict once per process.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..codec import decode_block, decode_posting, vb_decode
+
+_DONE = 1 << 62
+BLOCK = 128
+
+
+class PostingShard:
+    """One posting row (term × doc-range shard)."""
+
+    __slots__ = ("docs_buf", "tfs_buf", "block_last", "off_docs", "off_tfs",
+                 "block_max", "n")
+
+    def __init__(self, row):
+        self.docs_buf = row["docs"]
+        self.tfs_buf = row["tfs"]
+        self.block_last = np.asarray(row["block_last"], np.int64)
+        self.off_docs = np.asarray(row["block_off_docs"], np.int64)
+        self.off_tfs = np.asarray(row["block_off_tfs"], np.int64)
+        self.block_max = np.asarray(row["block_max"], np.float64)
+        self.n = int(row["df"])
+
+    def decode(self):
+        return decode_posting(self.docs_buf, self.tfs_buf)
+
+    def first_doc(self) -> int:
+        head = vb_decode(bytes(self.docs_buf[:10]))
+        return int(head[0]) if len(head) else 0
+
+    def n_blocks(self) -> int:
+        return len(self.block_last)
+
+
+class _Cursor:
+    """Posting cursor over one term's shard list, one block at a time."""
+
+    __slots__ = ("term_order", "shards", "w", "max_score", "norms",
+                 "si", "bi", "pos", "bdocs", "btfs", "doc")
+
+    def __init__(self, term_order, shards, idf, k1, norms):
+        self.term_order = term_order
+        self.shards = shards
+        self.w = float(idf) * (k1 + 1.0)
+        self.max_score = self.w * max(
+            (float(s.block_max.max()) for s in shards if len(s.block_max)),
+            default=0.0,
+        )
+        self.norms = norms
+        self.si = 0
+        self.bi = 0
+        self.pos = 0
+        self.bdocs = None
+        self.btfs = None
+        self.doc = -1
+        self._load_block_or_advance_shard()
+
+    def _load_block_or_advance_shard(self):
+        """Load (si, bi) if valid, else move forward to next shard."""
+        while self.si < len(self.shards):
+            s = self.shards[self.si]
+            if self.bi < s.n_blocks():
+                self.bdocs, self.btfs = decode_block(
+                    s.docs_buf, s.tfs_buf, self.bi, s.n, s.off_docs, s.off_tfs
+                )
+                self.pos = 0
+                self.doc = int(self.bdocs[0])
+                return
+            self.si += 1
+            self.bi = 0
+        self.doc = _DONE
+
+    def next(self):
+        self.pos += 1
+        if self.pos < len(self.bdocs):
+            self.doc = int(self.bdocs[self.pos])
+        else:
+            self.bi += 1
+            self._load_block_or_advance_shard()
+
+    def advance_to(self, target: int):
+        """First posting with doc >= target, skipping whole blocks."""
+        if self.doc >= target or self.doc == _DONE:
+            return
+        s = self.shards[self.si]
+        if int(s.block_last[self.bi]) < target:
+            # leave current block: binary-search block skip list(s)
+            while self.si < len(self.shards):
+                s = self.shards[self.si]
+                j = int(np.searchsorted(s.block_last, target, side="left"))
+                if j < s.n_blocks():
+                    self.bi = j
+                    self.bdocs, self.btfs = decode_block(
+                        s.docs_buf, s.tfs_buf, j, s.n, s.off_docs, s.off_tfs
+                    )
+                    self.pos = 0
+                    break
+                self.si += 1
+                self.bi = 0
+            else:
+                self.doc = _DONE
+                return
+        idx = int(np.searchsorted(self.bdocs, target, side="left"))
+        if idx >= len(self.bdocs):  # defensive; block_last guarantees hit
+            self.bi += 1
+            self._load_block_or_advance_shard()
+            if self.doc != _DONE:
+                self.advance_to(target)
+            return
+        self.pos = idx
+        self.doc = int(self.bdocs[idx])
+
+    def block_upper(self) -> float:
+        return self.w * float(self.shards[self.si].block_max[self.bi])
+
+    def block_last_doc(self) -> int:
+        return int(self.shards[self.si].block_last[self.bi])
+
+    def score_current(self) -> float:
+        tf = float(self.btfs[self.pos])
+        return self.w * (tf / (tf + self.norms[self.doc]))
+
+
+class BM25Index:
+    """In-memory handle over the index artifacts in ``out_dir``."""
+
+    def __init__(self, out_dir: str):
+        self.dir = out_dir
+        with open(os.path.join(out_dir, "config.json")) as f:
+            self.cfg = json.load(f)
+        self.k1 = self.cfg["k1"]
+        self.b = self.cfg["b"]
+        self.idf_exp = self.cfg["idf_exp"]
+        self.n_docs = self.cfg["n_docs"]
+        self.avgdl = self.cfg["avgdl"]
+        stats = pq.read_table(os.path.join(out_dir, "doc_stats"))
+        n_slots = self.cfg["max_doc_id"] + 1
+        self.doc_tokens = np.zeros(max(n_slots, 1), np.int64)
+        self.doc_tokens[stats["doc_id"].to_numpy()] = stats["tokens"].to_numpy()
+        self.norms = self.k1 * (
+            1.0 - self.b + self.b * self.doc_tokens.astype(np.float64) / self.avgdl
+        )
+        ts = pq.read_table(os.path.join(out_dir, "term_stats"))
+        self.lexicon = ts["term"].to_pylist()
+        self.df = dict(zip(self.lexicon, ts["df"].to_numpy()))
+        self.cf = dict(zip(self.lexicon, ts["cf"].to_numpy()))
+        posts = pq.read_table(os.path.join(out_dir, "postings"))
+        self.postings: dict[str, list[PostingShard]] = {}
+        for row in posts.to_pylist():
+            self.postings.setdefault(row["term"], []).append(PostingShard(row))
+        for shards in self.postings.values():
+            shards.sort(key=lambda s: s.first_doc())
+        self._analyzer = None
+
+    # -- scoring primitives -------------------------------------------
+    def idf(self, term: str) -> float:
+        df = int(self.df.get(term, 0))
+        if df == 0:
+            return 0.0
+        return float(
+            np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)) ** self.idf_exp
+        )
+
+    def _query_terms(self, terms) -> list[str]:
+        """Dedup + drop unknown terms + sorted order — the fixed
+        float64 summation order of SURVEY.md §7.4.1."""
+        return sorted({t for t in terms if t in self.postings})
+
+    # -- exact term-at-a-time (the oracle) ----------------------------
+    def search_exact(self, terms, k: int = 10, mode: str = "or"):
+        qs = self._query_terms(terms)
+        if not qs:
+            return []
+        acc = np.zeros(len(self.norms), np.float64)
+        seen = np.zeros(len(self.norms), np.int32)
+        for term in qs:
+            w = self.idf(term) * (self.k1 + 1.0)
+            for shard in self.postings[term]:
+                d, t = shard.decode()
+                tf = t.astype(np.float64)
+                acc[d] += w * (tf / (tf + self.norms[d]))
+                seen[d] += 1
+        if mode == "and":
+            acc[seen < len(qs)] = 0.0
+        nz = np.nonzero(acc)[0]
+        if len(nz) == 0:
+            return []
+        scores = acc[nz]
+        k = min(k, len(nz))
+        order = np.lexsort((nz, -scores))[:k]  # score desc, doc asc
+        return [(int(nz[i]), float(scores[i])) for i in order]
+
+    # -- block-max WAND (serving path) --------------------------------
+    def search_wand(self, terms, k: int = 10):
+        qs = self._query_terms(terms)
+        if not qs:
+            return []
+        cursors = [
+            _Cursor(i, self.postings[t], self.idf(t), self.k1, self.norms)
+            for i, t in enumerate(qs)
+        ]
+        cursors = [c for c in cursors if c.doc != _DONE]
+        heap: list[tuple[float, int]] = []  # (score, -doc); root = weakest
+        while cursors:
+            cursors.sort(key=lambda c: c.doc)
+            full = len(heap) >= k
+            theta = heap[0][0] if full else -1.0
+            acc_ub = 0.0
+            pivot = -1
+            for i, c in enumerate(cursors):
+                acc_ub += c.max_score
+                if not full or acc_ub >= theta:
+                    pivot = i
+                    break
+            if pivot == -1:
+                break  # no remaining doc can enter the top-k
+            pivot_doc = cursors[pivot].doc
+            if cursors[0].doc == pivot_doc:
+                j = pivot
+                while j + 1 < len(cursors) and cursors[j + 1].doc == pivot_doc:
+                    j += 1
+                group = cursors[: j + 1]
+                if full:
+                    ub = sum(c.block_upper() for c in group)
+                    if ub < theta:
+                        # docs in (pivot_doc, boundary] are bounded by the
+                        # group's block maxes only if no other cursor can
+                        # reach them: cap by the next cursor's doc too
+                        boundary = min(c.block_last_doc() for c in group)
+                        if j + 1 < len(cursors):
+                            boundary = min(boundary, cursors[j + 1].doc - 1)
+                        for c in group:
+                            c.advance_to(boundary + 1)
+                        cursors = [c for c in cursors if c.doc != _DONE]
+                        continue
+                # full evaluation, float64 sum in term order
+                score = 0.0
+                for c in sorted(group, key=lambda c: c.term_order):
+                    score += c.score_current()
+                for c in group:
+                    c.next()
+                cand = (score, -pivot_doc)
+                if not full:
+                    heapq.heappush(heap, cand)
+                elif cand > heap[0]:
+                    heapq.heapreplace(heap, cand)
+            else:
+                for c in cursors[:pivot]:
+                    c.advance_to(pivot_doc)
+            cursors = [c for c in cursors if c.doc != _DONE]
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-nd, s) for s, nd in out]
+
+    # -- convenience ---------------------------------------------------
+    def analyzer(self):
+        if self._analyzer is None:
+            if self.cfg["analyzer"] == "simple":
+                from ..analysis import SimpleAnalyzer
+
+                self._analyzer = SimpleAnalyzer()
+            else:
+                from ..analysis import FrenchAnalyzer
+
+                self._analyzer = FrenchAnalyzer()
+        return self._analyzer
+
+    def search(self, query: str, k: int = 10, exact: bool = False):
+        from ..query.parser import parse_query
+
+        terms = parse_query(query, self.analyzer(), self.lexicon)
+        if exact:
+            return self.search_exact(terms, k)
+        return self.search_wand(terms, k)

@@ -1,0 +1,137 @@
+"""Extraction + analysis stages (actor-pool ``map_batches``).
+
+Reference parity: the per-document analysis work of
+``AlixLuceneConsumer``/``FrenchAnalyzer`` (SURVEY.md §3.1), re-expressed
+as zero-copy Arrow batch transforms.  Analyzer state (lexicons,
+automata) is built once per actor in ``__init__`` (SURVEY.md §2.3), not
+per batch.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..extract import extract_text
+
+MAX_HTML_BYTES = 2_000_000  # oversized-row quarantine threshold (§7.4.7)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html → text; drops the html column immediately (SURVEY.md §4).
+
+    Oversized rows are quarantined: ``error`` column marks them and the
+    text is left empty (per-row error policy mirroring the reference's
+    per-file skip, ``TeiIngester.java:143-150``).
+    """
+    htmls = batch["html"]
+    texts = []
+    errors = []
+    for h in htmls:
+        buf = h.as_py()
+        if buf is not None and len(buf) > MAX_HTML_BYTES:
+            texts.append("")
+            errors.append("oversized")
+            continue
+        try:
+            texts.append(extract_text(buf))
+            errors.append(None)
+        except Exception as e:  # defensive: poison-row quarantine
+            texts.append("")
+            errors.append(f"extract:{type(e).__name__}")
+    out = batch.drop_columns(["html"])
+    idx = out.schema.get_field_index("text")
+    out = out.set_column(idx, "text", pa.array(texts, pa.string()))
+    return out.append_column("error", pa.array(errors, pa.string()))
+
+
+class AnalyzeDocs:
+    """Actor-pool stage: docs → per-doc term/tf lists + width/tokens.
+
+    Emits per-doc aggregated term counts (tf) — the partial aggregation
+    that keeps the posting shuffle small (SURVEY.md §2.5 TermStats row).
+    Positions are optional (``keep_positions``) — BM25 needs only tf
+    (§7.4.6); positions feed the rail/cooc artifacts.
+    """
+
+    def __init__(self, analyzer_factory=None, text_col: str = "text",
+                 keep_positions: bool = False):
+        if analyzer_factory is None:
+            from ..analysis import FrenchAnalyzer
+
+            self.analyzer = FrenchAnalyzer()
+        else:
+            self.analyzer = analyzer_factory()
+        self.text_col = text_col
+        self.keep_positions = keep_positions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        terms_col, tfs_col, widths, ntoks = [], [], [], []
+        pos_terms_col, pos_col = [], []
+        analyze = self.analyzer.analyze
+        for text in texts:
+            emitted, width, n = analyze(text or "")
+            counts: dict[str, int] = {}
+            for term, _ in emitted:
+                counts[term] = counts.get(term, 0) + 1
+            # deterministic order: sorted by term (stable across runs)
+            items = sorted(counts.items())
+            terms_col.append([t for t, _ in items])
+            tfs_col.append([c for _, c in items])
+            widths.append(width)
+            ntoks.append(n)
+            if self.keep_positions:
+                pos_terms_col.append([t for t, _ in emitted])
+                pos_col.append([p for _, p in emitted])
+        cols = {
+            "doc_id": batch["doc_id"],
+            "terms": pa.array(terms_col, pa.list_(pa.large_string())),
+            "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
+            "width": pa.array(widths, pa.int32()),
+            "tokens": pa.array(ntoks, pa.int32()),
+        }
+        if self.keep_positions:
+            cols["pos_terms"] = pa.array(pos_terms_col, pa.list_(pa.large_string()))
+            cols["positions"] = pa.array(pos_col, pa.list_(pa.int32()))
+        return pa.table(cols)
+
+
+class AnalyzeSimple:
+    """Vectorized simple-profile analyze (SQL-mirrorable; no Python loop
+    over rows for tokenization — Arrow kernels end-to-end, then a numpy
+    pass for per-doc counting)."""
+
+    def __init__(self, text_col: str = "text"):
+        from ..analysis import SimpleAnalyzer
+
+        self.sa = SimpleAnalyzer
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lists = self.sa.tokens_arrays(batch[self.text_col])
+        lengths = pa.compute.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        n_docs = len(lengths)
+        terms_col, tfs_col = [], []
+        vals = flat.to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lengths)))
+        for i in range(n_docs):
+            seg = vals[starts[i] : starts[i + 1]]
+            if len(seg) == 0:
+                terms_col.append([])
+                tfs_col.append([])
+                continue
+            uniq, counts = np.unique(seg, return_counts=True)
+            terms_col.append(uniq.tolist())
+            tfs_col.append(counts.tolist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "terms": pa.array(terms_col, pa.list_(pa.large_string())),
+                "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
+                "width": pa.array(lengths, pa.int32()),
+                "tokens": pa.array(lengths, pa.int32()),
+            }
+        )

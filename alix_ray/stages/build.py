@@ -1,0 +1,292 @@
+"""Index build orchestration: staged, checkpointed, resumable.
+
+Pipeline (SURVEY.md §7.2), each stage a Ray Data pipeline whose output
+is a partitioned Parquet directory published atomically
+(``<stage>.tmp`` → rename — the reference's atomic dir swap,
+``TeiIngester.java:336-356``) with per-partition lineage rows appended
+to ``manifest.jsonl`` (partition file, rows, bytes, wall_ms,
+fingerprint).  A rerun skips stages whose manifest entry matches the
+input fingerprint — "resumable from checkpoint with per-partition
+lineage + metrics" (BASELINE.json north rule).
+
+    docs       pages → extract(+quarantine) → dedup(url) → doc_id
+    analyzed   docs → actor-pool analyzer → per-doc (terms, tfs, width, tokens)
+    doc_stats  analyzed projection + global sums (N, Σtokens, avgdl)
+    postings   analyzed → segment encode → (bucket,shard) merge → blocks
+    term_stats postings projection → per-term df/cf + dense lexicon ids
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from .. import B, IDF_EXP, K1
+from .analyze import AnalyzeDocs, AnalyzeSimple, extract_batch
+from .docids import assign_ranks, dedup_assign_ids
+from .postings import (
+    DEFAULT_NUM_BUCKETS,
+    DEFAULT_SHARD_RANGE,
+    SegmentEncode,
+    doc_norms,
+    make_merge_fn,
+)
+
+STAGES = ("docs", "analyzed", "doc_stats", "postings", "term_stats")
+
+
+class Manifest:
+    """Append-only lineage journal (``manifest.jsonl``)."""
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, "manifest.jsonl")
+
+    def rows(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def stage_done(self, stage: str, fingerprint: str) -> bool:
+        for r in self.rows():
+            if (
+                r.get("stage") == stage
+                and r.get("status") == "done"
+                and r.get("fingerprint") == fingerprint
+            ):
+                return True
+        return False
+
+    def append(self, **row) -> None:
+        row.setdefault("ts", time.strftime("%Y-%m-%dT%H:%M:%S"))
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def record_partitions(self, stage: str, out_dir: str, fingerprint: str,
+                          wall_ms: int) -> None:
+        total_rows = 0
+        for name in sorted(os.listdir(out_dir)):
+            p = os.path.join(out_dir, name)
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(p)
+            total_rows += md.num_rows
+            self.append(
+                stage=stage, partition=name, fingerprint=fingerprint,
+                rows=md.num_rows, bytes=os.path.getsize(p), status="partition",
+            )
+        self.append(stage=stage, fingerprint=fingerprint, rows=total_rows,
+                    wall_ms=wall_ms, status="done")
+
+
+def _fingerprint(*parts) -> str:
+    h = hashlib.blake2b(digest_size=12)
+    for p in parts:
+        h.update(str(p).encode())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
+def _publish(tmp_dir: str, final_dir: str) -> None:
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.rename(tmp_dir, final_dir)
+
+
+def _write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
+                 manifest: Manifest, fingerprint: str, **write_kwargs) -> None:
+    t0 = time.time()
+    final = os.path.join(out_dir, stage)
+    tmp = final + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ds.write_parquet(tmp, **write_kwargs)
+    _publish(tmp, final)
+    manifest.record_partitions(stage, final, fingerprint, int((time.time() - t0) * 1000))
+
+
+class IndexBuilder:
+    """Builds the full index under ``out_dir``; resumable per stage."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        analyzer: str = "french",  # "french" | "simple"
+        shard_range: int = DEFAULT_SHARD_RANGE,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
+        analyze_concurrency: int | tuple | None = None,
+        analyze_batch_size: int = 512,
+        segment_batch_size: int = 32768,
+        idf_exp: float = IDF_EXP,
+    ):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.analyzer = analyzer
+        self.shard_range = shard_range
+        self.num_buckets = num_buckets
+        self.analyze_concurrency = analyze_concurrency
+        self.analyze_batch_size = analyze_batch_size
+        self.segment_batch_size = segment_batch_size
+        self.idf_exp = idf_exp
+        self.manifest = Manifest(out_dir)
+
+    # -- stage 1: docs -------------------------------------------------
+    def build_docs_from_pages(self, pages: ray.data.Dataset, fingerprint: str):
+        """pages(url,warc_ts,html,text,lang) → docs with dense doc_id."""
+        fp = _fingerprint("docs", fingerprint)
+        if self.manifest.stage_done("docs", fp):
+            return
+        extracted = pages.map_batches(
+            extract_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+        deduped, n_docs = dedup_assign_ids(extracted)
+        _write_stage(deduped, self.out_dir, "docs", self.manifest, fp)
+
+    def build_docs_from_documents(self, docs: ray.data.Dataset, fingerprint: str):
+        """documents(doc_id,text,…) → docs stage (ids already dense)."""
+        fp = _fingerprint("docs", fingerprint)
+        if self.manifest.stage_done("docs", fp):
+            return
+        _write_stage(docs, self.out_dir, "docs", self.manifest, fp)
+
+    # -- stage 2: analyzed --------------------------------------------
+    def build_analyzed(self, fingerprint: str):
+        fp = _fingerprint("analyzed", fingerprint, self.analyzer)
+        if self.manifest.stage_done("analyzed", fp):
+            return
+        docs = ray.data.read_parquet(
+            os.path.join(self.out_dir, "docs"), columns=["doc_id", "text"]
+        )
+        if self.analyze_concurrency is None:
+            # actor pool sized to the session CPUs, leaving headroom for
+            # the read and write stages (ray_guide actor-pool rule)
+            ncpu = int(ray.cluster_resources().get("CPU", 4))
+            self.analyze_concurrency = max(2, ncpu - 2)
+        if self.analyzer == "simple":
+            ds = docs.map_batches(
+                AnalyzeSimple,
+                batch_format="pyarrow",
+                batch_size=self.analyze_batch_size,
+                concurrency=self.analyze_concurrency,
+            )
+        else:
+            ds = docs.map_batches(
+                AnalyzeDocs,
+                batch_format="pyarrow",
+                batch_size=self.analyze_batch_size,
+                concurrency=self.analyze_concurrency,
+            )
+        _write_stage(ds, self.out_dir, "analyzed", self.manifest, fp)
+
+    # -- stage 3: doc_stats -------------------------------------------
+    def build_doc_stats(self, fingerprint: str):
+        fp = _fingerprint("doc_stats", fingerprint)
+        if self.manifest.stage_done("doc_stats", fp):
+            return
+        t0 = time.time()
+        ds = ray.data.read_parquet(
+            os.path.join(self.out_dir, "analyzed"),
+            columns=["doc_id", "width", "tokens"],
+        )
+        agg = ds.aggregate(Count(alias_name="n_docs"),
+                           Sum("tokens", alias_name="total_tokens"),
+                           Max("doc_id", alias_name="max_doc_id"))
+        n_docs = int(agg["n_docs"])
+        total_tokens = int(agg["total_tokens"] or 0)
+        avgdl = total_tokens / n_docs if n_docs else 1.0
+        _write_stage(ds, self.out_dir, "doc_stats", self.manifest, fp)
+        cfg = {
+            "n_docs": n_docs,
+            "max_doc_id": int(agg["max_doc_id"] or -1),
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "k1": K1,
+            "b": B,
+            "idf_exp": self.idf_exp,
+            "analyzer": self.analyzer,
+            "shard_range": self.shard_range,
+            "num_buckets": self.num_buckets,
+            "block": 128,
+        }
+        with open(os.path.join(self.out_dir, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=1)
+        self.manifest.append(stage="config", fingerprint=fp, status="done",
+                             wall_ms=int((time.time() - t0) * 1000))
+
+    # -- stage 4: postings --------------------------------------------
+    def build_postings(self, fingerprint: str):
+        fp = _fingerprint("postings", fingerprint, self.shard_range,
+                          self.num_buckets)
+        if self.manifest.stage_done("postings", fp):
+            return
+        cfg = self.config()
+        stats = pq.read_table(
+            os.path.join(self.out_dir, "doc_stats"), columns=["doc_id", "tokens"]
+        )
+        n_slots = cfg["max_doc_id"] + 1
+        tokens = np.zeros(n_slots, np.int64)
+        tokens[stats["doc_id"].to_numpy()] = stats["tokens"].to_numpy()
+        norms_ref = ray.put(doc_norms(tokens, cfg["avgdl"]))
+        analyzed = ray.data.read_parquet(
+            os.path.join(self.out_dir, "analyzed"),
+            columns=["doc_id", "terms", "tfs"],
+        )
+        segments = analyzed.map_batches(
+            SegmentEncode(self.shard_range, self.num_buckets),
+            batch_format="pyarrow",
+            batch_size=self.segment_batch_size,
+        )
+        merged = segments.groupby(["bucket", "shard"]).map_groups(
+            make_merge_fn(norms_ref, cfg["avgdl"]), batch_format="pyarrow"
+        )
+        _write_stage(merged, self.out_dir, "postings", self.manifest, fp)
+
+    # -- stage 5: term_stats / lexicon --------------------------------
+    def build_term_stats(self, fingerprint: str):
+        fp = _fingerprint("term_stats", fingerprint)
+        if self.manifest.stage_done("term_stats", fp):
+            return
+        posts = ray.data.read_parquet(
+            os.path.join(self.out_dir, "postings"), columns=["term", "df", "cf"]
+        )
+        stats = posts.groupby("term").aggregate(
+            Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+        )
+        # dense lexicographic term ids (TermLexicon.java:1-30); id 0 is
+        # the absent-term sentinel, so ranks start at 1
+        with_ids = assign_ranks(stats, "term", "rank")
+        with_ids = with_ids.map_batches(
+            lambda t: t.append_column(
+                "term_id",
+                pa.array(t["rank"].to_numpy(zero_copy_only=False) + 1, pa.int32()),
+            ).drop_columns(["rank"]),
+            batch_format="pyarrow",
+        )
+        _write_stage(with_ids, self.out_dir, "term_stats", self.manifest, fp)
+
+    # -- orchestration -------------------------------------------------
+    def config(self) -> dict:
+        with open(os.path.join(self.out_dir, "config.json")) as f:
+            return json.load(f)
+
+    def build(self, input_ds: ray.data.Dataset, input_kind: str = "pages",
+              fingerprint: str = "input") -> str:
+        if input_kind == "pages":
+            self.build_docs_from_pages(input_ds, fingerprint)
+        else:
+            self.build_docs_from_documents(input_ds, fingerprint)
+        self.build_analyzed(fingerprint)
+        self.build_doc_stats(fingerprint)
+        self.build_postings(fingerprint)
+        self.build_term_stats(fingerprint)
+        return self.out_dir

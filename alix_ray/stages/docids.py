@@ -1,0 +1,124 @@
+"""Exact dedup by url + deterministic global doc-id assignment.
+
+Replaces the reference's implicit doc identity (Lucene ingestion-order
+docIds, ``TermLexicon.java:20-24``) with ids that are **reproducible
+across runs and cluster sizes** (SURVEY.md §7.4.2): after one global
+sort by ``(url, warc_ts)``, the kept row for each url is its first
+occurrence (min ``warc_ts`` — dedup-keep-first, SURVEY.md §2.8) and
+``doc_id`` = rank of the url in sorted order.  Never a partition-local
+counter.
+
+Distributed shape: one Ray ``sort`` (the only wide exchange), then two
+embarrassingly-parallel passes over the sorted blocks:
+
+1. per-block metadata (row count, first/last url, adjacent-distinct
+   count) — driver computes per-block id offsets from a tiny cumsum;
+2. per-block dedup + id stamping with the computed offset.
+
+Duplicate urls spanning block boundaries are handled by comparing each
+block's first url with the previous block's last url (sortedness makes
+the previous block sufficient even when a hot url spans many blocks:
+every non-first block of the run drops all its rows of that url).
+
+Scale note (10^12 docs): the sort moves (url, text, …) rows — html is
+dropped before this stage (SURVEY.md §4 wide-rows row).  The two
+metadata passes move O(blocks) bytes to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+@ray.remote
+def _block_meta(tbl: pa.Table, url_col: str):
+    n = tbl.num_rows
+    if n == 0:
+        return 0, None, None, 0
+    urls = tbl[url_col]
+    first = urls[0].as_py()
+    last = urls[n - 1].as_py()
+    # number of adjacent-distinct url runs inside the block
+    arr = urls.combine_chunks()
+    neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+    runs = 1 + pc.sum(neq).as_py() if n > 1 else 1
+    return n, first, last, runs
+
+
+@ray.remote
+def _dedup_stamp(tbl: pa.Table, url_col: str, drop_first_run: bool, id_offset: int):
+    n = tbl.num_rows
+    if n == 0:
+        return tbl.append_column("doc_id", pa.array([], pa.int64()))
+    arr = tbl[url_col].combine_chunks()
+    keep = np.ones(n, bool)
+    if n > 1:
+        eq_prev = pc.equal(arr.slice(1), arr.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep[1:] = ~eq_prev
+    if drop_first_run:
+        keep[0] = False
+    out = tbl.filter(pa.array(keep))
+    ids = np.arange(id_offset, id_offset + out.num_rows, dtype=np.int64)
+    return out.append_column("doc_id", pa.array(ids, pa.int64()))
+
+
+def dedup_assign_ids(
+    ds: ray.data.Dataset, url_col: str = "url", ts_col: str = "warc_ts"
+) -> tuple[ray.data.Dataset, int]:
+    """Dedup by ``url_col`` (keep min ``ts_col``) and add dense ``doc_id``.
+
+    Returns ``(dataset sorted by url with doc_id column, n_docs)``.
+    """
+    mat = ds.sort([url_col, ts_col]).materialize()
+    refs = mat.to_arrow_refs()
+    metas = ray.get([_block_meta.remote(r, url_col) for r in refs])
+    offsets = []
+    off = 0
+    drops = []
+    prev_last = None
+    for n, first, last, runs in metas:
+        drop = n > 0 and prev_last is not None and first == prev_last
+        kept = runs - (1 if drop else 0) if n > 0 else 0
+        drops.append(drop)
+        offsets.append(off)
+        off += kept
+        if n > 0:
+            prev_last = last
+    out_refs = [
+        _dedup_stamp.remote(r, url_col, drop, o)
+        for r, drop, o in zip(refs, drops, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs), off
+
+
+@ray.remote
+def _count_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _stamp_ids(tbl: pa.Table, col: str, offset: int) -> pa.Table:
+    ids = np.arange(offset, offset + tbl.num_rows, dtype=np.int64)
+    return tbl.append_column(col, pa.array(ids, pa.int64()))
+
+
+def assign_ranks(
+    ds: ray.data.Dataset, sort_col: str, id_col: str, descending: bool = False
+) -> ray.data.Dataset:
+    """Add a dense global-rank column = row index after sort by sort_col.
+
+    Used for the term lexicon (dense termId = lexicographic rank,
+    TermLexicon.java:1-30).  One sort + one metadata pass.
+    """
+    mat = ds.sort(sort_col, descending=descending).materialize()
+    refs = mat.to_arrow_refs()
+    counts = ray.get([_count_rows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    out = [_stamp_ids.remote(r, id_col, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

@@ -1,0 +1,220 @@
+"""Posting-list construction: segment encode → compressed merge shuffle.
+
+Ray-Data-first design (SURVEY.md §7.2 stages 5-6, §7.4.5):
+
+- **Segment stage** (stateless ``map_batches``): each batch of analyzed
+  docs becomes a *local inverted segment* — rows ``(term, shard, docs
+  varbyte, tfs varbyte, df, cf)``.  Raw ``(term, doc, tf)`` tokens never
+  cross the wire: the shuffle moves delta+varbyte-compressed blobs
+  (combine-before-shuffle, SURVEY.md §7.3).
+- **Skew strategy — static doc-range sharding**: ``shard = doc_id //
+  shard_range``.  Every term's postings are partitioned by doc range,
+  so no single merge reducer ever sees more than one range of any term
+  — a Zipf-head stop-term at 10^12 docs becomes ~10^5 bounded shards
+  instead of one multi-TB reducer row.  Rare terms stay single-shard
+  when ``shard_range`` exceeds the corpus (the common case at test
+  scale).  Deterministic, no hot-term detection pass needed.
+- **Merge stage** (``groupby((bucket, shard)).map_groups``): bucket =
+  ``hash64(term) % num_buckets``.  Each group re-groups by term,
+  concatenates + sorts decoded doc lists, and emits final posting rows
+  with 128-entry blocks and block-max BM25 tf-norm metadata (needs the
+  per-doc length vector, broadcast once via ``ray.put``).
+
+Determinism: shard/bucket keys are pure functions of (term, doc_id);
+per-term output bytes are independent of batch boundaries and
+parallelism (doc lists are re-sorted at merge).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .. import B, K1
+from ..codec import decode_posting, encode_doc_deltas, encode_posting, vb_encode
+
+DEFAULT_SHARD_RANGE = 8_000_000  # docs per posting shard (skew bound)
+DEFAULT_NUM_BUCKETS = 64
+MAX_POSTING_BYTES = 64 * 1024 * 1024  # cap per final posting row
+
+
+def term_bucket(terms: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Stable 64-bit hash bucket per term (process-independent)."""
+    out = np.empty(len(terms), np.int32)
+    for i, t in enumerate(terms):
+        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little") % num_buckets
+    return out
+
+
+class SegmentEncode:
+    """Batch of analyzed docs → local inverted segment rows."""
+
+    def __init__(self, shard_range: int = DEFAULT_SHARD_RANGE,
+                 num_buckets: int = DEFAULT_NUM_BUCKETS):
+        self.shard_range = shard_range
+        self.num_buckets = num_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lengths = pc.list_value_length(batch["terms"]).to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat_terms = batch["terms"].combine_chunks().flatten()
+        flat_tfs = (
+            batch["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        )
+        flat_docs = np.repeat(doc_ids, lengths)
+        if len(flat_docs) == 0:
+            return _empty_segment_table()
+        shards = (flat_docs // self.shard_range).astype(np.int32)
+        t = pa.table(
+            {
+                "term": flat_terms,
+                "shard": pa.array(shards),
+                "doc": pa.array(flat_docs),
+                "tf": pa.array(flat_tfs.astype(np.int64)),
+            }
+        )
+        idx = pc.sort_indices(
+            t, sort_keys=[("term", "ascending"), ("shard", "ascending"),
+                          ("doc", "ascending")]
+        )
+        t = t.take(idx)
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        shards = t["shard"].to_numpy(zero_copy_only=False)
+        docs = t["doc"].to_numpy(zero_copy_only=False)
+        tfs = t["tf"].to_numpy(zero_copy_only=False)
+        # group boundaries on (term, shard)
+        change = np.empty(len(terms), bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(terms))
+        out_term, out_shard, out_docs, out_tfs, out_df, out_cf = [], [], [], [], [], []
+        for s, e in zip(starts, ends):
+            out_term.append(terms[s])
+            out_shard.append(int(shards[s]))
+            out_docs.append(encode_doc_deltas(docs[s:e]))
+            out_tfs.append(vb_encode(tfs[s:e]))
+            out_df.append(e - s)
+            out_cf.append(int(tfs[s:e].sum()))
+        buckets = term_bucket(np.array(out_term, dtype=object), self.num_buckets)
+        return pa.table(
+            {
+                "term": pa.array(out_term, pa.large_string()),
+                "bucket": pa.array(buckets, pa.int32()),
+                "shard": pa.array(out_shard, pa.int32()),
+                "docs": pa.array(out_docs, pa.large_binary()),
+                "tfs": pa.array(out_tfs, pa.large_binary()),
+                "df": pa.array(out_df, pa.int32()),
+                "cf": pa.array(out_cf, pa.int64()),
+            }
+        )
+
+
+def _empty_segment_table() -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array([], pa.large_string()),
+            "bucket": pa.array([], pa.int32()),
+            "shard": pa.array([], pa.int32()),
+            "docs": pa.array([], pa.large_binary()),
+            "tfs": pa.array([], pa.large_binary()),
+            "df": pa.array([], pa.int32()),
+            "cf": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _empty_postings_table() -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array([], pa.large_string()),
+            "shard": pa.array([], pa.int32()),
+            "df": pa.array([], pa.int32()),
+            "cf": pa.array([], pa.int64()),
+            "docs": pa.array([], pa.large_binary()),
+            "tfs": pa.array([], pa.large_binary()),
+            "block_last": pa.array([], pa.list_(pa.int64())),
+            "block_off_docs": pa.array([], pa.list_(pa.int64())),
+            "block_off_tfs": pa.array([], pa.list_(pa.int64())),
+            "block_max": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+
+
+def make_merge_fn(norms_ref, avgdl: float):
+    """Merge-group function; ``norms_ref`` = ray.put'd float64 array of
+    per-doc ``k1*(1-b+b*dl/avgdl)`` indexed by doc_id."""
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_postings_table()
+        norms = ray.get(norms_ref)
+        idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
+        group = group.take(idx)
+        terms = group["term"].to_numpy(zero_copy_only=False)
+        shards = group["shard"].to_numpy(zero_copy_only=False)
+        docs_bufs = group["docs"].to_pylist()
+        tfs_bufs = group["tfs"].to_pylist()
+        change = np.empty(len(terms), bool)
+        change[0] = True
+        change[1:] = terms[1:] != terms[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(terms))
+        rows = {k: [] for k in (
+            "term", "shard", "df", "cf", "docs", "tfs",
+            "block_last", "block_off_docs", "block_off_tfs", "block_max")}
+        for s, e in zip(starts, ends):
+            term = terms[s]
+            shard = int(shards[s])  # all rows in group share one shard key
+            ds_list, tf_list = [], []
+            for i in range(s, e):
+                d, t = decode_posting(docs_bufs[i], tfs_bufs[i])
+                ds_list.append(d)
+                tf_list.append(t)
+            d = np.concatenate(ds_list)
+            t = np.concatenate(tf_list)
+            order = np.argsort(d, kind="stable")
+            d = d[order]
+            t = t[order]
+            docs_b, tfs_b, blast, boffd, bofft = encode_posting(d, t)
+            # block-max BM25 tf-norm: max over block of tf/(tf+norm[doc])
+            tfn = t / (t + norms[d])
+            bmax = np.maximum.reduceat(tfn, np.arange(0, len(tfn), 128)).astype(
+                np.float32
+            )
+            rows["term"].append(term)
+            rows["shard"].append(shard)
+            rows["df"].append(len(d))
+            rows["cf"].append(int(t.sum()))
+            rows["docs"].append(docs_b)
+            rows["tfs"].append(tfs_b)
+            rows["block_last"].append(blast.tolist())
+            rows["block_off_docs"].append(boffd.tolist())
+            rows["block_off_tfs"].append(bofft.tolist())
+            rows["block_max"].append(bmax.tolist())
+        return pa.table(
+            {
+                "term": pa.array(rows["term"], pa.large_string()),
+                "shard": pa.array(rows["shard"], pa.int32()),
+                "df": pa.array(rows["df"], pa.int32()),
+                "cf": pa.array(rows["cf"], pa.int64()),
+                "docs": pa.array(rows["docs"], pa.large_binary()),
+                "tfs": pa.array(rows["tfs"], pa.large_binary()),
+                "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
+                "block_off_docs": pa.array(rows["block_off_docs"], pa.list_(pa.int64())),
+                "block_off_tfs": pa.array(rows["block_off_tfs"], pa.list_(pa.int64())),
+                "block_max": pa.array(rows["block_max"], pa.list_(pa.float32())),
+            }
+        )
+
+    return merge_group
+
+
+def doc_norms(doc_tokens: np.ndarray, avgdl: float) -> np.ndarray:
+    """Per-doc BM25 length norm ``k1*(1-b+b*dl/avgdl)`` (IdfTermScorer.java:266)."""
+    return K1 * (1.0 - B + B * doc_tokens.astype(np.float64) / avgdl)

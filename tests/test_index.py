@@ -1,0 +1,180 @@
+"""End-to-end index build + BM25 engine tests (small corpus, real Ray).
+
+Oracle = direct per-doc analysis on the driver; checks the invariants
+from SURVEY.md §5 (df/cf/doc-length parity, lexicon sorted+dense,
+posting round-trip, tokens<=width) and exact↔WAND rank identity.
+"""
+
+import collections
+import math
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tmp_path_factory):
+    from alix_ray.corpus import make_page, pages_dataset
+    from alix_ray.stages.build import IndexBuilder
+
+    out = str(tmp_path_factory.mktemp("idx"))
+    b = IndexBuilder(
+        out,
+        analyzer="french",
+        shard_range=50,  # force multi-shard postings
+        num_buckets=8,
+        segment_batch_size=64,  # force many segments
+        analyze_batch_size=64,
+    )
+    b.build(pages_dataset(N_PAGES), input_kind="pages", fingerprint=f"p{N_PAGES}")
+
+    # driver-side oracle: same dedup rule + same analyzer
+    from alix_ray.analysis import FrenchAnalyzer
+
+    fa = FrenchAnalyzer()
+    pages = [make_page(i) for i in range(N_PAGES)]
+    byurl = {}
+    for p in pages:
+        cur = byurl.get(p["url"])
+        if cur is None or p["warc_ts"] < cur["warc_ts"]:
+            byurl[p["url"]] = p
+    urls = sorted(byurl)
+    oracle = {}
+    for doc_id, url in enumerate(urls):
+        emitted, width, n = fa.analyze(byurl[url]["text"])
+        oracle[doc_id] = (emitted, width, n)
+    return out, oracle, urls
+
+
+def test_docs_stage_dedup_and_ids(built_index):
+    out, oracle, urls = built_index
+    docs = pq.read_table(os.path.join(out, "docs"))
+    assert docs.num_rows == len(urls)
+    got = dict(zip(docs["doc_id"].to_pylist(), docs["url"].to_pylist()))
+    assert got == dict(enumerate(urls))
+
+
+def test_doc_stats_match_oracle(built_index):
+    out, oracle, urls = built_index
+    t = pq.read_table(os.path.join(out, "doc_stats"))
+    rows = {r["doc_id"]: (r["width"], r["tokens"]) for r in t.to_pylist()}
+    for doc_id, (emitted, width, n) in oracle.items():
+        assert rows[doc_id] == (width, n)
+        assert n <= width  # TermStats.java:40-46
+
+
+def test_term_stats_match_oracle(built_index):
+    out, oracle, urls = built_index
+    df = collections.Counter()
+    cf = collections.Counter()
+    for doc_id, (emitted, _, _) in oracle.items():
+        terms = [t for t, _ in emitted]
+        for t in set(terms):
+            df[t] += 1
+        cf.update(terms)
+    t = pq.read_table(os.path.join(out, "term_stats"))
+    got_df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    got_cf = dict(zip(t["term"].to_pylist(), t["cf"].to_pylist()))
+    assert got_df == dict(df)
+    assert got_cf == dict(cf)
+
+
+def test_lexicon_sorted_dense(built_index):
+    out, _, _ = built_index
+    t = pq.read_table(os.path.join(out, "term_stats")).sort_by("term_id")
+    terms = t["term"].to_pylist()
+    ids = t["term_id"].to_pylist()
+    assert terms == sorted(terms)
+    assert ids == list(range(1, len(terms) + 1))  # id 0 = sentinel
+
+
+def test_postings_roundtrip_and_sharding(built_index):
+    out, oracle, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    # rebuild per-term (doc, tf) lists from the oracle
+    want = collections.defaultdict(list)
+    for doc_id in sorted(oracle):
+        counts = collections.Counter(t for t, _ in oracle[doc_id][0])
+        for term, tf in counts.items():
+            want[term].append((doc_id, tf))
+    assert set(ix.postings) == set(want)
+    multi = 0
+    for term, shards in ix.postings.items():
+        multi += len(shards) > 1
+        got = []
+        for s in shards:
+            d, t = s.decode()
+            got.extend(zip(d.tolist(), t.tolist()))
+        assert got == want[term], term
+    assert multi > 0  # shard_range=50 must split broad terms
+
+
+def test_exact_matches_manual_bm25(built_index):
+    out, oracle, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    term = max(ix.cf, key=lambda t: ix.cf[t] if len(ix.postings[t]) > 1 else 0)
+    res = ix.search_exact([term], 5)
+    # manual formula (IdfTermScorer.java:253,266)
+    N = ix.n_docs
+    df = ix.df[term]
+    idf = math.log(1 + (N - df + 0.5) / (df + 0.5)) ** ix.idf_exp
+    d0, s0 = res[0]
+    tf = dict(
+        zip(*[x.tolist() for x in ix.postings[term][_shard_of(ix, term, d0)].decode()])
+    )[d0]
+    dl = ix.doc_tokens[d0]
+    tfp = tf * (ix.k1 + 1) / (tf + ix.k1 * (1 - ix.b + ix.b * dl / ix.avgdl))
+    assert s0 == pytest.approx(idf * tfp, rel=1e-12)
+
+
+def _shard_of(ix, term, doc):
+    for i, s in enumerate(ix.postings[term]):
+        d, _ = s.decode()
+        if doc in d:
+            return i
+    raise AssertionError
+
+
+def test_wand_rank_identical(built_index):
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    rng = np.random.default_rng(7)
+    terms = list(ix.lexicon)
+    for _ in range(300):
+        qs = [terms[i] for i in rng.choice(len(terms), rng.integers(1, 5))]
+        k = int(rng.choice([3, 10, 50]))
+        assert ix.search_exact(qs, k) == ix.search_wand(qs, k)
+
+
+def test_resume_skips_done_stages(built_index, ray_session):
+    out, _, _ = built_index
+    from alix_ray.corpus import pages_dataset
+    from alix_ray.stages.build import IndexBuilder, Manifest
+
+    n_rows_before = len(Manifest(out).rows())
+    b = IndexBuilder(out, analyzer="french", shard_range=50, num_buckets=8,
+                     segment_batch_size=64, analyze_batch_size=64)
+    b.build(pages_dataset(N_PAGES), input_kind="pages", fingerprint=f"p{N_PAGES}")
+    # all stages already done for this fingerprint → no new manifest rows
+    assert len(Manifest(out).rows()) == n_rows_before
+
+
+def test_manifest_has_partition_lineage(built_index):
+    out, _, _ = built_index
+    from alix_ray.stages.build import Manifest
+
+    rows = Manifest(out).rows()
+    parts = [r for r in rows if r["status"] == "partition"]
+    assert parts and all(r["rows"] >= 0 and r["bytes"] > 0 for r in parts)
+    done = {r["stage"] for r in rows if r["status"] == "done"}
+    assert {"docs", "analyzed", "doc_stats", "postings", "term_stats"} <= done
