@@ -1,0 +1,227 @@
+"""Reference-parity analytics operators (SURVEY.md §2.5, §2.6, §2.9).
+
+All scorers are vectorized numpy over (term, focus/other count) arrays;
+all pipelines are Ray Data groupby/aggregate shapes with partial
+aggregation inside ``map_batches`` where the reduction allows it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..analysis import SimpleAnalyzer
+
+
+# ---------------------------------------------------------------------
+# Keyness scorers (KeynessScorer.java:77-260) — exact formula parity
+# ---------------------------------------------------------------------
+
+
+def keyness_chi2(fo_count, fo_tokens, ot_count, ot_tokens):
+    """Signed Pearson X² over the 2×2 term/non-term table
+    (KeynessScorer.java Chi2; sign = rate direction)."""
+    fo_count = np.asarray(fo_count, np.float64)
+    ot_count = np.asarray(ot_count, np.float64)
+    fnon = fo_tokens - fo_count
+    onon = ot_tokens - ot_count
+    allt = float(fo_tokens + ot_tokens)
+    term_t = fo_count + ot_count
+    non_t = fnon + onon
+
+    def cell(obs, exp):
+        out = np.zeros_like(obs)
+        m = exp > 0
+        d = obs[m] - exp[m]
+        out[m] = d * d / exp[m]
+        return out
+
+    e1 = fo_tokens * term_t / allt
+    e2 = ot_tokens * term_t / allt
+    e3 = fo_tokens * non_t / allt
+    e4 = ot_tokens * non_t / allt
+    x2 = cell(fo_count, e1) + cell(ot_count, e2) + cell(fnon, e3) + cell(onon, e4)
+    sign = np.where(fo_count / fo_tokens >= ot_count / ot_tokens, 1.0, -1.0)
+    return sign * x2
+
+
+def keyness_g2(fo_count, fo_tokens, ot_count, ot_tokens):
+    """Signed log-likelihood G² (Dunning 1993; KeynessScorer.java G2)."""
+    fo_count = np.asarray(fo_count, np.float64)
+    ot_count = np.asarray(ot_count, np.float64)
+    fnon = fo_tokens - fo_count
+    onon = ot_tokens - ot_count
+    allt = float(fo_tokens + ot_tokens)
+    term_t = fo_count + ot_count
+    non_t = fnon + onon
+
+    def part(obs, exp):
+        out = np.zeros_like(obs)
+        m = (obs > 0) & (exp > 0)
+        out[m] = 2.0 * obs[m] * np.log(obs[m] / exp[m])
+        return out
+
+    g2 = (
+        part(fo_count, fo_tokens * term_t / allt)
+        + part(ot_count, ot_tokens * term_t / allt)
+        + part(fnon, fo_tokens * non_t / allt)
+        + part(onon, ot_tokens * non_t / allt)
+    )
+    sign = np.where(fo_count / fo_tokens >= ot_count / ot_tokens, 1.0, -1.0)
+    return sign * g2
+
+
+def keyness_logdice(fo_count, fo_tokens, ot_count):
+    """14 + log2(2·fo / (fo_tokens + termTotal)) (KeynessScorer LogDice)."""
+    fo_count = np.asarray(fo_count, np.float64)
+    ot_count = np.asarray(ot_count, np.float64)
+    dice = 2.0 * fo_count / (fo_tokens + fo_count + ot_count)
+    with np.errstate(divide="ignore"):
+        return 14.0 + np.log2(dice)
+
+
+def keyness_logratio(fo_count, fo_tokens, ot_count, ot_tokens):
+    """log2(relFocus/relOther)·ln(focusCount) (KeynessScorer LogRatio)."""
+    fo = np.asarray(fo_count, np.float64)
+    ot = np.asarray(ot_count, np.float64)
+    out = np.zeros_like(fo)
+    m = (fo > 0) & (ot > 0)
+    rel = (fo[m] / fo_tokens) / (ot[m] / ot_tokens)
+    out[m] = np.log2(rel) * np.log(fo[m])
+    return out
+
+
+# ---------------------------------------------------------------------
+# Token-level aggregates over a text Dataset (simple profile)
+# ---------------------------------------------------------------------
+
+
+def tokens_flat(ds: ray.data.Dataset, text_col="text", extra_cols=()):
+    """docs → flat (doc_id, term[, extras]) rows, vectorized."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(lengths)), lengths)
+        cols = {"doc_id": batch["doc_id"].take(pa.array(idx))}
+        for c in extra_cols:
+            cols[c] = batch[c].take(pa.array(idx))
+        cols["term"] = lists.flatten()
+        return pa.table(cols)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def term_stats_ds(ds: ray.data.Dataset, text_col="text") -> ray.data.Dataset:
+    """(term, df, cf) via partial in-batch aggregation then small groupby
+    (the TermStats.build partial+final shape, TermStats.java:239)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(lengths)), lengths)
+        flat = lists.flatten()
+        t = pa.table({"doc": pa.array(owner), "term": flat})
+        g = t.group_by(["doc", "term"]).aggregate([("term", "count")])
+        # per-batch partials: df = #docs containing term, cf = Σ tf
+        g2 = g.group_by("term").aggregate([("term_count", "sum"), ("doc", "count")])
+        return pa.table(
+            {
+                "term": g2["term"],
+                "cf": g2["term_count_sum"],
+                "df": g2["doc_count"],
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+
+
+# ---------------------------------------------------------------------
+# Facet / category counts (FlucCategory.java:46, FlucFacet.java:57)
+# ---------------------------------------------------------------------
+
+
+def facet_counts(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    return ds.groupby(col).aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------
+# Chrono histogram (FlucNum.cacheHisto / HistoNum; OpChrono)
+# ---------------------------------------------------------------------
+
+
+def chrono_histogram(events: ray.data.Dataset, ts_col="ts", value_col="value"):
+    """Monthly doc-count + value-sum channels (HistoNum multi-channel)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        ym = pc.add(
+            pc.multiply(pc.year(ts), 100), pc.month(ts)
+        )
+        return pa.table({"bucket": ym, value_col: batch[value_col]})
+
+    b = events.map_batches(bucketize, batch_format="pyarrow")
+    return b.groupby("bucket").aggregate(
+        Count(alias_name="n"), Sum(value_col, alias_name="total")
+    )
+
+
+# ---------------------------------------------------------------------
+# Term suggestion (TermSuggest.java:29) — prefix ranked by frequency
+# ---------------------------------------------------------------------
+
+
+def suggest(term_stats, prefix: str, k: int = 10):
+    """Prefix (<3 chars) / infix (≥3) suggestion ranked by cf desc."""
+    import pandas as pd
+
+    df = term_stats if isinstance(term_stats, pd.DataFrame) else term_stats.to_pandas()
+    if len(prefix) < 3:
+        m = df[df["term"].str.startswith(prefix)]
+    else:
+        m = df[df["term"].str.contains(prefix, regex=False)]
+    m = m.sort_values(["cf", "term"], ascending=[False, True]).head(k)
+    return m.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------
+# Windowed co-occurrence (TopCoocSnippets.java:58 counting model)
+# ---------------------------------------------------------------------
+
+
+def cooc_window(ds: ray.data.Dataset, pivot: str, window: int = 2,
+                text_col="text") -> ray.data.Dataset:
+    """Count co-terms within ±window positions of every pivot occurrence.
+
+    Each (pivot occurrence, co-occurrence position) pair counts once —
+    the per-pair counting model of the reference's cooc population.
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        out: dict[str, int] = {}
+        for row in lists.to_pylist():
+            toks = row
+            n = len(toks)
+            for i, t in enumerate(toks):
+                if t != pivot:
+                    continue
+                lo = max(0, i - window)
+                hi = min(n, i + window + 1)
+                for j in range(lo, hi):
+                    if j == i:
+                        continue
+                    out[toks[j]] = out.get(toks[j], 0) + 1
+        if not out:
+            return pa.table({"coterm": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"coterm": list(out), "n": list(out.values())})
+
+    partials = ds.map_batches(pairs, batch_format="pyarrow")
+    return partials.groupby("coterm").aggregate(Sum("n", alias_name="n"))

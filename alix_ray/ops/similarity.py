@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, read per actor/batch).
+Scale path: LSH-bucketed variant (random hyperplane signs partition the
+corpus; only matching buckets are scanned — recall/eff trade-off
+documented per bucket count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k per query row.
+
+    Per-batch partial top-k (matmul + argpartition) → tiny driver-side
+    merge of (num_batches × k) candidates.  Returns a pandas DataFrame
+    (query_id, vec_id, score) ordered by score desc, vec_id asc.
+    """
+    Q = _normalize(np.asarray(queries, np.float64))
+    qref = ray.put(Q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Qm = ray.get(qref)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        V = _normalize(np.array(batch[vec_col].to_pylist(), np.float64))
+        S = Qm @ V.T  # (nq, nb)
+        kk = min(k, S.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(S.shape[0]):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(S[qi, idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True]
+    )
+    return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+class LshIndexedSearch:
+    """Random-hyperplane LSH bucketing for approximate cosine top-k.
+
+    ``n_planes`` sign bits → bucket id; queries probe their own bucket
+    plus ``n_probe``-bit-flip neighbors.  Bucketing is a plain Ray Data
+    groupby — the bucketed corpus can be written as partitioned Parquet
+    and only matching partitions scanned at query time.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+        self.n_planes = n_planes
+
+    def bucket_of(self, M: np.ndarray) -> np.ndarray:
+        signs = (M @ self.planes.T) > 0
+        return (signs.astype(np.int64) << np.arange(self.n_planes)).sum(axis=1)
+
+    def add_buckets(self, ds: ray.data.Dataset, vec_col="embedding"):
+        def tag(batch: pa.Table) -> pa.Table:
+            V = np.array(batch[vec_col].to_pylist(), np.float64)
+            return batch.append_column(
+                "bucket", pa.array(self.bucket_of(V), pa.int64())
+            )
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    def search(self, bucketed: ray.data.Dataset, queries: np.ndarray,
+               k: int = 10, n_probe: int = 1, vec_col="embedding",
+               id_col="vec_id"):
+        """Scan only buckets within n_probe bit flips of each query."""
+        Q = _normalize(np.asarray(queries, np.float64))
+        qb = self.bucket_of(Q)
+        probe: set[int] = set()
+        for b in qb.tolist():
+            probe.add(b)
+            if n_probe >= 1:
+                for i in range(self.n_planes):
+                    probe.add(b ^ (1 << i))
+        probe_list = sorted(probe)
+        sub = bucketed.filter(
+            expr=f"bucket in {probe_list}"
+        )
+        return brute_force_topk(sub, Q, k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,576 @@
+"""Driver-contract queries over ``/root/testdata/sf*`` + DuckDB oracles.
+
+Every oracle-checked query pins its column names AND value rounding to
+the SQL text (driver compares row-count + schema + order-insensitive
+value hash).  Token semantics for SQL-checked queries use the simple
+profile: ``lower(text)`` split on ``[^a-z0-9]+`` with empties removed —
+byte-identical between :class:`alix_ray.analysis.SimpleAnalyzer` and
+``regexp_split_to_array`` (see chain.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from .. import IDF_EXP, K1, B
+
+# shared SQL fragment: the token CTE (the analyzer mirror)
+TOKS = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
+)
+
+BM25_QUERY_TERMS = ("table", "stream", "vector")
+COOC_PIVOT = "table"
+SUGGEST_PREFIX = "st"
+JACCARD_THRESHOLD = 0.8
+EMB_DUP_THRESHOLD = 0.4
+ANN_QUERIES = 5
+ANN_K = 10
+KEYNESS_FOCUS_LANG = "en"
+KEYNESS_TOP = 30
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+
+def _docs_text(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+# ---------------------------------------------------------------------
+# cached index build per (sf_dir, profile)
+# ---------------------------------------------------------------------
+
+_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def build_documents_index(sf_dir: str, profile: str = "simple") -> str:
+    key = (os.path.abspath(sf_dir), profile)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    h = hashlib.blake2b(repr(key).encode(), digest_size=8).hexdigest()
+    out = f"/tmp/alix_ray_idx/{h}"
+    from ..stages.build import IndexBuilder
+
+    b = IndexBuilder(out, analyzer=profile)
+    b.build(_docs_text(sf_dir), input_kind="documents", fingerprint=repr(key))
+    _INDEX_CACHE[key] = out
+    return out
+
+
+def _index(sf_dir: str, profile: str = "simple"):
+    from ..index.engine import BM25Index
+
+    return BM25Index(build_documents_index(sf_dir, profile))
+
+
+# ---------------------------------------------------------------------
+# index-core queries (oracle-checked)
+# ---------------------------------------------------------------------
+
+
+def q_term_stats(sf_dir: str) -> pd.DataFrame:
+    ix = _index(sf_dir)
+    t = pq.read_table(os.path.join(ix.dir, "term_stats"))
+    df = t.to_pandas()[["term", "df", "cf"]]
+    df["df"] = df["df"].astype("int64")
+    df["cf"] = df["cf"].astype("int64")
+    return df.sort_values("term").reset_index(drop=True)
+
+
+SQL_TERM_STATS = f"""
+WITH toks AS ({TOKS})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def q_doc_token_counts(sf_dir: str) -> pd.DataFrame:
+    ix = _index(sf_dir)
+    t = pq.read_table(os.path.join(ix.dir, "doc_stats"))
+    df = t.to_pandas()[["doc_id", "tokens"]].rename(columns={"tokens": "n_tokens"})
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_TOKEN_COUNTS = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      x -> x <> ''))::BIGINT AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_top_terms(sf_dir: str) -> pd.DataFrame:
+    df = q_term_stats(sf_dir)
+    return (
+        df.sort_values(["cf", "term"], ascending=[False, True])
+        .head(50)[["term", "cf"]]
+        .reset_index(drop=True)
+    )
+
+
+SQL_TOP_TERMS = f"""
+WITH toks AS ({TOKS})
+SELECT term, count(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY cf DESC, term LIMIT 50
+"""
+
+
+def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
+    ix = _index(sf_dir)
+    res = ix.search_exact(list(BM25_QUERY_TERMS), 10)
+    from ..ops.textstats import round_half_away
+
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in res],
+            "score": round_half_away([s for _, s in res]),
+        }
+    )
+
+
+def _sql_bm25(terms: tuple, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS ({TOKS}),
+corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+avg_dl AS (SELECT sum(dl.dl) / corpus.n AS avgdl FROM dl, corpus GROUP BY corpus.n),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+       WHERE term IN ({tlist}) GROUP BY term),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.doc_id,
+    sum( pow(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5)), {IDF_EXP}) *
+         tf.tf * ({K1} + 1) /
+         (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / avg_dl.avgdl)) ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus CROSS JOIN avg_dl
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+SQL_BM25_TOP10 = _sql_bm25(BM25_QUERY_TERMS, 10)
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import exact_dedup
+
+    kept = exact_dedup(_docs(sf_dir)).to_pandas()
+    return (
+        kept[["doc_id"]].astype("int64").sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def q_lang_counts(sf_dir: str) -> pd.DataFrame:
+    from ..ops.analytics import facet_counts
+
+    df = facet_counts(_docs(sf_dir), "lang").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang"
+
+
+def q_source_counts(sf_dir: str) -> pd.DataFrame:
+    from ..ops.analytics import facet_counts
+
+    df = facet_counts(_docs(sf_dir), "source").to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+SQL_SOURCE_COUNTS = "SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source ORDER BY source"
+
+
+def q_chrono(sf_dir: str) -> pd.DataFrame:
+    from ..ops.analytics import chrono_histogram
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "value"])
+    df = chrono_histogram(ev).to_pandas()
+    df["bucket"] = df["bucket"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    from ..ops.textstats import round_half_away
+
+    df["total"] = round_half_away(df["total"].to_numpy())
+    return df.sort_values("bucket").reset_index(drop=True)
+
+
+SQL_CHRONO = """
+SELECT (year(ts) * 100 + month(ts))::BIGINT AS bucket,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS total
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q_keyness_chi2(sf_dir: str) -> pd.DataFrame:
+    """Focus = lang='en' docs vs the rest; signed Chi2 keyness
+    (KeynessScorer.java:77-122), top 30."""
+    from ..ops.analytics import keyness_chi2, term_stats_ds
+
+    docs = _docs(sf_dir)
+    focus = term_stats_ds(docs.filter(expr=f"lang == '{KEYNESS_FOCUS_LANG}'")).to_pandas()
+    other = term_stats_ds(docs.filter(expr=f"lang != '{KEYNESS_FOCUS_LANG}'")).to_pandas()
+    merged = focus.merge(other, on="term", how="outer", suffixes=("_f", "_o")).fillna(0)
+    fo_tokens = float(merged["cf_f"].sum())
+    ot_tokens = float(merged["cf_o"].sum())
+    chi2 = keyness_chi2(
+        merged["cf_f"].to_numpy(np.float64), fo_tokens,
+        merged["cf_o"].to_numpy(np.float64), ot_tokens,
+    )
+    from ..ops.textstats import round_half_away
+
+    out = pd.DataFrame({"term": merged["term"], "chi2": round_half_away(chi2)})
+    return (
+        out.sort_values(["chi2", "term"], ascending=[False, True])
+        .head(KEYNESS_TOP)
+        .reset_index(drop=True)
+    )
+
+
+SQL_KEYNESS_CHI2 = f"""
+WITH toks AS ({TOKS}),
+tagged AS (SELECT t.term, d.lang = '{KEYNESS_FOCUS_LANG}' AS is_focus
+           FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+counts AS (
+  SELECT term,
+    sum(CASE WHEN is_focus THEN 1 ELSE 0 END)::DOUBLE AS fo,
+    sum(CASE WHEN is_focus THEN 0 ELSE 1 END)::DOUBLE AS ot
+  FROM tagged GROUP BY term),
+tot AS (SELECT sum(fo) AS fo_tokens, sum(ot) AS ot_tokens FROM counts),
+cells AS (
+  SELECT c.term, c.fo, c.ot, t.fo_tokens, t.ot_tokens,
+    t.fo_tokens - c.fo AS fnon, t.ot_tokens - c.ot AS onon,
+    t.fo_tokens + t.ot_tokens AS allt,
+    c.fo + c.ot AS term_t,
+    (t.fo_tokens - c.fo) + (t.ot_tokens - c.ot) AS non_t
+  FROM counts c CROSS JOIN tot t),
+x2 AS (
+  SELECT term, fo, ot, fo_tokens, ot_tokens,
+    (CASE WHEN fo_tokens * term_t / allt > 0
+      THEN pow(fo - fo_tokens * term_t / allt, 2) / (fo_tokens * term_t / allt) ELSE 0 END) +
+    (CASE WHEN ot_tokens * term_t / allt > 0
+      THEN pow(ot - ot_tokens * term_t / allt, 2) / (ot_tokens * term_t / allt) ELSE 0 END) +
+    (CASE WHEN fo_tokens * non_t / allt > 0
+      THEN pow(fnon - fo_tokens * non_t / allt, 2) / (fo_tokens * non_t / allt) ELSE 0 END) +
+    (CASE WHEN ot_tokens * non_t / allt > 0
+      THEN pow(onon - ot_tokens * non_t / allt, 2) / (ot_tokens * non_t / allt) ELSE 0 END)
+    AS raw
+  FROM cells)
+SELECT term,
+  round(CASE WHEN fo / fo_tokens >= ot / ot_tokens THEN raw ELSE -raw END, 6) AS chi2
+FROM x2 ORDER BY chi2 DESC, term LIMIT {KEYNESS_TOP}
+"""
+
+
+def q_suggest(sf_dir: str) -> pd.DataFrame:
+    from ..ops.analytics import suggest
+
+    df = q_term_stats(sf_dir)
+    out = suggest(df, SUGGEST_PREFIX, 10)[["term", "cf"]]
+    out["cf"] = out["cf"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SQL_SUGGEST = f"""
+WITH toks AS ({TOKS})
+SELECT term, count(*)::BIGINT AS cf FROM toks
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+GROUP BY term ORDER BY cf DESC, term LIMIT 10
+"""
+
+
+def q_cooc(sf_dir: str) -> pd.DataFrame:
+    from ..ops.analytics import cooc_window
+
+    df = cooc_window(_docs_text(sf_dir), COOC_PIVOT, window=2).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (
+        df.sort_values(["n", "coterm"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+SQL_COOC = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM base)
+SELECT b.term AS coterm, count(*)::BIGINT AS n
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos - 2 AND a.pos + 2
+  AND b.pos <> a.pos
+WHERE a.term = '{COOC_PIVOT}'
+GROUP BY coterm ORDER BY n DESC, coterm LIMIT 20
+"""
+
+
+def q_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import jaccard_pairs_exact
+
+    return jaccard_pairs_exact(_docs_text(sf_dir), JACCARD_THRESHOLD)
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH s AS (
+  SELECT doc_id,
+    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '')) AS toks
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)
+    AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.toks) + len(b.toks) > 0
+  AND len(list_intersect(a.toks, b.toks))::DOUBLE /
+      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    from ..ops.similarity import brute_force_topk
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    head = head[head["vec_id"] < ANN_QUERIES].sort_values("vec_id")
+    Q = np.array(head["embedding"].tolist(), np.float64)
+    res = brute_force_topk(emb, Q, ANN_K)
+    res["query_id"] = res["query_id"].astype("int64")
+    res["vec_id"] = res["vec_id"].astype("int64")
+    from ..ops.textstats import round_half_away
+
+    res["score"] = round_half_away(res["score"].to_numpy())
+    return res.reset_index(drop=True)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {ANN_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score,
+    row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+    ) AS rnk
+  FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, score FROM scored WHERE rnk <= {ANN_K}
+ORDER BY query_id, rnk
+"""
+
+
+def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import embedding_dup_pairs
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = embedding_dup_pairs(emb, EMB_DUP_THRESHOLD).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    from ..ops.textstats import round_half_away
+
+    df["cosine"] = round_half_away(df["cosine"].to_numpy())
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_EMBEDDING_DUPS = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    from ..ops.textstats import quality_metrics
+
+    df = quality_metrics(_docs_text(sf_dir)).to_pandas()
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+_STOP_EN = "'the','a','of','and','to','in','is','it','that','for','on','with','as','are','was'"
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents)
+SELECT doc_id,
+  len(arr)::BIGINT AS n_tokens,
+  round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+        greatest(len(text), 1), 6) AS alpha_ratio,
+  round(len(list_filter(arr, x -> x IN ({_STOP_EN})))::DOUBLE /
+        greatest(len(arr), 1), 6) AS stop_ratio,
+  round(coalesce(list_sum(list_transform(arr, x -> len(x))), 0)::DOUBLE /
+        greatest(len(arr), 1), 6) AS mean_token_len
+FROM base ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle)
+# ---------------------------------------------------------------------
+
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(_docs_text(sf_dir), threshold=0.5).to_pandas()
+    df["jaccard"] = df["jaccard"].round(6)
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..ops.dedup import simhash_pairs
+
+    df = simhash_pairs(_docs_text(sf_dir)).to_pandas()
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    from ..ops.textstats import LangId
+
+    ds = _docs_text(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+    from ray.data.aggregate import Count
+
+    df = ds.groupby("lang_guess").aggregate(Count(alias_name="n")).to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("lang_guess").reset_index(drop=True)
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from ..ops.textstats import fingerprint
+
+    df = fingerprint(_docs_text(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bm25_french(sf_dir: str) -> pd.DataFrame:
+    """French-chain index over documents (rows-only: lemmatization is
+    not SQL-expressible)."""
+    ix = _index(sf_dir, profile="french")
+    res = ix.search_exact(list(BM25_QUERY_TERMS), 10)
+    return pd.DataFrame(
+        {"doc_id": [d for d, _ in res], "score": [round(s, 6) for _, s in res]}
+    )
+
+
+def q_pages_extract(sf_dir: str) -> pd.DataFrame:
+    """Flagship extraction over the self-generated pages corpus
+    (rows-only; the per-row byte-identity invariant is asserted here —
+    any violation raises)."""
+    from ..corpus import pages_dataset
+    from ..stages.analyze import extract_batch
+
+    n = 2000
+    ds = pages_dataset(n).map_batches(
+        extract_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
+    df = tbl.select(["url", "text", "error"]).to_pandas()
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    return df[["url", "n_chars", "error"]].sort_values("url").reset_index(drop=True)
+
+
+def q_wand_consistency(sf_dir: str) -> pd.DataFrame:
+    """Rank-identity audit: WAND vs exact on a seeded query battery
+    (returns one row per query with match flag — all must be true)."""
+    ix = _index(sf_dir)
+    rng = np.random.default_rng(42)
+    terms = list(ix.lexicon)
+    rows = []
+    for qi in range(50):
+        qs = [terms[i] for i in rng.choice(len(terms), rng.integers(1, 4))]
+        ok = ix.search_exact(qs, 10) == ix.search_wand(qs, 10)
+        rows.append((qi, " ".join(sorted(set(qs))), bool(ok)))
+    return pd.DataFrame(rows, columns=["query_id", "q", "rank_identical"])
+
+
+# ---------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------
+
+QUERIES = {
+    "term_stats": q_term_stats,
+    "doc_token_counts": q_doc_token_counts,
+    "top_terms": q_top_terms,
+    "bm25_top10": q_bm25_top10,
+    "dedup_exact": q_dedup_exact,
+    "lang_counts": q_lang_counts,
+    "source_counts": q_source_counts,
+    "chrono": q_chrono,
+    "keyness_chi2": q_keyness_chi2,
+    "suggest": q_suggest,
+    "cooc": q_cooc,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "embedding_dups": q_embedding_dups,
+    "quality": q_quality,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "bm25_french": q_bm25_french,
+    "pages_extract": q_pages_extract,
+    "wand_consistency": q_wand_consistency,
+}
+
+ORACLES = {
+    "term_stats": SQL_TERM_STATS,
+    "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+    "top_terms": SQL_TOP_TERMS,
+    "bm25_top10": SQL_BM25_TOP10,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "lang_counts": SQL_LANG_COUNTS,
+    "source_counts": SQL_SOURCE_COUNTS,
+    "chrono": SQL_CHRONO,
+    "keyness_chi2": SQL_KEYNESS_CHI2,
+    "suggest": SQL_SUGGEST,
+    "cooc": SQL_COOC,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_dups": SQL_EMBEDDING_DUPS,
+    "quality": SQL_QUALITY,
+}
