@@ -104,8 +104,9 @@ def _publish(tmp_dir: str, final_dir: str) -> None:
 
 
 def _write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
-                 manifest: Manifest, fingerprint: str, **write_kwargs) -> None:
-    t0 = time.time()
+                 manifest: Manifest, fingerprint: str, t_start=None,
+                 **write_kwargs) -> None:
+    t0 = t_start if t_start is not None else time.time()
     final = os.path.join(out_dir, stage)
     tmp = final + ".tmp"
     if os.path.exists(tmp):
@@ -146,11 +147,12 @@ class IndexBuilder:
         fp = _fingerprint("docs", fingerprint)
         if self.manifest.stage_done("docs", fp):
             return
+        t0 = time.time()
         extracted = pages.map_batches(
             extract_batch, batch_format="pyarrow", zero_copy_batch=True
         )
         deduped, n_docs = dedup_assign_ids(extracted)
-        _write_stage(deduped, self.out_dir, "docs", self.manifest, fp)
+        _write_stage(deduped, self.out_dir, "docs", self.manifest, fp, t_start=t0)
 
     def build_docs_from_documents(self, docs: ray.data.Dataset, fingerprint: str):
         """documents(doc_id,text,…) → docs stage (ids already dense)."""

@@ -1,0 +1,201 @@
+"""Benchmark harness (driver contract).
+
+Headline pipeline: full inverted-index build over the deterministic
+synthetic web-pages corpus (FIXTURES.md §1; scale tied to the sf dir)
+— read parquet → extract → dedup+doc-ids → analyze (actor pool) →
+segment encode → merge shuffle → postings/stats artifacts — followed by
+the BM25 top-10 query battery (p50/p95 latency, block-max WAND).
+
+Prints ONE JSON line:
+  {"metric": "index_build_pages", "value": <sec>, "unit": "sec",
+   "queries": {<stage/pipeline>: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "docs_per_sec": ..., "query_p50_ms": ..., "query_p95_ms": ...}
+
+--scaling: runs the same job in two fresh processes (RAY_GRAFT_CPUS=8
+and 32) on the same input and reports both throughputs + efficiency
+(the sandbox stand-in for the N vs 4N cluster criterion,
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_SF = 600_000  # sf0.1 → 60k pages
+N_QUERIES = 200
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_pages(n_pages: int, path: str) -> None:
+    """Generate the deterministic corpus once (untimed input artifact)."""
+    import ray.data
+
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    from alix_ray.corpus import write_pages
+
+    write_pages(path + ".tmp", n_pages)
+    os.rename(path + ".tmp", path)
+    open(marker, "w").write(str(n_pages))
+
+
+def query_battery(ix, n: int):
+    """Deterministic query set (FIXTURES.md §2): hot/rare/mixed terms."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    by_cf = sorted(ix.cf, key=lambda t: -ix.cf[t])
+    hot = by_cf[: max(5, len(by_cf) // 100)]
+    rare = by_cf[-max(5, len(by_cf) // 10):]
+    mid = by_cf[len(by_cf) // 10 : len(by_cf) // 2] or by_cf
+    queries = []
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            qs = [hot[rng.integers(len(hot))]]
+        elif kind == 1:
+            qs = [mid[rng.integers(len(mid))] for _ in range(2)]
+        elif kind == 2:
+            qs = [rare[rng.integers(len(rare))], mid[rng.integers(len(mid))]]
+        else:
+            qs = [by_cf[rng.integers(len(by_cf))] for _ in range(4)]
+        queries.append(qs)
+    return queries
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    n_pages = max(2000, int(PAGES_PER_SF * sf))
+    pages_dir = f"/tmp/bench_pages_{n_pages}"
+    ensure_pages(n_pages, pages_dir)
+
+    out_dir = f"/tmp/bench_idx_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    from alix_ray.stages.build import IndexBuilder, Manifest
+
+    t0 = time.time()
+    b = IndexBuilder(out_dir, analyzer="french")
+    pages = ray.data.read_parquet(pages_dir)
+    b.build(pages, input_kind="pages", fingerprint=f"bench{n_pages}")
+    build_sec = time.time() - t0
+
+    stage_secs = {}
+    for row in Manifest(out_dir).rows():
+        if row.get("status") == "done" and "wall_ms" in row:
+            stage_secs[f"stage_{row['stage']}"] = round(row["wall_ms"] / 1000.0, 3)
+
+    from alix_ray.index.engine import BM25Index
+
+    t0 = time.time()
+    ix = BM25Index(out_dir)
+    load_sec = time.time() - t0
+
+    queries = query_battery(ix, N_QUERIES)
+    lat = []
+    for qs in queries:
+        t0 = time.perf_counter()
+        ix.search_wand(qs, 10)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2] * 1000
+    p95 = lat[int(len(lat) * 0.95)] * 1000
+
+    # secondary pipelines over the sf tables (per-query seconds)
+    from alix_ray.pipelines import queries as q
+
+    pipeline_secs = {}
+    for name in ("term_stats", "bm25_top10", "minhash_pairs", "ann_topk"):
+        t0 = time.time()
+        q.QUERIES[name](SF_DIR)
+        pipeline_secs[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "index_build_pages",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": {**stage_secs, **pipeline_secs,
+                    "bm25_query_battery": round(sum(lat), 3)},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_pages": n_pages,
+        "docs_per_sec": round(n_pages / build_sec, 1),
+        "index_load_sec": round(load_sec, 3),
+        "query_p50_ms": round(p50, 3),
+        "query_p95_ms": round(p95, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # warm the page cache / generate input once before timing
+    r_warm = None
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["docs_per_sec"]
+    thr_hi = r_hi["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": thr_lo,
+        "docs_per_sec_hi": thr_hi,
+        "query_p95_ms_hi": r_hi["query_p95_ms"],
+        "sf": r_lo["sf"],
+        "n_pages": r_lo["n_pages"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,183 @@
+"""Unit tests for analytics / dedup / similarity / textstats / multimodal ops."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class TestKeyness:
+    def test_chi2_sign_and_value(self):
+        from alix_ray.ops.analytics import keyness_chi2
+
+        # hand 2×2: fo=10/100, ot=5/200 → over-represented in focus
+        v = keyness_chi2(np.array([10.0]), 100.0, np.array([5.0]), 200.0)
+        assert v[0] > 0
+        # swap → symmetric negative
+        v2 = keyness_chi2(np.array([5.0]), 200.0, np.array([10.0]), 100.0)
+        assert v2[0] == pytest.approx(-v[0])
+
+    def test_g2_zero_when_proportional(self):
+        from alix_ray.ops.analytics import keyness_g2
+
+        v = keyness_g2(np.array([10.0]), 100.0, np.array([20.0]), 200.0)
+        assert v[0] == pytest.approx(0.0, abs=1e-9)
+
+    def test_logdice(self):
+        from alix_ray.ops.analytics import keyness_logdice
+
+        v = keyness_logdice(np.array([8.0]), 100.0, np.array([8.0]))
+        assert v[0] == pytest.approx(14 + np.log2(16 / 116))
+
+
+class TestHashStability:
+    def test_token_hashes_stable(self):
+        from alix_ray.ops.dedup import _token_hashes
+
+        a = _token_hashes(["chat", "chien"])
+        b = _token_hashes(["chat", "chien"])
+        assert np.array_equal(a, b)
+        assert a[0] != a[1]
+
+    def test_minhash_similarity_estimate(self):
+        from alix_ray.ops.dedup import MinHasher
+
+        mh = MinHasher(num_perm=128)
+        base = [f"w{i}" for i in range(100)]
+        near = base[:90] + [f"x{i}" for i in range(10)]
+        far = [f"y{i}" for i in range(100)]
+        s0, s1, s2 = mh.signature(base), mh.signature(near), mh.signature(far)
+        est_near = (s0 == s1).mean()
+        est_far = (s0 == s2).mean()
+        assert est_near > 0.6
+        assert est_far < 0.2
+
+    def test_simhash_near_vs_far(self):
+        from alix_ray.ops.dedup import simhash64
+
+        base = [f"w{i}" for i in range(200)]
+        near = base[:195] + [f"x{i}" for i in range(5)]
+        far = [f"y{i}" for i in range(200)]
+        h0, h1, h2 = simhash64(base), simhash64(near), simhash64(far)
+        d_near = bin(h0 ^ h1).count("1")
+        d_far = bin(h0 ^ h2).count("1")
+        assert d_near < d_far
+
+    def test_fingerprint_deterministic_and_content_sensitive(self):
+        from alix_ray.ops.textstats import round_half_away
+
+        assert round_half_away(np.array([0.8203125]))[0] == 0.820313
+        assert round_half_away(np.array([-0.8203125]))[0] == -0.820313
+
+
+class TestRayOps:
+    def test_exact_dedup(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.dedup import exact_dedup
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 3, "text": "aaa"},
+                {"doc_id": 1, "text": "aaa"},
+                {"doc_id": 2, "text": "bbb"},
+            ]
+        )
+        out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+        assert out["doc_id"].tolist() == [1, 2]
+
+    def test_minhash_finds_planted_dup(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.dedup import minhash_lsh_pairs
+
+        words = [f"w{i}" for i in range(60)]
+        rows = [{"doc_id": i, "text": " ".join(np.roll(words, i * 13).tolist())}
+                for i in range(10)]
+        rows.append({"doc_id": 99, "text": rows[0]["text"] + " extra"})
+        ds = ray.data.from_items(rows)
+        pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+        assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 99)).any()
+
+    def test_brute_force_topk_matches_numpy(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.similarity import brute_force_topk
+
+        rng = np.random.default_rng(3)
+        V = rng.standard_normal((50, 8)).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                      "embedding": pa.array(V.tolist(), pa.list_(pa.float32()))}))
+        Q = V[:2].astype(np.float64)
+        res = brute_force_topk(ds, Q, 5)
+        # oracle
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        S = Qn @ Vn.T
+        for qi in range(2):
+            want = np.argsort(-S[qi])[:5].tolist()
+            got = res[res["query_id"] == qi]["vec_id"].tolist()
+            assert got == want
+        # self-match first
+        assert res[res["query_id"] == 0].iloc[0]["vec_id"] == 0
+
+    def test_lsh_bucketed_search_recall(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.similarity import LshIndexedSearch, brute_force_topk
+
+        rng = np.random.default_rng(4)
+        V = rng.standard_normal((200, 16))
+        ds = ray.data.from_arrow(
+            pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                      "embedding": pa.array(V.tolist(), pa.list_(pa.float64()))}))
+        lsh = LshIndexedSearch(dim=16, n_planes=4)
+        bucketed = lsh.add_buckets(ds).materialize()
+        Q = V[:3]
+        approx = lsh.search(bucketed, Q, k=5, n_probe=1)
+        exact = brute_force_topk(ds, Q, 5)
+        # top-1 self-hit must survive bucketing (same bucket by definition)
+        for qi in range(3):
+            assert approx[approx["query_id"] == qi].iloc[0]["vec_id"] == qi
+        # recall@5 reasonable
+        hits = 0
+        for qi in range(3):
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            hits += len(a & e)
+        assert hits >= 6
+
+    def test_langid(self, ray_session):
+        from alix_ray.ops.textstats import LangId
+
+        li = LangId()
+        assert li.guess("the cat is on the mat and it is happy") == "en"
+        assert li.guess("le chat est sur le tapis et il est content") == "fr"
+        assert li.guess("") == "und"
+
+    def test_multimodal_plumbing(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.multimodal import media_pipeline
+
+        rows = [{"media_id": i, "kind": "image", "payload": bytes([i] * 64),
+                 "mime": "image/fake", "meta": "{}"} for i in range(8)]
+        ds = ray.data.from_items(rows)
+        out = media_pipeline(ds, "image", concurrency=2, batch_size=4).to_pandas()
+        assert len(out) == 8
+        assert all(len(f) == 16 for f in out["features"])
+        # deterministic across runs
+        out2 = media_pipeline(ray.data.from_items(rows), "image",
+                              concurrency=2, batch_size=2).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("media_id").reset_index(drop=True),
+            out2.sort_values("media_id").reset_index(drop=True))
+
+    def test_multimodal_strict_raises(self, ray_session):
+        from alix_ray.ops.multimodal import ImageFeatures
+
+        with pytest.raises(NotImplementedError):
+            ImageFeatures(strict=True)(
+                pa.table({"media_id": pa.array([1], pa.int64()),
+                          "payload": pa.array([b"x"], pa.binary())}))
