@@ -178,6 +178,10 @@ def clitic_filter(toks: list[Tok]) -> list[Tok]:
         if t.cls != "WORD":
             out.append(t)
             continue
+        # fast path: no apostrophe/hyphen → nothing to split
+        if "'" not in t.text and "-" not in t.text and "’" not in t.text:
+            out.append(t)
+            continue
         parts = split_clitics(t.text)
         if len(parts) == 1 and parts[0] == t.text:
             out.append(t)
@@ -289,6 +293,16 @@ class MweAutomaton:
         self.max_len = max(
             [len(k) for k in form_entries] + [len(k) for k in lemma_entries] + [1]
         )
+        # fast gate: only tokens whose form/lemma can START an entry
+        # enter the match loop (hot-path: almost every token skips)
+        self.starts = frozenset(
+            [k[0] for k in form_entries] + [k[0] for k in lemma_entries]
+        )
+
+    def can_start(self, tok: Tok) -> bool:
+        if tok.text.lower() in self.starts:
+            return True
+        return tok.lemma is not None and tok.lemma.lower() in self.starts
 
     def match(self, toks: list[Tok], i: int):
         """Longest match starting at i → (length, canonical, pos) or None.
@@ -323,7 +337,11 @@ def mwe_filter(toks: list[Tok], automaton: MweAutomaton) -> list[Tok]:
     i = 0
     n = len(toks)
     while i < n:
-        m = automaton.match(toks, i) if toks[i].cls == "WORD" else None
+        m = (
+            automaton.match(toks, i)
+            if toks[i].cls == "WORD" and automaton.can_start(toks[i])
+            else None
+        )
         if m is None:
             out.append(toks[i])
             i += 1

@@ -59,20 +59,42 @@ _ENTITY = {
 }
 
 
+# per-char class flags, lazily cached (hot path: one dict lookup/char)
+_LETTER, _DIGIT, _TOKENC = 1, 2, 4
+_FLAGS: dict[str, int] = {}
+
+
+def _flags(c: str) -> int:
+    f = _FLAGS.get(c)
+    if f is None:
+        f = 0
+        if c.isalpha() or c in _EXTRA_LETTER:
+            f |= _LETTER
+        if c.isdecimal():
+            f |= _DIGIT
+        if c.isalpha() or c.isdecimal() or c in _EXTRA_TOKEN:
+            f |= _TOKENC
+        _FLAGS[c] = f
+    return f
+
+
 def _is_letter(c: str) -> bool:
-    return c.isalpha() or c in _EXTRA_LETTER
+    return bool(_flags(c) & _LETTER)
 
 
 def _is_digit(c: str) -> bool:
-    return c.isdecimal()
+    return bool(_flags(c) & _DIGIT)
 
 
 def _is_token_char(c: str) -> bool:
-    return c.isalpha() or c.isdecimal() or c in _EXTRA_TOKEN
+    return bool(_flags(c) & _TOKENC)
+
+
+_NORM = {**_APOS_NORM, **_HYPH_NORM}
 
 
 def _norm_char(c: str) -> str:
-    return _APOS_NORM.get(c) or _HYPH_NORM.get(c) or c
+    return _NORM.get(c, c)
 
 
 class Tok:
@@ -220,6 +242,9 @@ class MarkupTokenizer:
             if i >= n:
                 return
             c = s[i]
+            if c == " " or c == "\n":  # hot path: inter-token whitespace
+                i += 1
+                continue
             if c == "<":
                 j = s.find(">", i)
                 if j == -1:
@@ -325,14 +350,14 @@ class MarkupTokenizer:
                 trailing_dot = True
                 continue
             # "-42": literal minus then digit → negative number
-            if _is_digit(c) and len(buf) == 1 and last_raw == "-":
+            if last_raw == "-" and len(buf) == 1 and _is_digit(c):
                 tok, i, pending = self._read_number(s, i, buf[0])
                 return tok, i, pending
-            if not _is_token_char(c):
+            if not _flags(c) & _TOKENC:
                 break
             if c == "&":
                 amp = len(buf)
-            buf.append(_norm_char(c))
+            buf.append(_NORM.get(c, c))
             i += 1
             last_raw = c
             if len(buf) >= TOKEN_MAX_SIZE:

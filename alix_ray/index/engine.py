@@ -45,10 +45,10 @@ BLOCK = 128
 
 
 class PostingShard:
-    """One posting row (term × doc-range shard)."""
+    """One posting row (term × doc-range shard); decode memoized."""
 
     __slots__ = ("docs_buf", "tfs_buf", "block_last", "off_docs", "off_tfs",
-                 "block_max", "n")
+                 "block_max", "n", "_decoded")
 
     def __init__(self, row):
         self.docs_buf = row["docs"]
@@ -58,9 +58,12 @@ class PostingShard:
         self.off_tfs = np.asarray(row["block_off_tfs"], np.int64)
         self.block_max = np.asarray(row["block_max"], np.float64)
         self.n = int(row["df"])
+        self._decoded = None
 
     def decode(self):
-        return decode_posting(self.docs_buf, self.tfs_buf)
+        if self._decoded is None:
+            self._decoded = decode_posting(self.docs_buf, self.tfs_buf)
+        return self._decoded
 
     def first_doc(self) -> int:
         head = vb_decode(bytes(self.docs_buf[:10]))
@@ -302,10 +305,24 @@ class BM25Index:
                 self._analyzer = FrenchAnalyzer()
         return self._analyzer
 
-    def search(self, query: str, k: int = 10, exact: bool = False):
+    # serving strategy: the dense-accumulator TAAT path is faster up to
+    # tens of millions of docs (vectorized numpy, accumulator fits in
+    # memory); block-max WAND is the 10^12-doc path (no O(N) state).
+    # Both return identical rankings (tests enforce it).
+    WAND_MIN_DOCS = 20_000_000
+
+    def search_terms(self, terms, k: int = 10):
+        if self.n_docs >= self.WAND_MIN_DOCS:
+            return self.search_wand(terms, k)
+        return self.search_exact(terms, k)
+
+    def search(self, query: str, k: int = 10, exact: bool = False,
+               wand: bool = False):
         from ..query.parser import parse_query
 
         terms = parse_query(query, self.analyzer(), self.lexicon)
         if exact:
             return self.search_exact(terms, k)
-        return self.search_wand(terms, k)
+        if wand:
+            return self.search_wand(terms, k)
+        return self.search_terms(terms, k)

@@ -162,33 +162,82 @@ class IndexBuilder:
         _write_stage(docs, self.out_dir, "docs", self.manifest, fp)
 
     # -- stage 2: analyzed --------------------------------------------
-    def build_analyzed(self, fingerprint: str):
-        fp = _fingerprint("analyzed", fingerprint, self.analyzer)
-        if self.manifest.stage_done("analyzed", fp):
-            return
-        docs = ray.data.read_parquet(
-            os.path.join(self.out_dir, "docs"), columns=["doc_id", "text"]
-        )
+    def _analyze_pipeline(self, files: list[str]):
+        docs = ray.data.read_parquet(files, columns=["doc_id", "text"])
         if self.analyze_concurrency is None:
             # actor pool sized to the session CPUs, leaving headroom for
             # the read and write stages (ray_guide actor-pool rule)
             ncpu = int(ray.cluster_resources().get("CPU", 4))
             self.analyze_concurrency = max(2, ncpu - 2)
-        if self.analyzer == "simple":
-            ds = docs.map_batches(
-                AnalyzeSimple,
-                batch_format="pyarrow",
-                batch_size=self.analyze_batch_size,
-                concurrency=self.analyze_concurrency,
+        cls = AnalyzeSimple if self.analyzer == "simple" else AnalyzeDocs
+        return docs.map_batches(
+            cls,
+            batch_format="pyarrow",
+            batch_size=self.analyze_batch_size,
+            concurrency=self.analyze_concurrency,
+        )
+
+    def build_analyzed(self, fingerprint: str, n_groups: int = 4):
+        """The heavy stage — split into input-file groups, each written
+        atomically with its own lineage row, so an interrupted build
+        resumes from the last completed group (per-partition
+        checkpointing, the north-rule resume requirement)."""
+        fp = _fingerprint("analyzed", fingerprint, self.analyzer)
+        if self.manifest.stage_done("analyzed", fp):
+            return
+        t_stage = time.time()
+        docs_dir = os.path.join(self.out_dir, "docs")
+        files = sorted(
+            os.path.join(docs_dir, f)
+            for f in os.listdir(docs_dir)
+            if f.endswith(".parquet")
+        )
+        n_groups = max(1, min(n_groups, len(files)))
+        bounds = np.linspace(0, len(files), n_groups + 1).astype(int)
+        final = os.path.join(self.out_dir, "analyzed")
+        tmp = final + ".tmp"  # persists across crashed attempts
+        os.makedirs(tmp, exist_ok=True)
+        for gi in range(n_groups):
+            gfiles = files[bounds[gi] : bounds[gi + 1]]
+            if not gfiles:
+                continue
+            gkey = f"g{gi:05d}"
+            gfp = _fingerprint(fp, gkey, *gfiles)
+            gdir = os.path.join(tmp, gkey)
+            if os.path.exists(gdir) and any(
+                r.get("stage") == "analyzed"
+                and r.get("partition") == gkey
+                and r.get("fingerprint") == gfp
+                and r.get("status") == "part-done"
+                for r in self.manifest.rows()
+            ):
+                continue  # resumed: group already complete
+            t0 = time.time()
+            gtmp = gdir + ".tmp"
+            if os.path.exists(gtmp):
+                shutil.rmtree(gtmp)
+            self._analyze_pipeline(gfiles).write_parquet(gtmp)
+            if os.path.exists(gdir):
+                shutil.rmtree(gdir)
+            os.rename(gtmp, gdir)
+            rows = sum(
+                pq.read_metadata(os.path.join(gdir, f)).num_rows
+                for f in os.listdir(gdir)
+                if f.endswith(".parquet")
             )
-        else:
-            ds = docs.map_batches(
-                AnalyzeDocs,
-                batch_format="pyarrow",
-                batch_size=self.analyze_batch_size,
-                concurrency=self.analyze_concurrency,
+            nbytes = sum(
+                os.path.getsize(os.path.join(gdir, f)) for f in os.listdir(gdir)
             )
-        _write_stage(ds, self.out_dir, "analyzed", self.manifest, fp)
+            self.manifest.append(
+                stage="analyzed", partition=gkey, fingerprint=gfp,
+                rows=rows, bytes=nbytes, status="part-done",
+                wall_ms=int((time.time() - t0) * 1000),
+            )
+        _publish(tmp, final)
+        self.manifest.append(
+            stage="analyzed", fingerprint=fp, status="done",
+            wall_ms=int((time.time() - t_stage) * 1000),
+        )
 
     # -- stage 3: doc_stats -------------------------------------------
     def build_doc_stats(self, fingerprint: str):
@@ -200,16 +249,20 @@ class IndexBuilder:
             os.path.join(self.out_dir, "analyzed"),
             columns=["doc_id", "width", "tokens"],
         )
-        agg = ds.aggregate(Count(alias_name="n_docs"),
-                           Sum("tokens", alias_name="total_tokens"),
-                           Max("doc_id", alias_name="max_doc_id"))
-        n_docs = int(agg["n_docs"])
-        total_tokens = int(agg["total_tokens"] or 0)
+        _write_stage(ds, self.out_dir, "doc_stats", self.manifest, fp, t_start=t0)
+        # global sums from the (narrow) written artifact on the driver —
+        # cheaper than a dedicated Ray aggregate stage at this scale; at
+        # 10^12 docs this becomes a distributed ds.aggregate(Sum/Max)
+        stats = pq.read_table(os.path.join(self.out_dir, "doc_stats"),
+                              columns=["doc_id", "tokens"])
+        n_docs = stats.num_rows
+        total_tokens = int(pa.compute.sum(stats["tokens"]).as_py() or 0)
+        max_doc = int(pa.compute.max(stats["doc_id"]).as_py()) if n_docs else -1
         avgdl = total_tokens / n_docs if n_docs else 1.0
-        _write_stage(ds, self.out_dir, "doc_stats", self.manifest, fp)
+        agg = {"max_doc_id": max_doc}
         cfg = {
             "n_docs": n_docs,
-            "max_doc_id": int(agg["max_doc_id"] or -1),
+            "max_doc_id": max_doc,
             "total_tokens": total_tokens,
             "avgdl": avgdl,
             "k1": K1,
