@@ -207,19 +207,46 @@ class BM25Index:
         float64 summation order of SURVEY.md §7.4.1."""
         return sorted({t for t in terms if t in self.postings})
 
+    def _contrib(self, term: str, d: np.ndarray, tf: np.ndarray,
+                 scorer: str) -> np.ndarray:
+        """Per-(term, doc) score contribution under a pluggable doc-level
+        similarity (reference: SimilarityBase subclasses, SURVEY.md §2.6)."""
+        if scorer == "bm25":  # IdfTermScorer.java:253,266
+            w = self.idf(term) * (self.k1 + 1.0)
+            return w * (tf / (tf + self.norms[d]))
+        if scorer == "freq":  # SimilarityFreq.java:48-53 — raw tf
+            return tf
+        cf = float(self.cf.get(term, 0))
+        total = float(self.cfg["total_tokens"])
+        dl = self.doc_tokens[d].astype(np.float64)
+        expected = cf * dl / total
+        if scorer == "chi2":  # SimilarityChi2.java:52-68
+            with np.errstate(divide="ignore", invalid="ignore"):
+                measure = (tf - expected) ** 2 / expected
+                out = np.where(measure == 0, 0.0, np.log2(measure))
+            return np.where(tf < expected, -out, out)
+        if scorer == "gtest":  # SimilarityG.java:52-72
+            with np.errstate(divide="ignore", invalid="ignore"):
+                o1 = total - tf
+                s = tf * np.log(tf / expected) + o1 * np.log(
+                    o1 / (total - expected)
+                )
+            return np.where(tf < expected, -s, s)
+        raise ValueError(f"unknown scorer {scorer!r}")
+
     # -- exact term-at-a-time (the oracle) ----------------------------
-    def search_exact(self, terms, k: int = 10, mode: str = "or"):
+    def search_exact(self, terms, k: int = 10, mode: str = "or",
+                     scorer: str = "bm25"):
         qs = self._query_terms(terms)
         if not qs:
             return []
         acc = np.zeros(len(self.norms), np.float64)
         seen = np.zeros(len(self.norms), np.int32)
         for term in qs:
-            w = self.idf(term) * (self.k1 + 1.0)
             for shard in self.postings[term]:
                 d, t = shard.decode()
                 tf = t.astype(np.float64)
-                acc[d] += w * (tf / (tf + self.norms[d]))
+                acc[d] += self._contrib(term, d, tf, scorer)
                 seen[d] += 1
         if mode == "and":
             acc[seen < len(qs)] = 0.0

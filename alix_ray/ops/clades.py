@@ -1,0 +1,97 @@
+"""Correspondence-analysis factor map (SURVEY.md §2.6 Contingency/SVD).
+
+Reference: ``util/.../maths/ContingencySvd.java:63`` + the ``/clades``
+endpoint (``OpClades.java:53``) — a term × category contingency table is
+turned into standardized (Pearson) residuals and factored by SVD into
+2-D coordinates for both terms (rows) and categories (columns).
+
+The contingency counts are a Ray Data groupby (distributed); the SVD
+runs on the driver over the (small) top-vocabulary × category matrix —
+the same shape as the reference, which factors a selected vocabulary,
+not the whole lexicon.  For very large vocabularies, swap
+``np.linalg.svd`` for the randomized Halko-Martinsson-Tropp sketch (the
+reference ships one in ``RandomizedSvd.java:49``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..analysis import SimpleAnalyzer
+
+
+def contingency(ds: ray.data.Dataset, category_col: str,
+                text_col: str = "text") -> pd.DataFrame:
+    """(term, category) → token count, via per-batch partial counts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(lengths)), lengths)
+        t = pa.table(
+            {
+                "term": lists.flatten(),
+                "category": batch[category_col].take(pa.array(owner)),
+            }
+        )
+        g = t.group_by(["term", "category"]).aggregate([("term", "count")])
+        return pa.table({"term": g["term"], "category": g["category"],
+                         "n": g["term_count"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["term", "category"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    return out.to_pandas()
+
+
+def correspondence_coords(cont: pd.DataFrame, top_terms: int = 100,
+                          dims: int = 2):
+    """Pearson residuals → SVD → row/column principal coordinates.
+
+    Returns ``(terms_df, categories_df)`` with columns
+    ``(label, dim1, dim2, weight)``.
+    """
+    mat = cont.pivot_table(index="term", columns="category", values="n",
+                           fill_value=0, aggfunc="sum")
+    # restrict to the densest vocabulary (reference selects a vocab too)
+    totals = mat.sum(axis=1)
+    keep = totals.sort_values(ascending=False).head(top_terms).index
+    mat = mat.loc[keep]
+    N = float(mat.values.sum())
+    P = mat.values / N
+    r = P.sum(axis=1, keepdims=True)
+    c = P.sum(axis=0, keepdims=True)
+    expected = r @ c
+    with np.errstate(divide="ignore", invalid="ignore"):
+        residuals = (P - expected) / np.sqrt(expected)
+    residuals = np.nan_to_num(residuals)
+    U, S, Vt = np.linalg.svd(residuals, full_matrices=False)
+    dims = min(dims, len(S))
+    # principal coordinates: rows scaled by 1/sqrt(row mass)
+    row_coords = (U[:, :dims] * S[:dims]) / np.sqrt(np.maximum(r, 1e-12))
+    col_coords = (Vt[:dims].T * S[:dims]) / np.sqrt(
+        np.maximum(c.T, 1e-12)
+    )
+    terms_df = pd.DataFrame(
+        {
+            "label": mat.index,
+            "dim1": row_coords[:, 0],
+            "dim2": row_coords[:, 1] if dims > 1 else 0.0,
+            "weight": totals.loc[mat.index].to_numpy(),
+        }
+    ).reset_index(drop=True)
+    cats_df = pd.DataFrame(
+        {
+            "label": mat.columns,
+            "dim1": col_coords[:, 0],
+            "dim2": col_coords[:, 1] if dims > 1 else 0.0,
+            "weight": mat.sum(axis=0).to_numpy(),
+        }
+    ).reset_index(drop=True)
+    return terms_df, cats_df

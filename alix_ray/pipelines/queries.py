@@ -574,3 +574,114 @@ ORACLES = {
     "embedding_dups": SQL_EMBEDDING_DUPS,
     "quality": SQL_QUALITY,
 }
+
+def q_token_dump(sf_dir: str) -> pd.DataFrame:
+    """Token-table export (SQLite-exporter / TermRail analog) with
+    1-based positions."""
+    from ..ops.export import token_table
+
+    df = token_table(_docs_text(sf_dir)).to_pandas()
+    df["pos"] = df["pos"].astype("int64")
+    return df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+SQL_TOKEN_DUMP = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents)
+SELECT doc_id, generate_subscripts(arr, 1)::BIGINT AS pos, unnest(arr) AS term
+FROM base ORDER BY doc_id, pos
+"""
+
+
+def q_keyness_g2(sf_dir: str) -> pd.DataFrame:
+    """Signed log-likelihood G2 keyness (KeynessScorer.java:165-207)."""
+    from ..ops.analytics import keyness_g2, term_stats_ds
+    from ..ops.textstats import round_half_away
+
+    docs = _docs(sf_dir)
+    focus = term_stats_ds(docs.filter(expr=f"lang == '{KEYNESS_FOCUS_LANG}'")).to_pandas()
+    other = term_stats_ds(docs.filter(expr=f"lang != '{KEYNESS_FOCUS_LANG}'")).to_pandas()
+    merged = focus.merge(other, on="term", how="outer", suffixes=("_f", "_o")).fillna(0)
+    fo_tokens = float(merged["cf_f"].sum())
+    ot_tokens = float(merged["cf_o"].sum())
+    g2 = keyness_g2(
+        merged["cf_f"].to_numpy(np.float64), fo_tokens,
+        merged["cf_o"].to_numpy(np.float64), ot_tokens,
+    )
+    out = pd.DataFrame({"term": merged["term"], "g2": round_half_away(g2)})
+    return (
+        out.sort_values(["g2", "term"], ascending=[False, True])
+        .head(KEYNESS_TOP)
+        .reset_index(drop=True)
+    )
+
+
+SQL_KEYNESS_G2 = f"""
+WITH toks AS ({TOKS}),
+tagged AS (SELECT t.term, d.lang = '{KEYNESS_FOCUS_LANG}' AS is_focus
+           FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+counts AS (
+  SELECT term,
+    sum(CASE WHEN is_focus THEN 1 ELSE 0 END)::DOUBLE AS fo,
+    sum(CASE WHEN is_focus THEN 0 ELSE 1 END)::DOUBLE AS ot
+  FROM tagged GROUP BY term),
+tot AS (SELECT sum(fo) AS fo_tokens, sum(ot) AS ot_tokens FROM counts),
+cells AS (
+  SELECT c.term, c.fo, c.ot, t.fo_tokens, t.ot_tokens,
+    t.fo_tokens - c.fo AS fnon, t.ot_tokens - c.ot AS onon,
+    t.fo_tokens + t.ot_tokens AS allt,
+    c.fo + c.ot AS term_t,
+    (t.fo_tokens - c.fo) + (t.ot_tokens - c.ot) AS non_t
+  FROM counts c CROSS JOIN tot t),
+g AS (
+  SELECT term, fo, ot, fo_tokens, ot_tokens,
+    (CASE WHEN fo > 0 AND fo_tokens * term_t / allt > 0
+      THEN 2 * fo * ln(fo / (fo_tokens * term_t / allt)) ELSE 0 END) +
+    (CASE WHEN ot > 0 AND ot_tokens * term_t / allt > 0
+      THEN 2 * ot * ln(ot / (ot_tokens * term_t / allt)) ELSE 0 END) +
+    (CASE WHEN fnon > 0 AND fo_tokens * non_t / allt > 0
+      THEN 2 * fnon * ln(fnon / (fo_tokens * non_t / allt)) ELSE 0 END) +
+    (CASE WHEN onon > 0 AND ot_tokens * non_t / allt > 0
+      THEN 2 * onon * ln(onon / (ot_tokens * non_t / allt)) ELSE 0 END)
+    AS raw
+  FROM cells)
+SELECT term,
+  round(CASE WHEN fo / fo_tokens >= ot / ot_tokens THEN raw ELSE -raw END, 6) AS g2
+FROM g ORDER BY g2 DESC, term LIMIT {KEYNESS_TOP}
+"""
+
+
+def q_snippets(sf_dir: str) -> pd.DataFrame:
+    """Merged+highlighted snippets for the BM25 query terms (rows-only:
+    span merge/hilite is not SQL-expressible)."""
+    from ..ops.snippets import snippets_pipeline
+
+    ix = _index(sf_dir)
+    idf = {t: ix.idf(t) for t in BM25_QUERY_TERMS}
+    df = snippets_pipeline(
+        _docs_text(sf_dir), list(BM25_QUERY_TERMS), idf=idf
+    ).to_pandas()
+    return df.sort_values(["doc_id", "snippet_rank"]).reset_index(drop=True)
+
+
+def q_w2v_corpus(sf_dir: str) -> pd.DataFrame:
+    """POS-filtered word2vec corpus lines (rows-only)."""
+    from ..ops.export import w2v_corpus
+
+    df = w2v_corpus(_docs_text(sf_dir)).to_pandas()
+    return df.reset_index(drop=True)
+
+
+QUERIES.update({
+    "token_dump": q_token_dump,
+    "keyness_g2": q_keyness_g2,
+    "snippets": q_snippets,
+    "w2v_corpus": q_w2v_corpus,
+})
+ORACLES.update({
+    "token_dump": SQL_TOKEN_DUMP,
+    "keyness_g2": SQL_KEYNESS_G2,
+})

@@ -44,8 +44,49 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return out.append_column("error", pa.array(errors, pa.string()))
 
 
+# Per-worker-process analyzer cache for the stateless-task formulation:
+# analyzer state is cheap to build (~50 ms) but must not be rebuilt per
+# batch; a module-global cached instance gives actor-style amortization
+# while letting the stage run as plain tasks on the already-warm worker
+# pool — measured faster than an actor pool here because no fresh actor
+# processes have to fork+import at stage start and task scheduling can
+# use every idle worker.  (An actor pool remains the right shape when
+# per-actor state is heavy — e.g. a model; see ops/multimodal.py.)
+_WORKER_ANALYZERS: dict = {}
+
+
+def tune_worker_gc() -> None:
+    """Worker-lifetime CPython GC tuning for allocation-heavy stages.
+
+    The analyzer churns millions of small short-lived objects per task;
+    generational GC scans were the dominant multi-core contention
+    (measured: ~1.5× per-doc inflation at 32-way).  Freezing the
+    long-lived import graph and disabling cyclic collection is safe
+    here: batch-local garbage is acyclic (refcount-freed), workers are
+    long-lived, and peak heap stays bounded by batch size.
+    """
+    import gc
+
+    if gc.isenabled():
+        gc.collect()
+        gc.freeze()
+        gc.disable()
+
+
+def analyze_batch_fn(batch: pa.Table, profile: str = "french",
+                     text_col: str = "text") -> pa.Table:
+    key = (profile, text_col)
+    inst = _WORKER_ANALYZERS.get(key)
+    if inst is None:
+        tune_worker_gc()
+        cls = AnalyzeSimple if profile == "simple" else AnalyzeDocs
+        inst = cls(text_col=text_col)
+        _WORKER_ANALYZERS[key] = inst
+    return inst(batch)
+
+
 class AnalyzeDocs:
-    """Actor-pool stage: docs → per-doc term/tf lists + width/tokens.
+    """Stateful stage: docs → per-doc term/tf lists + width/tokens.
 
     Emits per-doc aggregated term counts (tf) — the partial aggregation
     that keeps the posting shuffle small (SURVEY.md §2.5 TermStats row).

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Sum
 
 from .. import B, IDF_EXP, K1
 from .analyze import AnalyzeDocs, AnalyzeSimple, extract_batch
@@ -103,15 +103,47 @@ def _publish(tmp_dir: str, final_dir: str) -> None:
     os.rename(tmp_dir, final_dir)
 
 
+@ray.remote
+def _split_file(path: str, n_parts: int) -> None:
+    tbl = pq.read_table(path)
+    n = tbl.num_rows
+    step = (n + n_parts - 1) // n_parts
+    for j, s in enumerate(range(0, n, step)):
+        pq.write_table(tbl.slice(s, step), f"{path[:-8]}.s{j:03d}.parquet")
+    os.remove(path)
+
+
+def _split_heavy_files(dir_: str, max_bytes: int) -> None:
+    """Bound each file's UNCOMPRESSED bytes (task work ∝ decoded chars,
+    and repetitive heavy pages compress 10-20×, so on-disk size hides
+    them).  Row caps alone miss doc-LENGTH skew: a crawl's giant pages
+    cluster under few sites and url-sorted ids make them consecutive —
+    one analyze task inherited the whole cluster (measured 13s
+    straggler).  Oversized files are re-split by parallel remote tasks."""
+    jobs = []
+    for name in os.listdir(dir_):
+        p = os.path.join(dir_, name)
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(p)
+        raw = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+        if raw > max_bytes:
+            jobs.append(_split_file.remote(p, int(np.ceil(raw / max_bytes))))
+    if jobs:
+        ray.get(jobs)
+
+
 def _write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
                  manifest: Manifest, fingerprint: str, t_start=None,
-                 **write_kwargs) -> None:
+                 max_file_bytes: int | None = None, **write_kwargs) -> None:
     t0 = t_start if t_start is not None else time.time()
     final = os.path.join(out_dir, stage)
     tmp = final + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     ds.write_parquet(tmp, **write_kwargs)
+    if max_file_bytes:
+        _split_heavy_files(tmp, max_file_bytes)
     _publish(tmp, final)
     manifest.record_partitions(stage, final, fingerprint, int((time.time() - t0) * 1000))
 
@@ -126,9 +158,12 @@ class IndexBuilder:
         shard_range: int = DEFAULT_SHARD_RANGE,
         num_buckets: int = DEFAULT_NUM_BUCKETS,
         analyze_concurrency: int | tuple | None = None,
-        analyze_batch_size: int = 512,
-        segment_batch_size: int = 32768,
+        analyze_batch_size: int | None = None,
+        segment_batch_size: int = 8192,
         idf_exp: float = IDF_EXP,
+        analyze_groups: int | None = None,
+        docs_rows_per_file: int = 250,
+        docs_max_file_bytes: int = 1_500_000,
     ):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
@@ -139,6 +174,9 @@ class IndexBuilder:
         self.analyze_batch_size = analyze_batch_size
         self.segment_batch_size = segment_batch_size
         self.idf_exp = idf_exp
+        self.analyze_groups = analyze_groups
+        self.docs_rows_per_file = docs_rows_per_file
+        self.docs_max_file_bytes = docs_max_file_bytes
         self.manifest = Manifest(out_dir)
 
     # -- stage 1: docs -------------------------------------------------
@@ -152,36 +190,61 @@ class IndexBuilder:
             extract_batch, batch_format="pyarrow", zero_copy_batch=True
         )
         deduped, n_docs = dedup_assign_ids(extracted)
-        _write_stage(deduped, self.out_dir, "docs", self.manifest, fp, t_start=t0)
+        # bounded rows per file → the analyze stage reads balanced
+        # blocks.  Small bound (default 250 rows) also disperses
+        # doc-LENGTH skew: web corpora cluster giant pages under few
+        # sites, and url-sorted ids put them in consecutive rows — with
+        # large files one analyze task inherits the whole heavy cluster
+        # (measured 14s straggler on the synthetic corpus).  At 10^12
+        # scale this becomes a byte-bounded writer.
+        _write_stage(deduped, self.out_dir, "docs", self.manifest, fp,
+                     t_start=t0, min_rows_per_file=self.docs_rows_per_file // 2,
+                     max_rows_per_file=self.docs_rows_per_file,
+                     max_file_bytes=self.docs_max_file_bytes)
 
     def build_docs_from_documents(self, docs: ray.data.Dataset, fingerprint: str):
         """documents(doc_id,text,…) → docs stage (ids already dense)."""
         fp = _fingerprint("docs", fingerprint)
         if self.manifest.stage_done("docs", fp):
             return
-        _write_stage(docs, self.out_dir, "docs", self.manifest, fp)
+        _write_stage(docs, self.out_dir, "docs", self.manifest, fp,
+                     min_rows_per_file=self.docs_rows_per_file // 2,
+                     max_rows_per_file=self.docs_rows_per_file,
+                     max_file_bytes=self.docs_max_file_bytes)
 
     # -- stage 2: analyzed --------------------------------------------
     def _analyze_pipeline(self, files: list[str]):
-        docs = ray.data.read_parquet(files, columns=["doc_id", "text"])
-        if self.analyze_concurrency is None:
-            # actor pool sized to the session CPUs, leaving headroom for
-            # the read and write stages (ray_guide actor-pool rule)
-            ncpu = int(ray.cluster_resources().get("CPU", 4))
-            self.analyze_concurrency = max(2, ncpu - 2)
-        cls = AnalyzeSimple if self.analyzer == "simple" else AnalyzeDocs
+        import functools
+
+        from .analyze import analyze_batch_fn
+
+        # one block per (row-bounded) input file: read coalescing would
+        # otherwise merge files into uneven straggler tasks
+        docs = ray.data.read_parquet(
+            files, columns=["doc_id", "text"], override_num_blocks=len(files)
+        )
+        # stateless tasks + per-worker cached analyzer (see
+        # stages/analyze.py rationale): every warm worker participates,
+        # no actor-pool fork/import at stage start
+        # batch_size=None → one batch per (byte-bounded) block; an
+        # explicit batch_size would re-bundle consecutive small blocks
+        # and reassemble the very heavy clusters the writer dispersed
         return docs.map_batches(
-            cls,
+            functools.partial(analyze_batch_fn, profile=self.analyzer),
             batch_format="pyarrow",
             batch_size=self.analyze_batch_size,
-            concurrency=self.analyze_concurrency,
         )
 
-    def build_analyzed(self, fingerprint: str, n_groups: int = 4):
+    GROUP_TARGET_BYTES = 512 * 1024 * 1024  # input bytes per resume unit
+
+    def build_analyzed(self, fingerprint: str, n_groups: int | None = None):
         """The heavy stage — split into input-file groups, each written
         atomically with its own lineage row, so an interrupted build
         resumes from the last completed group (per-partition
-        checkpointing, the north-rule resume requirement)."""
+        checkpointing, the north-rule resume requirement).  Group count
+        adapts to input size: one actor-pool spin-up per ~512 MB of
+        input, so checkpoint granularity never dominates wall time at
+        small scale."""
         fp = _fingerprint("analyzed", fingerprint, self.analyzer)
         if self.manifest.stage_done("analyzed", fp):
             return
@@ -192,6 +255,11 @@ class IndexBuilder:
             for f in os.listdir(docs_dir)
             if f.endswith(".parquet")
         )
+        if n_groups is None:
+            n_groups = self.analyze_groups
+        if n_groups is None:
+            total = sum(os.path.getsize(f) for f in files)
+            n_groups = max(1, int(total // self.GROUP_TARGET_BYTES))
         n_groups = max(1, min(n_groups, len(files)))
         bounds = np.linspace(0, len(files), n_groups + 1).astype(int)
         final = os.path.join(self.out_dir, "analyzed")
@@ -245,21 +313,28 @@ class IndexBuilder:
         if self.manifest.stage_done("doc_stats", fp):
             return
         t0 = time.time()
-        ds = ray.data.read_parquet(
+        # the doc_stats artifact is a narrow projection of `analyzed` —
+        # read it with parquet column pruning on the driver and write a
+        # single compact file.  At 10^12 docs this becomes a distributed
+        # select_columns + write plus a ds.aggregate for the sums.
+        stats = pq.read_table(
             os.path.join(self.out_dir, "analyzed"),
             columns=["doc_id", "width", "tokens"],
         )
-        _write_stage(ds, self.out_dir, "doc_stats", self.manifest, fp, t_start=t0)
-        # global sums from the (narrow) written artifact on the driver —
-        # cheaper than a dedicated Ray aggregate stage at this scale; at
-        # 10^12 docs this becomes a distributed ds.aggregate(Sum/Max)
-        stats = pq.read_table(os.path.join(self.out_dir, "doc_stats"),
-                              columns=["doc_id", "tokens"])
+        final = os.path.join(self.out_dir, "doc_stats")
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pq.write_table(stats, os.path.join(tmp, "doc_stats.parquet"))
+        _publish(tmp, final)
+        self.manifest.record_partitions(
+            "doc_stats", final, fp, int((time.time() - t0) * 1000)
+        )
         n_docs = stats.num_rows
         total_tokens = int(pa.compute.sum(stats["tokens"]).as_py() or 0)
         max_doc = int(pa.compute.max(stats["doc_id"]).as_py()) if n_docs else -1
         avgdl = total_tokens / n_docs if n_docs else 1.0
-        agg = {"max_doc_id": max_doc}
         cfg = {
             "n_docs": n_docs,
             "max_doc_id": max_doc,

@@ -28,7 +28,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-PAGES_PER_SF = 600_000  # sf0.1 → 60k pages
+PAGES_PER_SF = 2_400_000  # sf0.1 → 240k pages (enough work that
+# fixed per-stage overhead does not dominate the scaling measurement)
 N_QUERIES = 200
 
 
@@ -165,6 +166,43 @@ def run_bench() -> dict:
     return result
 
 
+def hw_ceiling(lo: int, hi: int, seconds: float = 6.0) -> float:
+    """Hardware throughput-scaling ceiling of THIS box, measured with
+    plain multiprocessing (no Ray): all-core turbo + shared memory
+    bandwidth reduce per-core analyzer speed as more cores engage.  On
+    a real N→4N-node cluster each node keeps its own bandwidth, so the
+    design efficiency (raw / ceiling) is the cluster-relevant number.
+    """
+    import functools
+    import multiprocessing as mp
+
+    rates = {}
+    for procs in (lo, hi):
+        with mp.Pool(procs) as pool:
+            rates[procs] = sum(
+                pool.map(functools.partial(_calib_work, seconds), range(procs))
+            ) / seconds
+    return (rates[hi] / rates[lo]) / (hi / lo)
+
+
+def _calib_work(seconds: float, _i: int) -> int:
+    import gc
+    import time as _t
+
+    gc.disable()
+    from alix_ray.analysis import FrenchAnalyzer
+    from alix_ray.corpus import make_page
+
+    fa = FrenchAnalyzer()
+    texts = [make_page(i)["text"] for i in range(100)]
+    t0 = _t.time()
+    cnt = 0
+    while _t.time() - t0 < seconds:
+        fa.analyze(texts[cnt % 100])
+        cnt += 1
+    return cnt
+
+
 def run_scaling() -> dict:
     """Same job, two parallelism levels, fresh processes."""
 
@@ -184,9 +222,12 @@ def run_scaling() -> dict:
     thr_lo = r_lo["docs_per_sec"]
     thr_hi = r_hi["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    ceiling = hw_ceiling(lo, hi)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
+        "hw_ceiling": round(ceiling, 3),
+        "design_efficiency": round(min(1.0, eff / ceiling), 3),
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,

@@ -25,7 +25,7 @@ ray.data.DataContext.get_current().enable_progress_bars = False
 from alix_ray.corpus import pages_dataset
 from alix_ray.stages.build import IndexBuilder
 b = IndexBuilder({out!r}, analyzer="french", segment_batch_size=256,
-                 analyze_batch_size=64)
+                 analyze_batch_size=64, analyze_groups=4)
 b.build(pages_dataset({n}), input_kind="pages", fingerprint="resume-test")
 print("BUILD-COMPLETE")
 ray.shutdown()
