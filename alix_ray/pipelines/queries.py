@@ -675,7 +675,26 @@ def q_w2v_corpus(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+
+def q_clades(sf_dir: str) -> pd.DataFrame:
+    """Correspondence-analysis 2-D coords of top terms × source
+    categories (ContingencySvd/OpClades analog; rows-only — SVD sign
+    conventions are not SQL-expressible)."""
+    from ..ops.clades import contingency, correspondence_coords
+
+    ds = _docs(sf_dir)
+    cont = contingency(ds, "source")
+    terms_df, cats_df = correspondence_coords(cont, top_terms=30)
+    terms_df["kind"] = "term"
+    cats_df["kind"] = "category"
+    out = pd.concat([terms_df, cats_df], ignore_index=True)
+    out["dim1"] = out["dim1"].round(6)
+    out["dim2"] = out["dim2"].round(6)
+    out["weight"] = out["weight"].astype("int64")
+    return out.sort_values(["kind", "label"]).reset_index(drop=True)
+
 QUERIES.update({
+    "clades": q_clades,
     "token_dump": q_token_dump,
     "keyness_g2": q_keyness_g2,
     "snippets": q_snippets,

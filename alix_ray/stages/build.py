@@ -186,10 +186,21 @@ class IndexBuilder:
         if self.manifest.stage_done("docs", fp):
             return
         t0 = time.time()
+        # phase 1: tiny (url, ts) projection shuffle → broadcast dict
+        from .docids import build_url_dictionary, stamp_ids_batch
+
+        urls, ts = build_url_dictionary(pages)
+        dict_ref = ray.put((urls, ts))
+        # phase 2: extract + map-side dedup/stamp — payload never shuffles
+        import functools
+
         extracted = pages.map_batches(
             extract_batch, batch_format="pyarrow", zero_copy_batch=True
         )
-        deduped, n_docs = dedup_assign_ids(extracted)
+        deduped = extracted.map_batches(
+            functools.partial(stamp_ids_batch, urls_ts_ref=dict_ref),
+            batch_format="pyarrow",
+        )
         # bounded rows per file → the analyze stage reads balanced
         # blocks.  Small bound (default 250 rows) also disperses
         # doc-LENGTH skew: web corpora cluster giant pages under few

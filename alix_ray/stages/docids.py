@@ -97,6 +97,52 @@ def dedup_assign_ids(
     return ray.data.from_arrow_refs(out_refs), off
 
 
+def build_url_dictionary(ds: ray.data.Dataset, url_col: str = "url",
+                         ts_col: str = "warc_ts"):
+    """Distinct urls → (sorted url array, min-ts array, dense ids).
+
+    Only the (url, ts) PROJECTION shuffles (a groupby-min + sort of a
+    few bytes/row), never the document payload — the docs pipeline then
+    stamps ids map-side against the broadcast dictionary.  At 10^12
+    docs the driver-side collect becomes a partitioned dictionary with
+    a hash-join inside ``map_batches``; the id assignment (rank in the
+    url sort) is identical either way.
+    """
+    def partial_min(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(url_col).aggregate([(ts_col, "min")])
+        return g.rename_columns([url_col, ts_col])
+
+    pairs = ds.select_columns([url_col, ts_col]).map_batches(
+        partial_min, batch_format="pyarrow"
+    )
+    # per-batch partials are ~distinct already; the final min-merge is a
+    # small driver-side reduce (no cluster shuffle).  At 10^12 docs the
+    # merge becomes one groupby over the partials instead.
+    parts = pa.concat_tables(ray.get(pairs.materialize().to_arrow_refs()))
+    merged = parts.group_by(url_col).aggregate([(ts_col, "min")])
+    urls_arr = merged[url_col].to_numpy(zero_copy_only=False)
+    ts_arr = merged[f"{ts_col}_min"].to_numpy(zero_copy_only=False)
+    order = np.argsort(urls_arr)
+    # fixed-width unicode dtype → C-level searchsorted compares
+    urls = urls_arr[order].astype(np.str_)
+    return urls, ts_arr[order]
+
+
+def stamp_ids_batch(batch: pa.Table, urls_ts_ref, url_col="url",
+                    ts_col="warc_ts") -> pa.Table:
+    """Dedup + id-stamp one batch against the broadcast dictionary:
+    keep the row whose ts equals the url's min ts (keep-first; the
+    corpus contract guarantees distinct ts per duplicated url),
+    ``doc_id`` = rank of url in the sorted dictionary."""
+    urls, ts = ray.get(urls_ts_ref)
+    burls = batch[url_col].to_numpy(zero_copy_only=False).astype(np.str_)
+    idx = np.searchsorted(urls, burls)
+    bts = batch[ts_col].to_numpy(zero_copy_only=False)
+    keep = ts[idx] == bts
+    out = batch.filter(pa.array(keep))
+    return out.append_column("doc_id", pa.array(idx[keep].astype(np.int64)))
+
+
 @ray.remote
 def _count_rows(tbl: pa.Table) -> int:
     return tbl.num_rows
