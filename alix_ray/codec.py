@@ -74,13 +74,14 @@ def vb_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
-    owner = np.repeat(np.arange(n), lens)
-    pos = np.arange(b.size) - np.repeat(starts, lens)
-    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
-        np.uint64(7) * pos.astype(np.uint64)
-    )
-    vals = np.zeros(n, np.uint64)
-    np.add.at(vals, owner, contrib)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
+    max_len = int(lens.max())
+    # accumulate per byte-position with masked vectorized ops (values
+    # are ≤ 10 bytes; the hot case is 1-2 — far faster than np.add.at)
+    vals = payload[starts].copy()
+    for k in range(1, max_len):
+        m = lens > k
+        vals[m] |= payload[starts[m] + k] << np.uint64(7 * k)
     return vals
 
 
@@ -98,15 +99,18 @@ def encode_doc_deltas(doc_ids: np.ndarray) -> bytes:
 
 
 def decode_doc_deltas(buf: bytes | memoryview) -> np.ndarray:
-    """Inverse of :func:`encode_doc_deltas`."""
+    """Inverse of :func:`encode_doc_deltas` (fully vectorized: global
+    cumsum + per-block constant correction for the absolute restarts)."""
     deltas = vb_decode(buf).astype(np.int64)
-    if deltas.size == 0:
+    n = deltas.size
+    if n == 0:
         return deltas
-    out = np.empty_like(deltas)
-    for s in range(0, deltas.size, BLOCK):
-        e = min(s + BLOCK, deltas.size)
-        out[s:e] = np.cumsum(deltas[s:e])
-    return out
+    csum = np.cumsum(deltas)
+    # block j restarts absolute at S=j*BLOCK: out[i] = csum[i] + (deltas[S] - csum[S])
+    corr = deltas[::BLOCK] - csum[::BLOCK]
+    reps = np.full(corr.size, BLOCK, np.int64)
+    reps[-1] = n - (corr.size - 1) * BLOCK
+    return csum + np.repeat(corr, reps)
 
 
 def block_starts(n_entries: int) -> np.ndarray:

@@ -192,6 +192,7 @@ class BM25Index:
         for shards in self.postings.values():
             shards.sort(key=lambda s: s.first_doc())
         self._analyzer = None
+        self._contrib_cache: dict = {}
 
     # -- scoring primitives -------------------------------------------
     def idf(self, term: str) -> float:
@@ -234,6 +235,24 @@ class BM25Index:
             return np.where(tf < expected, -s, s)
         raise ValueError(f"unknown scorer {scorer!r}")
 
+    def _term_contrib(self, term: str, scorer: str):
+        """(doc_ids, contributions) for a term — memoized for bm25 (the
+        index is immutable; hot Zipf-head terms re-appear constantly)."""
+        if scorer == "bm25":
+            hit = self._contrib_cache.get(term)
+            if hit is not None:
+                return hit
+        ds_list, cs_list = [], []
+        for shard in self.postings[term]:
+            d, t = shard.decode()
+            ds_list.append(d)
+            cs_list.append(self._contrib(term, d, t.astype(np.float64), scorer))
+        d = np.concatenate(ds_list)
+        c = np.concatenate(cs_list)
+        if scorer == "bm25":
+            self._contrib_cache[term] = (d, c)
+        return d, c
+
     # -- exact term-at-a-time (the oracle) ----------------------------
     def search_exact(self, terms, k: int = 10, mode: str = "or",
                      scorer: str = "bm25"):
@@ -241,12 +260,11 @@ class BM25Index:
         if not qs:
             return []
         acc = np.zeros(len(self.norms), np.float64)
-        seen = np.zeros(len(self.norms), np.int32)
+        seen = np.zeros(len(self.norms), np.int32) if mode == "and" else None
         for term in qs:
-            for shard in self.postings[term]:
-                d, t = shard.decode()
-                tf = t.astype(np.float64)
-                acc[d] += self._contrib(term, d, tf, scorer)
+            d, contrib = self._term_contrib(term, scorer)
+            acc[d] += contrib
+            if seen is not None:
                 seen[d] += 1
         if mode == "and":
             acc[seen < len(qs)] = 0.0
@@ -255,7 +273,16 @@ class BM25Index:
             return []
         scores = acc[nz]
         k = min(k, len(nz))
-        order = np.lexsort((nz, -scores))[:k]  # score desc, doc asc
+        # top-k without a full sort: partition by score, then keep every
+        # candidate ≥ the kth score (tie-safe) and sort just those by
+        # the TopArray rule (score desc, doc asc)
+        if len(nz) > 4 * k:
+            part = np.argpartition(-scores, k - 1)[:k]
+            theta = scores[part].min()
+            cand = np.nonzero(scores >= theta)[0]
+        else:
+            cand = np.arange(len(nz))
+        order = cand[np.lexsort((nz[cand], -scores[cand]))][:k]
         return [(int(nz[i]), float(scores[i])) for i in order]
 
     # -- block-max WAND (serving path) --------------------------------

@@ -33,7 +33,7 @@ from ray.data.aggregate import Sum
 
 from .. import B, IDF_EXP, K1
 from .analyze import AnalyzeDocs, AnalyzeSimple, extract_batch
-from .docids import assign_ranks, dedup_assign_ids
+from .docids import assign_ranks
 from .postings import (
     DEFAULT_NUM_BUCKETS,
     DEFAULT_SHARD_RANGE,

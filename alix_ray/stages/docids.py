@@ -71,9 +71,14 @@ def _dedup_stamp(tbl: pa.Table, url_col: str, drop_first_run: bool, id_offset: i
 def dedup_assign_ids(
     ds: ray.data.Dataset, url_col: str = "url", ts_col: str = "warc_ts"
 ) -> tuple[ray.data.Dataset, int]:
-    """Dedup by ``url_col`` (keep min ``ts_col``) and add dense ``doc_id``.
+    """Sort-based dedup + id assignment (full-row global sort).
 
-    Returns ``(dataset sorted by url with doc_id column, n_docs)``.
+    The build uses the broadcast-dictionary path
+    (:func:`build_url_dictionary` + :func:`stamp_ids_batch`) — same ids,
+    no payload shuffle.  This variant remains the 10^12-doc fallback for
+    when the url dictionary exceeds driver memory: the full sort keeps
+    everything distributed.  Returns ``(dataset sorted by url with
+    doc_id column, n_docs)``.
     """
     mat = ds.sort([url_col, ts_col]).materialize()
     refs = mat.to_arrow_refs()
