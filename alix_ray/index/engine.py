@@ -346,6 +346,90 @@ class BM25Index:
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return [(-nd, s) for s, nd in out]
 
+    # -- theme terms: rank TERMS for a doc subset (OpTerms main mode) --
+    def theme_terms(self, focus_mask: np.ndarray, k: int = 20,
+                    mode: str = "BM25", min_focus_df: int = 1):
+        """Rank vocabulary terms against a focus doc set.
+
+        Reference: ``IdfTermScorer.BM25.termScore()``
+        (IdfTermScorer.java:268-360): per term, ``acc`` = Σ BM25 tf-part
+        over focus docs, ``otherAcc`` over the rest; contrastive modes:
+
+        - ``BM25``: corpus idf × acc
+        - ``MINUS``: idf × (acc − otherAcc)
+        - ``WEIGHTED``: idf × (1·acc − 2·otherAcc)
+        - ``IRDF``: ln(1+(restDocs−restDf+0.5)/(restDf+0.5))^e × acc
+        - ``RSJ``: sign-preserving ^e of the Robertson–Sparck-Jones log
+          odds × acc
+        - ``FACTOR``: idf × acc × ln(relFocus/relCorpus) × ln(focusTf)
+
+        Returns top-k ``(term, score)``, score desc / term asc.
+        """
+        focus_docs = int(focus_mask.sum())
+        corpus_docs = self.n_docs
+        rows = []
+        for term, shards in self.postings.items():
+            d_all, tf_all = [], []
+            for s in shards:
+                d, t = s.decode()
+                d_all.append(d)
+                tf_all.append(t)
+            d = np.concatenate(d_all)
+            tf = np.concatenate(tf_all).astype(np.float64)
+            tfpart = tf * (self.k1 + 1.0) / (tf + self.norms[d])
+            m = focus_mask[d]
+            fdf = int(m.sum())
+            if fdf < min_focus_df:
+                continue
+            acc = float(tfpart[m].sum())
+            other_acc = float(tfpart[~m].sum())
+            idf = self.idf(term)
+            if mode == "BM25":
+                score = idf * acc
+            elif mode == "MINUS":
+                score = idf * (acc - other_acc)
+            elif mode == "WEIGHTED":
+                score = idf * (1.0 * acc - 2.0 * other_acc)
+            elif mode == "IRDF":
+                other_docs = corpus_docs - focus_docs
+                other_df = len(d) - fdf
+                irdf = np.log(
+                    1.0 + (other_docs - other_df + 0.5) / (other_df + 0.5)
+                ) ** self.idf_exp
+                score = float(irdf) * acc
+            elif mode == "RSJ":
+                other_docs = corpus_docs - focus_docs
+                other_df = len(d) - fdf
+                fnon = focus_docs - fdf
+                onon = other_docs - other_df
+                if min(other_docs, other_df, fnon, onon) < 0:
+                    score = 0.0
+                else:
+                    rsj = np.log(
+                        ((fdf + 0.5) * (onon + 0.5))
+                        / ((other_df + 0.5) * (fnon + 0.5))
+                    )
+                    score = float(
+                        np.copysign(abs(rsj) ** self.idf_exp, rsj)
+                    ) * acc
+            elif mode == "FACTOR":
+                ftf = float(tf[m].sum())
+                focus_tokens = float(self.doc_tokens[focus_mask].sum())
+                if ftf == 0 or focus_tokens <= 0:
+                    score = 0.0
+                else:
+                    rel_focus = ftf / focus_tokens
+                    rel_corpus = float(self.cf[term]) / self.cfg["total_tokens"]
+                    score = (
+                        idf * acc * np.log(rel_focus / rel_corpus) * np.log(ftf)
+                        if rel_corpus > 0 else 0.0
+                    )
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            rows.append((term, float(score)))
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return rows[:k]
+
     # -- convenience ---------------------------------------------------
     def analyzer(self):
         if self._analyzer is None:

@@ -225,3 +225,66 @@ def cooc_window(ds: ray.data.Dataset, pivot: str, window: int = 2,
 
     partials = ds.map_batches(pairs, batch_format="pyarrow")
     return partials.groupby("coterm").aggregate(Sum("n", alias_name="n"))
+
+
+def cooc_profile(ds: ray.data.Dataset, pivot: str, radius: int = 4,
+                 text_col="text") -> ray.data.Dataset:
+    """Term × distance co-occurrence grid (CoocProfile.java:42 — the
+    nested-radius-shell counting done in one walk at the widest radius;
+    cumulate over distance on the consumer side for the shell view)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        counts: dict[tuple[str, int], int] = {}
+        for toks in lists.to_pylist():
+            n = len(toks)
+            for i, t in enumerate(toks):
+                if t != pivot:
+                    continue
+                for j in range(max(0, i - radius), min(n, i + radius + 1)):
+                    if j == i:
+                        continue
+                    key = (toks[j], abs(j - i))
+                    counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return pa.table({"coterm": pa.array([], pa.string()),
+                             "distance": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        ks = list(counts)
+        return pa.table({"coterm": [k[0] for k in ks],
+                         "distance": pa.array([k[1] for k in ks], pa.int32()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    partials = ds.map_batches(pairs, batch_format="pyarrow")
+    return partials.groupby(["coterm", "distance"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def cooc_matrix(ds: ray.data.Dataset, row_terms: list[str],
+                col_terms: list[str], window: int = 2,
+                text_col="text") -> ray.data.Dataset:
+    """Rectangular term×term window pair counts (CoocMatSnippets.java:85)."""
+    rows = frozenset(row_terms)
+    cols = frozenset(col_terms)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        counts: dict[tuple[str, str], int] = {}
+        for toks in lists.to_pylist():
+            n = len(toks)
+            for i, t in enumerate(toks):
+                if t not in rows:
+                    continue
+                for j in range(max(0, i - window), min(n, i + window + 1)):
+                    if j == i or toks[j] not in cols:
+                        continue
+                    key = (t, toks[j])
+                    counts[key] = counts.get(key, 0) + 1
+        ks = list(counts)
+        return pa.table({"row": pa.array([k[0] for k in ks], pa.string()),
+                         "col": pa.array([k[1] for k in ks], pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    partials = ds.map_batches(pairs, batch_format="pyarrow")
+    return partials.groupby(["row", "col"]).aggregate(Sum("n", alias_name="n"))

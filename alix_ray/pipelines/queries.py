@@ -693,7 +693,59 @@ def q_clades(sf_dir: str) -> pd.DataFrame:
     out["weight"] = out["weight"].astype("int64")
     return out.sort_values(["kind", "label"]).reset_index(drop=True)
 
+
+def q_cooc_profile(sf_dir: str) -> pd.DataFrame:
+    """Term × distance cooc grid around the pivot (CoocProfile analog)."""
+    from ..ops.analytics import cooc_profile
+
+    df = cooc_profile(_docs_text(sf_dir), COOC_PIVOT, radius=3).to_pandas()
+    df["distance"] = df["distance"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["coterm", "distance"]).reset_index(drop=True)
+
+
+SQL_COOC_PROFILE = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM base)
+SELECT b.term AS coterm, abs(b.pos - a.pos)::BIGINT AS distance,
+       count(*)::BIGINT AS n
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+  AND b.pos <> a.pos
+WHERE a.term = '{COOC_PIVOT}'
+GROUP BY coterm, distance ORDER BY coterm, distance
+"""
+
+
+def q_theme_terms(sf_dir: str) -> pd.DataFrame:
+    """Theme terms for the lang='en' doc subset, BM25 + contrastive
+    modes (IdfTermScorer.termScore; rows-only — the per-doc tf-part
+    accumulation is not reasonably SQL-expressible)."""
+    import pyarrow.parquet as _pq
+
+    ix = _index(sf_dir)
+    docs = _pq.read_table(os.path.join(ix.dir, "docs"),
+                          columns=["doc_id"]).to_pandas()
+    full = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang"]).to_pandas()
+    mask = np.zeros(ix.cfg["max_doc_id"] + 1, bool)
+    en = full[full["lang"] == "en"]["doc_id"].to_numpy()
+    mask[en] = True
+    rows = []
+    for mode in ("BM25", "MINUS", "WEIGHTED", "IRDF", "RSJ", "FACTOR"):
+        for rank, (term, score) in enumerate(ix.theme_terms(mask, k=10, mode=mode)):
+            rows.append((mode, rank, term, round(score, 6)))
+    return pd.DataFrame(rows, columns=["mode", "rank", "term", "score"])
+
 QUERIES.update({
+    "cooc_profile": q_cooc_profile,
+    "theme_terms": q_theme_terms,
     "clades": q_clades,
     "token_dump": q_token_dump,
     "keyness_g2": q_keyness_g2,
@@ -701,6 +753,7 @@ QUERIES.update({
     "w2v_corpus": q_w2v_corpus,
 })
 ORACLES.update({
+    "cooc_profile": SQL_COOC_PROFILE,
     "token_dump": SQL_TOKEN_DUMP,
     "keyness_g2": SQL_KEYNESS_G2,
 })

@@ -1,0 +1,102 @@
+"""Tests: year partitioner (Partition.build semantics), theme terms,
+cooc profile/matrix."""
+
+import numpy as np
+import pytest
+
+
+class TestYearParts:
+    def test_focus_is_one_part(self):
+        from alix_ray.ops.partition import year_parts
+
+        years = np.array([1900, 1905, 1950, 1951, 1952, 1980, 1999])
+        ids, parts = year_parts(years, 1950, 1952, period=10)
+        focus = [i for i, p in enumerate(parts) if p[2]]
+        assert len(focus) == 1
+        fid = focus[0]
+        assert parts[fid][:2] == (1950, 1952)
+        assert set(ids[(years >= 1950) & (years <= 1952)]) == {fid}
+
+    def test_thin_periods_merge_not_across_focus(self):
+        from alix_ray.ops.partition import year_parts
+
+        # one doc in 1900s, dense 1990s; thin pre-focus decade must
+        # merge with its neighbor on the SAME side of the focus
+        years = np.array([1901] + [1991] * 5 + [1955] * 3)
+        ids, parts = year_parts(years, 1950, 1959, period=10, min_docs=2)
+        for lo, hi, is_focus in parts:
+            if not is_focus:
+                assert not (lo <= 1950 <= hi or lo <= 1959 <= hi)
+        # 1901 ended up in some non-focus part covering it
+        p1901 = ids[0]
+        assert p1901 >= 0 and not parts[p1901][2]
+
+    def test_every_doc_partitioned(self):
+        from alix_ray.ops.partition import year_parts
+
+        years = np.arange(1800, 2000)
+        ids, parts = year_parts(years, 1880, 1899, period=20)
+        assert (ids >= 0).all()
+        # parts tile the range without overlap
+        spans = sorted((p[0], p[1]) for p in parts)
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b < c
+
+
+class TestThemeTerms:
+    @pytest.fixture(scope="class")
+    def ix(self, ray_session, tmp_path_factory):
+        import ray.data
+
+        from alix_ray.index.engine import BM25Index
+        from alix_ray.stages.build import IndexBuilder
+
+        out = str(tmp_path_factory.mktemp("theme"))
+        rows = []
+        for i in range(20):
+            word = "focusword" if i < 10 else "restword"
+            rows.append({"doc_id": i,
+                         "text": f"{word} shared common {word} filler{i}"})
+        b = IndexBuilder(out, analyzer="simple")
+        b.build(ray.data.from_items(rows), input_kind="documents",
+                fingerprint="theme")
+        return BM25Index(out)
+
+    @pytest.mark.parametrize("mode", ["BM25", "MINUS", "WEIGHTED", "IRDF",
+                                      "RSJ", "FACTOR"])
+    def test_focus_term_ranks_first(self, ix, mode):
+        mask = np.zeros(20, bool)
+        mask[:10] = True
+        top = ix.theme_terms(mask, k=3, mode=mode)
+        assert top[0][0] == "focusword", (mode, top)
+
+    def test_deterministic(self, ix):
+        mask = np.zeros(20, bool)
+        mask[:10] = True
+        assert ix.theme_terms(mask, k=5) == ix.theme_terms(mask, k=5)
+
+
+class TestCooc:
+    def test_profile_distances(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.analytics import cooc_profile
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "a p b p c"}])
+        df = cooc_profile(ds, "p", radius=2).to_pandas()
+        got = {(r.coterm, r.distance): r.n for r in df.itertuples()}
+        # p@1: a d1, b d1, c... positions: a0 p1 b2 p3 c4
+        assert got[("a", 1)] == 1
+        assert got[("b", 1)] == 2  # from both pivots
+        assert got[("p", 2)] == 2  # pivots see each other (both ways)
+
+    def test_matrix(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.analytics import cooc_matrix
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "x y z x y"}])
+        df = cooc_matrix(ds, ["x"], ["y", "z"], window=1).to_pandas()
+        got = {(r.row, r.col): r.n for r in df.itertuples()}
+        assert got[("x", "y")] == 2
+        assert got[("x", "z")] == 1
