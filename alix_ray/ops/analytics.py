@@ -83,6 +83,31 @@ def keyness_logdice(fo_count, fo_tokens, ot_count):
         return 14.0 + np.log2(dice)
 
 
+def keyness_simplemaths(fo_count, fo_tokens, ot_count, ot_tokens, k=1.0):
+    """Smoothed per-million rate ratio (Kilgarriff 2009;
+    KeynessScorer.java SimpleMaths:233-258)."""
+    fo = np.asarray(fo_count, np.float64)
+    ot = np.asarray(ot_count, np.float64)
+    ppm_f = fo * 1_000_000.0 / fo_tokens + k
+    ppm_o = ot * 1_000_000.0 / ot_tokens + k
+    return ppm_f / ppm_o
+
+
+def part_pearson(fo_count, fo_tokens, total_count, total_tokens):
+    """Adjusted Pearson residual of the focus cell
+    (PartScorer.java Pearson:791-860): z = (o − e)/√(e·(1−p_part)·(1−p_term))."""
+    fo = np.asarray(fo_count, np.float64)
+    tt = np.asarray(total_count, np.float64)
+    expected = fo_tokens * tt / total_tokens
+    part_prop = fo_tokens / total_tokens
+    term_prop = tt / total_tokens
+    var = expected * (1.0 - part_prop) * (1.0 - term_prop)
+    out = np.zeros_like(fo)
+    m = var > 0
+    out[m] = (fo[m] - expected[m]) / np.sqrt(var[m])
+    return out
+
+
 def keyness_logratio(fo_count, fo_tokens, ot_count, ot_tokens):
     """log2(relFocus/relOther)·ln(focusCount) (KeynessScorer LogRatio)."""
     fo = np.asarray(fo_count, np.float64)

@@ -181,3 +181,24 @@ class TestRayOps:
             ImageFeatures(strict=True)(
                 pa.table({"media_id": pa.array([1], pa.int64()),
                           "payload": pa.array([b"x"], pa.binary())}))
+
+
+class TestMoreScorers:
+    def test_simplemaths(self):
+        import numpy as np
+
+        from alix_ray.ops.analytics import keyness_simplemaths
+
+        v = keyness_simplemaths(np.array([10.0]), 1000.0, np.array([5.0]), 2000.0)
+        assert v[0] == pytest.approx((10000 + 1) / (2500 + 1))
+
+    def test_part_pearson(self):
+        import numpy as np
+
+        from alix_ray.ops.analytics import part_pearson
+
+        # focus 100 of 1000 total tokens; term 20 total, 10 in focus
+        z = part_pearson(np.array([10.0]), 100.0, np.array([20.0]), 1000.0)
+        e = 100 * 20 / 1000
+        var = e * (1 - 0.1) * (1 - 0.02)
+        assert z[0] == pytest.approx((10 - e) / var**0.5)
