@@ -17,6 +17,7 @@ lexical analysis; see SURVEY.md).  Architecture is Ray-Data-first:
 """
 
 __version__ = "0.1.0"
+FORMAT_VERSION = 3  # bump when artifact schemas/codec change (invalidates caches)
 
 K1 = 1.2
 B = 0.75

@@ -30,6 +30,7 @@ import pyarrow as pa
 from .extract import extract_text
 
 SEED = 42
+CORPUS_VERSION = 1  # bump when the generator changes (invalidates cached corpora)
 DUP_EVERY = 50  # row i with i % DUP_EVERY == 1 duplicates row i-1's url
 OVERSIZED_EVERY = 997  # rows with huge html (quarantine path)
 MALFORMED_EVERY = 211  # rows with broken markup (extractor tolerance)

@@ -60,7 +60,9 @@ _INDEX_CACHE: dict[tuple, str] = {}
 
 
 def build_documents_index(sf_dir: str, profile: str = "simple") -> str:
-    key = (os.path.abspath(sf_dir), profile)
+    from .. import FORMAT_VERSION
+
+    key = (os.path.abspath(sf_dir), profile, FORMAT_VERSION)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     h = hashlib.blake2b(repr(key).encode(), digest_size=8).hexdigest()

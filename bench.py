@@ -98,7 +98,9 @@ def run_bench() -> dict:
 
     sf = _sf_of(SF_DIR)
     n_pages = max(2000, int(PAGES_PER_SF * sf))
-    pages_dir = f"/tmp/bench_pages_{n_pages}"
+    from alix_ray.corpus import CORPUS_VERSION
+
+    pages_dir = f"/tmp/bench_pages_v{CORPUS_VERSION}_{n_pages}"
     ensure_pages(n_pages, pages_dir)
 
     out_dir = f"/tmp/bench_idx_{NUM_CPUS}"
