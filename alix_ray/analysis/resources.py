@@ -59,6 +59,8 @@ _RAW_LEMMAS = {
     "pouvait": ("VERB", "pouvoir"),
     "voit": ("VERB", "voir"), "vit": ("VERB", "voir"), "voyait": ("VERB", "voir"),
     "prend": ("VERB", "prendre"), "prit": ("VERB", "prendre"),
+    "dort": ("VERB", "dormir"), "dormait": ("VERB", "dormir"),
+    "restait": ("VERB", "rester"), "reste": ("VERB", "rester"),
     # determiners / pronouns / adpositions (1-char survivors need a POS:
     # CleanupFilter keeps 1-char tokens only for ADP/AUX/PRON/VERB)
     "le": ("DET", "le"), "la": ("DET", "le"), "les": ("DET", "le"),

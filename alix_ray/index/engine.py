@@ -346,6 +346,102 @@ class BM25Index:
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return [(-nd, s) for s, nd in out]
 
+    # -- span / proximity search over the rail artifact ---------------
+    def rail(self):
+        """Forward index doc → (term array, position array) — the
+        ``TermRail`` analog (SURVEY.md §1.3), read lazily from the
+        ``analyzed`` artifact (requires a ``keep_positions=True``
+        build).  Gaps where punctuation/stop words sat are preserved
+        (position holes block span matches, CleanupFilter semantics)."""
+        if getattr(self, "_rail", None) is None:
+            t = pq.read_table(
+                os.path.join(self.dir, "analyzed"),
+                columns=["doc_id", "pos_terms", "positions"],
+            )
+            rail = {}
+            for row in t.to_pylist():
+                rail[row["doc_id"]] = (
+                    np.asarray(row["pos_terms"], dtype=object),
+                    np.asarray(row["positions"], dtype=np.int64),
+                )
+            self._rail = rail
+        return self._rail
+
+    @staticmethod
+    def _min_window(pos_lists: list[np.ndarray]) -> int:
+        """Width of the smallest position window covering one position
+        from every list (classic k-pointer sweep)."""
+        import heapq as hq
+
+        ptrs = [0] * len(pos_lists)
+        heap = [(int(pl[0]), i) for i, pl in enumerate(pos_lists)]
+        hq.heapify(heap)
+        cur_max = max(int(pl[0]) for pl in pos_lists)
+        best = cur_max - heap[0][0] + 1
+        while True:
+            lo, i = hq.heappop(heap)
+            ptrs[i] += 1
+            if ptrs[i] >= len(pos_lists[i]):
+                return best
+            nxt = int(pos_lists[i][ptrs[i]])
+            cur_max = max(cur_max, nxt)
+            hq.heappush(heap, (nxt, i))
+            best = min(best, cur_max - heap[0][0] + 1)
+
+    def search_span(self, terms, k: int = 10, slop: int = 0):
+        """Unordered span-near top-k: docs containing ALL terms within a
+        window of ``len(terms) + slop`` positions, scored by BM25 and
+        ranked with the usual tie rule.
+
+        This is the reference's relevance mode — ``BooleanQuery(filter,
+        SpanNearQuery MUST)`` then BM25 scoring (OpResults.java:247-270)
+        — re-expressed as: conjunctive candidate set (postings
+        intersection) → span verification against the rail → BM25 sum.
+        """
+        qs = self._query_terms(terms)
+        if not qs:
+            return []
+        # conjunctive candidates: intersect posting doc sets
+        docsets = []
+        for t in qs:
+            docsets.append(
+                np.concatenate([s.decode()[0] for s in self.postings[t]])
+            )
+        cand = docsets[0]
+        for d in docsets[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+            if cand.size == 0:
+                return []
+        rail = self.rail()
+        width_limit = len(qs) + slop
+        matched = []
+        for doc in cand.tolist():
+            rterms, rpos = rail[doc]
+            pls = []
+            ok = True
+            for t in qs:
+                pl = rpos[rterms == t]
+                if pl.size == 0:
+                    ok = False
+                    break
+                pls.append(pl)
+            if ok and (len(qs) == 1 or self._min_window(pls) <= width_limit):
+                matched.append(doc)
+        if not matched:
+            return []
+        # BM25 score over the span-filtered set, fixed term order
+        scores = []
+        for doc in matched:
+            s = 0.0
+            for t in qs:
+                d, c = self._term_contrib(t, "bm25")
+                j = int(np.searchsorted(d, doc))
+                s += float(c[j])
+            scores.append(s)
+        order = sorted(range(len(matched)),
+                       key=lambda i: (-scores[i], matched[i]))[:k]
+        return [(matched[i], scores[i]) for i in order]
+
     # -- theme terms: rank TERMS for a doc subset (OpTerms main mode) --
     def theme_terms(self, focus_mask: np.ndarray, k: int = 20,
                     mode: str = "BM25", min_focus_df: int = 1):

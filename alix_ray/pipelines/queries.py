@@ -69,7 +69,9 @@ def build_documents_index(sf_dir: str, profile: str = "simple") -> str:
     out = f"/tmp/alix_ray_idx/{h}"
     from ..stages.build import IndexBuilder
 
-    b = IndexBuilder(out, analyzer=profile)
+    base_profile = profile.removesuffix("_pos")
+    b = IndexBuilder(out, analyzer=base_profile,
+                     keep_positions=profile.endswith("_pos"))
     b.build(_docs_text(sf_dir), input_kind="documents", fingerprint=repr(key))
     _INDEX_CACHE[key] = out
     return out
@@ -745,7 +747,25 @@ def q_theme_terms(sf_dir: str) -> pd.DataFrame:
             rows.append((mode, rank, term, round(score, 6)))
     return pd.DataFrame(rows, columns=["mode", "rank", "term", "score"])
 
+
+def q_span_near(sf_dir: str) -> pd.DataFrame:
+    """Unordered span-near BM25 top-k over the rail artifact
+    (SpanNearQuery relevance mode; rows-only — span windows over the
+    canonical-position rail are not SQL-expressible with the simple
+    token CTE because the French chain's position holes differ)."""
+    ix = _index(sf_dir, profile="simple_pos")
+    rows = []
+    for qid, (terms, slop) in enumerate([
+        (["table", "stream"], 2),
+        (["table", "stream"], 8),
+        (["key", "value"], 1),
+    ]):
+        for rank, (doc, score) in enumerate(ix.search_span(terms, k=10, slop=slop)):
+            rows.append((qid, rank, doc, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
 QUERIES.update({
+    "span_near": q_span_near,
     "cooc_profile": q_cooc_profile,
     "theme_terms": q_theme_terms,
     "clades": q_clades,

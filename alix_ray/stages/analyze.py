@@ -74,13 +74,14 @@ def tune_worker_gc() -> None:
 
 
 def analyze_batch_fn(batch: pa.Table, profile: str = "french",
-                     text_col: str = "text") -> pa.Table:
-    key = (profile, text_col)
+                     text_col: str = "text",
+                     keep_positions: bool = False) -> pa.Table:
+    key = (profile, text_col, keep_positions)
     inst = _WORKER_ANALYZERS.get(key)
     if inst is None:
         tune_worker_gc()
         cls = AnalyzeSimple if profile == "simple" else AnalyzeDocs
-        inst = cls(text_col=text_col)
+        inst = cls(text_col=text_col, keep_positions=keep_positions)
         _WORKER_ANALYZERS[key] = inst
     return inst(batch)
 
@@ -142,11 +143,12 @@ class AnalyzeSimple:
     over rows for tokenization — Arrow kernels end-to-end, then a numpy
     pass for per-doc counting)."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", keep_positions: bool = False):
         from ..analysis import SimpleAnalyzer
 
         self.sa = SimpleAnalyzer
         self.text_col = text_col
+        self.keep_positions = keep_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -167,12 +169,15 @@ class AnalyzeSimple:
             uniq, counts = np.unique(seg, return_counts=True)
             terms_col.append(uniq.tolist())
             tfs_col.append(counts.tolist())
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "terms": pa.array(terms_col, pa.list_(pa.large_string())),
-                "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
-                "width": pa.array(lengths, pa.int32()),
-                "tokens": pa.array(lengths, pa.int32()),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],
+            "terms": pa.array(terms_col, pa.list_(pa.large_string())),
+            "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
+            "width": pa.array(lengths, pa.int32()),
+            "tokens": pa.array(lengths, pa.int32()),
+        }
+        if self.keep_positions:
+            cols["pos_terms"] = lists  # token order = positions 0..n-1
+            pos = [list(range(int(n))) for n in lengths]
+            cols["positions"] = pa.array(pos, pa.list_(pa.int32()))
+        return pa.table(cols)

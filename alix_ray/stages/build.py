@@ -164,6 +164,7 @@ class IndexBuilder:
         analyze_groups: int | None = None,
         docs_rows_per_file: int = 250,
         docs_max_file_bytes: int = 1_500_000,
+        keep_positions: bool = False,
     ):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
@@ -177,6 +178,10 @@ class IndexBuilder:
         self.analyze_groups = analyze_groups
         self.docs_rows_per_file = docs_rows_per_file
         self.docs_max_file_bytes = docs_max_file_bytes
+        # positions (the TermRail artifact, SURVEY.md §1.3) multiply the
+        # analyzed artifact size ~3-5x and BM25 needs only tf
+        # (SURVEY.md §7.4.6) — off by default, on for span/phrase queries
+        self.keep_positions = keep_positions
         self.manifest = Manifest(out_dir)
 
     # -- stage 1: docs -------------------------------------------------
@@ -241,7 +246,8 @@ class IndexBuilder:
         # explicit batch_size would re-bundle consecutive small blocks
         # and reassemble the very heavy clusters the writer dispersed
         return docs.map_batches(
-            functools.partial(analyze_batch_fn, profile=self.analyzer),
+            functools.partial(analyze_batch_fn, profile=self.analyzer,
+                              keep_positions=self.keep_positions),
             batch_format="pyarrow",
             batch_size=self.analyze_batch_size,
         )
@@ -256,7 +262,7 @@ class IndexBuilder:
         adapts to input size: one actor-pool spin-up per ~512 MB of
         input, so checkpoint granularity never dominates wall time at
         small scale."""
-        fp = _fingerprint("analyzed", fingerprint, self.analyzer)
+        fp = _fingerprint("analyzed", fingerprint, self.analyzer, self.keep_positions)
         if self.manifest.stage_done("analyzed", fp):
             return
         t_stage = time.time()

@@ -58,7 +58,7 @@ class TestExports:
         df = french_token_table(ds, concurrency=2).to_pandas()
         # 'Le' is a stop word → hole at position 0; commas leave holes
         assert 0 not in df["pos"].tolist()
-        assert set(df["term"]) == {"chat", "vraiment", "dormait"}
+        assert set(df["term"]) == {"chat", "vraiment", "dormir"}  # lemma
 
     def test_w2v_lines(self, ray_session):
         import ray.data

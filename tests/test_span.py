@@ -1,0 +1,66 @@
+"""Span/proximity search over the rail artifact (SURVEY.md §2.9)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def span_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.stages.build import IndexBuilder
+
+    out = str(tmp_path_factory.mktemp("spanidx"))
+    rows = [
+        {"doc_id": 0, "text": "<p>Le chat noir dormait.</p>"},
+        {"doc_id": 1, "text": "<p>Le chat, vraiment très grand, noir.</p>"},
+        {"doc_id": 2, "text": "<p>Un chat dormait. Un mur noir restait.</p>"},
+        {"doc_id": 3, "text": "<p>noir chat</p>"},
+        {"doc_id": 4, "text": "<p>rien ici</p>"},
+    ]
+    b = IndexBuilder(out, analyzer="french", keep_positions=True)
+    b.build(ray.data.from_items(rows), input_kind="documents",
+            fingerprint="span")
+    return BM25Index(out)
+
+
+class TestMinWindow:
+    def test_basic(self):
+        from alix_ray.index.engine import BM25Index
+
+        w = BM25Index._min_window
+        assert w([np.array([1, 9]), np.array([3])]) == 3  # [1..3]
+        assert w([np.array([0]), np.array([5]), np.array([2])]) == 6
+        assert w([np.array([7]), np.array([8])]) == 2
+
+
+class TestSpanSearch:
+    def test_adjacent_phrase(self, span_index):
+        # "chat noir" adjacent (slop 0): docs 0 ("chat noir" at 1,2)
+        # and 3 ("noir chat" — unordered); doc 1 has gap (punct holes),
+        # doc 2 has words far apart
+        res = span_index.search_span(["chat", "noir"], slop=0)
+        assert sorted(d for d, _ in res) == [0, 3]
+
+    def test_slop_crosses_small_gaps(self, span_index):
+        res4 = span_index.search_span(["chat", "noir"], slop=4)
+        assert 1 in {d for d, _ in res4}  # "chat … très grand … noir"
+        res_all = span_index.search_span(["chat", "noir"], slop=10)
+        assert {d for d, _ in res_all} == {0, 1, 2, 3}
+
+    def test_conjunctive_only(self, span_index):
+        res = span_index.search_span(["chat", "dormir"], slop=10)
+        # docs containing both (dormait→dormir lemma): 0 and 2
+        assert {d for d, _ in res} == {0, 2}
+
+    def test_scores_match_bm25(self, span_index):
+        res = span_index.search_span(["chat", "noir"], slop=10)
+        exact = dict(span_index.search_exact(["chat", "noir"], 10))
+        for d, s in res:
+            assert s == pytest.approx(exact[d])
+
+    def test_tie_rule(self, span_index):
+        res = span_index.search_span(["chat"], k=10)
+        scores = [s for _, s in res]
+        assert scores == sorted(scores, reverse=True)
