@@ -48,6 +48,9 @@ class FrenchAnalyzer:
         mwe_form=resources.MWE_FORM,
         mwe_lemma=resources.MWE_LEMMA,
         brevidots=DEFAULT_BREVIDOTS,
+        ocr_garbage: bool = False,
+        sentence_start_lower: bool = False,
+        pers_initial: bool = False,
     ):
         self.tokenizer = MarkupTokenizer(brevidots=brevidots)
         self.stopwords = frozenset(stopwords)
@@ -55,17 +58,33 @@ class FrenchAnalyzer:
         self.normalization = dict(normalization)
         self.ucwords = frozenset(ucwords)
         self.automaton = MweAutomaton(mwe_form, mwe_lemma)
+        self.ocr_garbage = ocr_garbage
+        self.sentence_start_lower = sentence_start_lower
+        self.pers_initial = pers_initial
 
     def analyze(self, text: str):
-        """Run the canonical chain on one document."""
+        """Run the canonical chain on one document (optional members per
+        constructor flags — SURVEY.md §2.2 optional chain rows)."""
+        from .filters import (
+            ocr_garbage_filter,
+            pers_initial_filter,
+            sentence_start_lowercase_filter,
+        )
+
         toks = self.tokenizer.tokenize(text)
+        if self.pers_initial:
+            toks = pers_initial_filter(toks)
         toks = boundary_filter(toks)
         toks = clitic_filter(toks)
         toks = replace_filter(toks, self.normalization)
         toks = uppercase_filter(toks, self.ucwords)
+        if self.sentence_start_lower:
+            toks = sentence_start_lowercase_filter(toks, self.lexicon)
         toks = lemma_filter(toks, self.lexicon)
         toks = mwe_filter(toks, self.automaton)
         toks = stop_filter(toks, self.stopwords)
+        if self.ocr_garbage:
+            toks = ocr_garbage_filter(toks)
         return cleanup(toks)
 
     def terms(self, text: str) -> list[str]:

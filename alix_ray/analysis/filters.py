@@ -353,6 +353,117 @@ def mwe_filter(toks: list[Tok], automaton: MweAutomaton) -> list[Tok]:
 
 
 # ---------------------------------------------------------------------
+# Optional filters (SURVEY.md §2.2 optional chain members)
+# ---------------------------------------------------------------------
+
+_VOWELS = frozenset("aàâäæeéèêëiîïoôöœuùûüyAÀÂÄÆEÉÈÊËIÎÏOÔÖŒUÙÛÜY")
+
+
+def _ocr_accept(t: Tok) -> bool:
+    """OCRGarbageFilter.accept (OCRGarbageFilter.java:18): structurally
+    word-unlikely unresolved tokens are dropped.  Resolved tokens
+    (lexicon POS assigned — the KeywordAttribute analog) always pass."""
+    if t.pos is not None:
+        return True
+    text = t.text
+    if not text:
+        return False
+    if text[-1] in ".-":
+        return False
+    letters = 0
+    prev = ""
+    repeats = 0
+    for c in text:
+        if _is_letter(c):
+            from .filters import _is_latin_letter  # self-module (clarity)
+
+            if not _is_latin_letter(c):
+                return False
+            letters += 1
+            folded = c.lower()
+            if folded == prev:
+                repeats += 1
+                if repeats >= 3:
+                    return False
+            else:
+                prev = folded
+                repeats = 1
+            continue
+        if c not in "-'’ .":
+            return False
+        prev = ""
+        repeats = 0
+    return letters >= 2
+
+
+def ocr_garbage_filter(toks: list[Tok]) -> list[Tok]:
+    """Drop structurally-unlikely unresolved tokens (position gaps —
+    Lucene's FilteringTokenFilter preserves increments)."""
+    out = []
+    for t in toks:
+        if t.cls == "WORD" and not _ocr_accept(t):
+            t = Tok("", t.cls, t.start, t.end)  # empty → hole in cleanup
+        out.append(t)
+    return out
+
+
+_SENT_BOUNDARY = frozenset({"PUNCTsent", "PUNCTsection", "PUNCTpara"})
+_SENT_TRANSPARENT = frozenset({"XML", "PUNCTclause"})
+
+
+def sentence_start_lowercase_filter(toks: list[Tok], lexicon) -> list[Tok]:
+    """Lowercase a sentence-initial token when its lowercase form is in
+    the lexicon (SentenceStartLowerCaseFilter.java:66): stream start is
+    a sentence start; sentence punct / section marks set the state; XML
+    and clause punct are transparent; any other token consumes it."""
+    pending = True
+    for t in toks:
+        if t.cls in _SENT_BOUNDARY:
+            pending = True
+            continue
+        if t.cls in _SENT_TRANSPARENT:
+            continue
+        if pending and t.cls == "WORD" and t.text and t.text[0].isupper():
+            low = t.text.lower()
+            if low in lexicon:
+                t.text = low
+        pending = False
+    return toks
+
+
+def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
+    """Merge ``E Meyerson`` / ``E. Meyerson`` → one ``E. Meyerson`` token
+    (fr/PersInitialFilter.java:35): a single-uppercase-letter initial
+    (with or without its dot) followed by a capitalized word merges into
+    the normalized dotted form."""
+
+    def is_initial(t: Tok) -> bool:
+        x = t.text
+        return (
+            t.cls == "WORD"
+            and (len(x) == 1 or (len(x) == 2 and x[1] == "."))
+            and x[0].isupper()
+            and x[0].isalpha()
+        )
+
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if is_initial(t) and i + 1 < len(toks):
+            nxt = toks[i + 1]
+            if (nxt.cls == "WORD" and len(nxt.text) >= 2
+                    and nxt.text[0].isupper()):
+                out.append(Tok(f"{t.text[0]}. {nxt.text}", "WORD",
+                               t.start, nxt.end, pos="PROPN"))
+                i += 2
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------
 # StopFilter (Lucene stock; after MWE, before Cleanup — holes kept)
 # ---------------------------------------------------------------------
 

@@ -1,0 +1,77 @@
+"""Distributed query serving: an actor pool over the immutable index.
+
+Reference analog: the servlet container's request threads over one
+frozen ``LuceneIndex`` handle (SURVEY.md §3.2, §4 "query actors each
+own the (immutable) index artifacts; scale by actor count").  Each
+actor loads the artifacts once in ``__init__``; the pool round-robins
+queries; throughput scales with ``n_actors`` since the index is
+read-only and per-actor caches warm independently.
+
+At 10^12-doc scale each actor would mmap / row-group-prune its postings
+instead of loading them (BM25Index docstring); the pool shape is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote
+class QueryActor:
+    """One serving replica holding the frozen index."""
+
+    def __init__(self, index_dir: str):
+        from .engine import BM25Index
+
+        self.ix = BM25Index(index_dir)
+
+    def search(self, query: str, k: int = 10):
+        return self.ix.search(query, k)
+
+    def search_terms(self, terms: list[str], k: int = 10):
+        return self.ix.search_terms(terms, k)
+
+    def search_span(self, terms: list[str], k: int = 10, slop: int = 0):
+        return self.ix.search_span(terms, k, slop=slop)
+
+    def suggest_prefix(self, prefix: str, k: int = 10):
+        from ..ops.analytics import suggest
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"term": self.ix.lexicon,
+             "cf": [int(self.ix.cf[t]) for t in self.ix.lexicon]}
+        )
+        out = suggest(df, prefix, k)
+        return list(zip(out["term"], out["cf"]))
+
+
+class QueryService:
+    """Round-robin facade over an actor pool; fire-and-gather batching."""
+
+    def __init__(self, index_dir: str, n_actors: int = 2):
+        self.actors = [
+            QueryActor.remote(index_dir) for _ in range(n_actors)
+        ]
+        self._rr = 0
+
+    def _next(self):
+        a = self.actors[self._rr % len(self.actors)]
+        self._rr += 1
+        return a
+
+    def search(self, query: str, k: int = 10):
+        return ray.get(self._next().search.remote(query, k))
+
+    def search_many(self, term_lists: list[list[str]], k: int = 10):
+        """Pipeline a batch of queries across the pool (throughput path)."""
+        futs = [
+            self._next().search_terms.remote(terms, k) for terms in term_lists
+        ]
+        return ray.get(futs)
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -164,3 +164,50 @@ class TestSimple:
         texts = ["Key AGG row-scan 12 fast!", "", "a b", "---", "Mixed CASE x9"]
         la = SimpleAnalyzer.tokens_arrays(pa.array(texts))
         assert la.to_pylist() == [sa.terms(t) for t in texts]
+
+
+class TestOptionalFilters:
+    def test_ocr_garbage(self):
+        fa = FrenchAnalyzer(ocr_garbage=True)
+        emitted, width, n = fa.analyze("maison xq rrrrrr mur")
+        terms = [t for t, _ in emitted]
+        assert "maison" in terms and "mur" in terms
+        assert "rrrrrr" not in terms  # >=3 repeated letters
+        # 'xq' has 2 letters → passes the letter floor
+        assert "xq" in terms
+
+    def test_ocr_garbage_keeps_resolved(self):
+        fa = FrenchAnalyzer(ocr_garbage=True)
+        # 'vint' resolved by the lexicon (POS assigned) → always kept
+        emitted, _, _ = fa.analyze("il vint")
+        assert ("venir" in [t for t, _ in emitted])
+
+    def test_sentence_start_lowercase(self):
+        # token-level: only a sentence-initial lexicon word is lowered;
+        # clause punct is transparent, sentence punct resets the state
+        from alix_ray.analysis.filters import sentence_start_lowercase_filter
+        from alix_ray.analysis.tokenizer import Tok
+
+        lex = {"mots": ("NOUN", "mot")}
+        toks = [Tok("Mots", "WORD", 0, 4),         # stream start → lower
+                Tok("Mots", "WORD", 5, 9),         # mid-sentence → keep
+                Tok(".", "PUNCTsent", 9, 10),
+                Tok("«", "PUNCTclause", 11, 12),   # transparent
+                Tok("Mots", "WORD", 12, 16)]       # after sent punct → lower
+        out = sentence_start_lowercase_filter(toks, lex)
+        assert [t.text for t in out if t.cls == "WORD"] == [
+            "mots", "Mots", "mots"]
+
+    def test_pers_initial(self):
+        fa = FrenchAnalyzer(pers_initial=True)
+        emitted, _, _ = fa.analyze("E. Meyerson pensait.")
+        assert emitted[0][0] == "E. Meyerson"
+        emitted2, _, _ = fa.analyze("E Meyerson pensait.")
+        assert emitted2[0][0] == "E. Meyerson"
+
+    def test_defaults_unchanged(self):
+        a = FrenchAnalyzer()
+        b = FrenchAnalyzer(ocr_garbage=False, sentence_start_lower=False,
+                           pers_initial=False)
+        s = "<p>J'aime l'analyse qu'il fit.</p>"
+        assert a.analyze(s) == b.analyze(s)

@@ -1,0 +1,46 @@
+"""Query-serving actor pool tests."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def served(ray_session, tmp_path_factory):
+    import ray.data
+
+    from alix_ray.index.serve import QueryService
+    from alix_ray.stages.build import IndexBuilder
+
+    out = str(tmp_path_factory.mktemp("serveidx"))
+    rows = [{"doc_id": i, "text": f"alpha beta doc{i} gamma " * (i + 1)}
+            for i in range(30)]
+    IndexBuilder(out, analyzer="simple").build(
+        ray.data.from_items(rows), input_kind="documents", fingerprint="serve")
+    svc = QueryService(out, n_actors=2)
+    yield svc, out
+    svc.shutdown()
+
+
+def test_single_query_matches_local(served):
+    from alix_ray.index.engine import BM25Index
+
+    svc, out = served
+    local = BM25Index(out)
+    assert svc.search("alpha beta", 5) == local.search("alpha beta", 5)
+
+
+def test_batch_throughput_path(served):
+    svc, _ = served
+    batch = [["alpha"], ["beta", "gamma"], ["doc3"]] * 4
+    res = svc.search_many(batch, k=3)
+    assert len(res) == 12
+    assert all(isinstance(r, list) for r in res)
+    # identical queries → identical results regardless of serving actor
+    assert res[0] == res[3] == res[6] == res[9]
+
+
+def test_suggest_via_actor(served):
+    import ray
+
+    svc, _ = served
+    out = ray.get(svc.actors[0].suggest_prefix.remote("do", 5))
+    assert out and all(t.startswith("do") for t, _ in out)
