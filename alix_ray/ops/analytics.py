@@ -108,6 +108,76 @@ def part_pearson(fo_count, fo_tokens, total_count, total_tokens):
     return out
 
 
+def part_rate_ratio(fo_count, fo_tokens, part_counts, part_tokens,
+                    focus_part, alpha=0.3, min_part_tokens=1):
+    """Smoothed log2 rate ratio vs the STRONGEST non-focus part
+    (PartScorer.java RateRatio:861-960) — effect size, not significance."""
+    focus_rate = (float(fo_count) + alpha) / (float(fo_tokens) + alpha)
+    max_other = -np.inf
+    seen = False
+    for p in range(len(part_tokens)):
+        if p == focus_part or part_tokens[p] < min_part_tokens:
+            continue
+        max_other = max(
+            max_other, (float(part_counts[p]) + alpha) / (float(part_tokens[p]) + alpha)
+        )
+        seen = True
+    if not seen:
+        return float("nan")
+    return float(np.log2(focus_rate / max_other))
+
+
+def part_specificity(k, n, K, N):
+    """Signed hypergeometric specificity (Lafon; PartScorer.java
+    Specificity:966-1110): urn model N tokens / K term occurrences /
+    n focus tokens / k focus occurrences; ``-log10 P[X >= k]`` when
+    over-represented, ``log10 P[X <= k]`` when under."""
+    from math import lgamma, log, exp
+
+    k, n, K, N = int(k), int(n), int(K), int(N)
+    if K > N or n > N:
+        return float("nan")
+    lo = max(0, n - (N - K))
+    hi = min(n, K)
+    if k < lo or k > hi:
+        return float("nan")
+
+    def log_choose(nn, kk):
+        if kk < 0 or kk > nn:
+            return float("nan")
+        return lgamma(nn + 1) - lgamma(kk + 1) - lgamma(nn - kk + 1)
+
+    def log_pmf(x):
+        return log_choose(K, x) + log_choose(N - K, n - x) - log_choose(N, n)
+
+    expected = n * K / N
+
+    def log_tail(frm, to, step):
+        acc = None
+        x = frm
+        while (step > 0 and x <= to) or (step < 0 and x >= to):
+            lp = log_pmf(x)
+            if acc is None:
+                acc = lp
+            else:
+                m = max(acc, lp)
+                acc = m + log(exp(acc - m) + exp(lp - m))
+            if lp < (acc or 0) - 40:  # tail cutoff (TAIL_EPS analog)
+                break
+            x += step
+        return acc
+
+    if k >= expected:
+        lt = log_tail(k, hi, 1)
+        sign = 1.0
+    else:
+        lt = log_tail(k, lo, -1)
+        sign = -1.0
+    if lt is None:
+        return float("nan")
+    return sign * (-lt / log(10.0))
+
+
 def keyness_logratio(fo_count, fo_tokens, ot_count, ot_tokens):
     """log2(relFocus/relOther)·ln(focusCount) (KeynessScorer LogRatio)."""
     fo = np.asarray(fo_count, np.float64)

@@ -202,3 +202,34 @@ class TestMoreScorers:
         e = 100 * 20 / 1000
         var = e * (1 - 0.1) * (1 - 0.02)
         assert z[0] == pytest.approx((10 - e) / var**0.5)
+
+    def test_rate_ratio(self):
+        from alix_ray.ops.analytics import part_rate_ratio
+
+        # focus rate 10/100; strongest other part rate 5/100
+        v = part_rate_ratio(10, 100, [10, 5, 2], [100, 100, 100], 0, alpha=0.3)
+        expect = np.log2((10.3 / 100.3) / (5.3 / 100.3))
+        assert v == pytest.approx(expect)
+
+    def test_specificity_sign_and_magnitude(self):
+        from alix_ray.ops.analytics import part_specificity
+
+        # over-represented: 20 of 100 focus tokens vs 30 of 1000 total
+        over = part_specificity(20, 100, 30, 1000)
+        assert over > 2  # highly specific
+        # exactly expected → small magnitude
+        near = part_specificity(3, 100, 30, 1000)
+        assert abs(near) < abs(over)
+        # under-represented → negative
+        under = part_specificity(0, 100, 30, 1000)
+        assert under < 0
+
+    def test_specificity_matches_exact_hypergeom(self):
+        from math import comb
+
+        from alix_ray.ops.analytics import part_specificity
+
+        N, K, n, k = 60, 12, 15, 7
+        p_ge = sum(comb(K, x) * comb(N - K, n - x) for x in range(k, min(n, K) + 1)) / comb(N, n)
+        got = part_specificity(k, n, K, N)
+        assert got == pytest.approx(-np.log10(p_ge), rel=1e-6)
