@@ -62,6 +62,64 @@ def brute_force_topk(
     return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
 
 
+class IvfIndexedSearch:
+    """IVF-flat approximate cosine top-k: a seeded k-means coarse
+    quantizer partitions the corpus; queries scan only the ``n_probe``
+    nearest partitions.
+
+    The centroid fit runs on a driver-side sample (seeded, deterministic);
+    assignment is a vectorized ``map_batches``; the bucketed corpus can
+    be written as partitioned Parquet so a query touches only its probed
+    partitions' files — the disk-resident scale path.
+    """
+
+    def __init__(self, n_lists: int = 16, seed: int = 42, iters: int = 10):
+        self.n_lists = n_lists
+        self.seed = seed
+        self.iters = iters
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray):
+        """Seeded Lloyd iterations on (normalized) sample vectors."""
+        X = _normalize(np.asarray(sample, np.float64))
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_lists, len(X))
+        C = X[rng.choice(len(X), k, replace=False)]
+        for _ in range(self.iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    v = X[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 1e-12:
+                        C[j] = v / n
+        self.centroids = C
+        return self
+
+    def add_buckets(self, ds: ray.data.Dataset, vec_col="embedding"):
+        C = self.centroids
+
+        def tag(batch: pa.Table) -> pa.Table:
+            V = _normalize(np.array(batch[vec_col].to_pylist(), np.float64))
+            lists = np.argmax(V @ C.T, axis=1)
+            return batch.append_column("ivf_list", pa.array(lists.astype(np.int64)))
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    def search(self, bucketed: ray.data.Dataset, queries: np.ndarray,
+               k: int = 10, n_probe: int = 4, vec_col="embedding",
+               id_col="vec_id"):
+        Q = _normalize(np.asarray(queries, np.float64))
+        sims = Q @ self.centroids.T
+        probe = set()
+        for row in sims:
+            probe.update(np.argsort(-row)[:n_probe].tolist())
+        probe_list = sorted(int(p) for p in probe)
+        sub = bucketed.filter(expr=f"ivf_list in {probe_list}")
+        return brute_force_topk(sub, Q, k, vec_col=vec_col, id_col=id_col)
+
+
 class LshIndexedSearch:
     """Random-hyperplane LSH bucketing for approximate cosine top-k.
 

@@ -233,3 +233,33 @@ class TestMoreScorers:
         p_ge = sum(comb(K, x) * comb(N - K, n - x) for x in range(k, min(n, K) + 1)) / comb(N, n)
         got = part_specificity(k, n, K, N)
         assert got == pytest.approx(-np.log10(p_ge), rel=1e-6)
+
+
+class TestIvf:
+    def test_ivf_recall_and_determinism(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.similarity import IvfIndexedSearch, brute_force_topk
+
+        rng = np.random.default_rng(11)
+        # 4 well-separated clusters
+        centers = rng.standard_normal((4, 16)) * 5
+        V = np.concatenate([centers[i % 4] + rng.standard_normal(16) * 0.3
+                            for i in range(200)]).reshape(200, 16)
+        ds = ray.data.from_arrow(
+            pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                      "embedding": pa.array(V.tolist(), pa.list_(pa.float64()))}))
+        ivf = IvfIndexedSearch(n_lists=8).fit(V)
+        bucketed = ivf.add_buckets(ds).materialize()
+        Q = V[:3]
+        approx = ivf.search(bucketed, Q, k=5, n_probe=3)
+        exact = brute_force_topk(ds, Q, 5)
+        hits = 0
+        for qi in range(3):
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            hits += len(a & e)
+        assert hits >= 12  # high recall on separated clusters
+        # deterministic fit
+        ivf2 = IvfIndexedSearch(n_lists=8).fit(V)
+        assert np.allclose(ivf.centroids, ivf2.centroids)
