@@ -290,6 +290,20 @@ class BM25Index:
         qs = self._query_terms(terms)
         if not qs:
             return []
+        if len(qs) == 1:
+            # single term: no accumulator needed — vectorized O(df) scan
+            # of the posting list (memory ∝ df, not N; rank-identical)
+            term = qs[0]
+            d, c = self._term_contrib(term, "bm25")
+            k2 = min(k, len(d))
+            if len(d) > 4 * k2:
+                part = np.argpartition(-c, k2 - 1)[:k2]
+                theta = c[part].min()
+                cand = np.nonzero(c >= theta)[0]
+            else:
+                cand = np.arange(len(d))
+            order = cand[np.lexsort((d[cand], -c[cand]))][:k2]
+            return [(int(d[i]), float(c[i])) for i in order]
         cursors = [
             _Cursor(i, self.postings[t], self.idf(t), self.k1, self.norms)
             for i, t in enumerate(qs)
