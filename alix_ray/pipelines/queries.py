@@ -509,8 +509,23 @@ def q_pages_extract(sf_dir: str) -> pd.DataFrame:
     from ..stages.analyze import extract_batch
 
     n = 2000
+
+    def check_batch(batch: pa.Table) -> pa.Table:
+        expected = batch["text"]
+        out = extract_batch(batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array([""] * batch.num_rows)))
+        got = out["text"]
+        ok = pa.compute.equal(got, expected)
+        bad = batch.num_rows - pa.compute.sum(
+            pa.compute.cast(ok, pa.int32())).as_py()
+        if bad:
+            raise AssertionError(
+                f"{bad} rows violate the per-url byte-identity invariant")
+        return out
+
     ds = pages_dataset(n).map_batches(
-        extract_batch, batch_format="pyarrow", zero_copy_batch=True
+        check_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     tbl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
     df = tbl.select(["url", "text", "error"]).to_pandas()
