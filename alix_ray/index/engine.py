@@ -285,7 +285,80 @@ class BM25Index:
         order = cand[np.lexsort((nz[cand], -scores[cand]))][:k]
         return [(int(nz[i]), float(scores[i])) for i in order]
 
-    # -- block-max WAND (serving path) --------------------------------
+    # -- block-max windowed evaluation (vectorized scale path) --------
+    def search_block_window(self, terms, k: int = 10, window: int = 16384):
+        """Top-k via doc-range windows with block-max skipping.
+
+        Memory is O(window) (never a corpus-sized accumulator); a window
+        is scored only when the sum of the query terms' block maxima
+        overlapping it can beat the current threshold — the block-max
+        pruning idea of BMW applied window-at-a-time so scoring stays
+        fully vectorized.  Posting decode is memoized per term (shared
+        with the serving path); a disk-resident variant would decode
+        only the overlapping blocks — the per-block byte offsets are
+        stored for exactly that.  Per-doc contributions sum in sorted-
+        term order (identical float arithmetic to ``search_exact`` →
+        rank- and score-identical, enforced by tests).
+        """
+        import heapq
+
+        qs = self._query_terms(terms)
+        if not qs:
+            return []
+        metas = []  # per term: (shards, w, block_last concat, block_max concat)
+        max_doc = 0
+        for t in qs:
+            shards = self.postings[t]
+            w = self.idf(t) * (self.k1 + 1.0)
+            bl = np.concatenate([s.block_last for s in shards])
+            bm = np.concatenate([s.block_max for s in shards])
+            metas.append((shards, w, bl, bm))
+            max_doc = max(max_doc, int(bl[-1]))
+        heap: list[tuple[float, int]] = []  # (score, -doc)
+        acc = np.zeros(window, np.float64)
+        for lo in range(0, max_doc + 1, window):
+            hi = lo + window
+            theta = heap[0][0] if len(heap) >= k else -1.0
+            if len(heap) >= k:
+                ub = 0.0
+                for _, w, bl, bm in metas:
+                    a = int(np.searchsorted(bl, lo, side="left"))
+                    b = int(np.searchsorted(bl, hi - 1, side="left")) + 1
+                    if a < len(bm):
+                        seg = bm[a : min(b, len(bm))]
+                        if seg.size:
+                            ub += w * float(seg.max())
+                if ub < theta:
+                    continue  # no doc in this window can enter the top-k
+            acc[:] = 0.0
+            touched = False
+            for t, (shards, w, bl, bm) in zip(qs, metas):
+                d, c = self._term_contrib(t, "bm25")
+                a = int(np.searchsorted(d, lo, side="left"))
+                b = int(np.searchsorted(d, hi, side="left"))
+                if a == b:
+                    continue
+                acc[d[a:b] - lo] += c[a:b]
+                touched = True
+            if not touched:
+                continue
+            nz = np.nonzero(acc)[0]
+            if nz.size == 0:
+                continue
+            scores = acc[nz]
+            if len(heap) >= k:
+                m = scores >= heap[0][0]
+                nz, scores = nz[m], scores[m]
+            for i in np.argsort(nz):
+                cand = (float(scores[i]), -(int(nz[i]) + lo))
+                if len(heap) < k:
+                    heapq.heappush(heap, cand)
+                elif cand > heap[0]:
+                    heapq.heapreplace(heap, cand)
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [(-nd, s) for s, nd in out]
+
+    # -- block-max WAND (canonical cursor algorithm) ------------------
     def search_wand(self, terms, k: int = 10):
         qs = self._query_terms(terms)
         if not qs:
@@ -553,15 +626,17 @@ class BM25Index:
                 self._analyzer = FrenchAnalyzer()
         return self._analyzer
 
-    # serving strategy: the dense-accumulator TAAT path is faster up to
-    # tens of millions of docs (vectorized numpy, accumulator fits in
-    # memory); block-max WAND is the 10^12-doc path (no O(N) state).
-    # Both return identical rankings (tests enforce it).
+    # serving strategy: the dense-accumulator TAAT path is fastest up
+    # to tens of millions of docs (vectorized numpy, accumulator fits
+    # in memory); beyond that the block-max WINDOWED scorer keeps
+    # memory O(window) while staying vectorized.  The cursor WAND
+    # remains the canonical per-posting algorithm (all three are
+    # rank-identical by test).
     WAND_MIN_DOCS = 20_000_000
 
     def search_terms(self, terms, k: int = 10):
         if self.n_docs >= self.WAND_MIN_DOCS:
-            return self.search_wand(terms, k)
+            return self.search_block_window(terms, k)
         return self.search_exact(terms, k)
 
     def search(self, query: str, k: int = 10, exact: bool = False,

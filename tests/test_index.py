@@ -178,3 +178,16 @@ def test_manifest_has_partition_lineage(built_index):
     assert parts and all(r["rows"] >= 0 and r["bytes"] > 0 for r in parts)
     done = {r["stage"] for r in rows if r["status"] == "done"}
     assert {"docs", "analyzed", "doc_stats", "postings", "term_stats"} <= done
+
+
+def test_block_window_rank_identical(built_index):
+    from alix_ray.index.engine import BM25Index
+
+    out, _, _ = built_index
+    ix = BM25Index(out)
+    rng = np.random.default_rng(17)
+    terms = list(ix.lexicon)
+    for _ in range(200):
+        qs = [terms[i] for i in rng.choice(len(terms), rng.integers(2, 5))]
+        k = int(rng.choice([3, 10, 50]))
+        assert ix.search_exact(qs, k) == ix.search_block_window(qs, k, window=64)
