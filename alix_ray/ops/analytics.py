@@ -108,6 +108,45 @@ def part_pearson(fo_count, fo_tokens, total_count, total_tokens):
     return out
 
 
+def part_loglikelihood(part_counts, part_tokens, focus_part,
+                       focus_term_docs, focus_docs,
+                       dispersion_exponent=0.3, min_focus_term_docs=3,
+                       min_part_tokens=1, tail_fraction=None):
+    """Pairwise log-likelihood part scorer (PartScorer.java
+    LogLikelihood:542 / LogLikelihoodTail:706): the focus part is
+    compared 2×2 against EVERY other part (never a pooled rest); the
+    strict variant takes the MINIMUM pair score, the tail variant the
+    mean of the lowest ``ceil(count·tail_fraction)`` scores; the result
+    is damped by focus-document coverage
+    ``(focusTermDocs/focusDocs)^dispersionExponent``."""
+    if min_focus_term_docs > 0 and focus_term_docs < min_focus_term_docs:
+        return float("nan")
+    fo = float(part_counts[focus_part])
+    fo_tok = float(part_tokens[focus_part])
+    if fo_tok <= 0:
+        return float("nan")
+    pair_scores = []
+    for p in range(len(part_tokens)):
+        if p == focus_part or part_tokens[p] < min_part_tokens:
+            continue
+        g2 = keyness_g2(np.array([fo]), fo_tok,
+                        np.array([float(part_counts[p])]),
+                        float(part_tokens[p]))[0]
+        if not np.isnan(g2):
+            pair_scores.append(float(g2))
+    if not pair_scores:
+        return float("nan")
+    if tail_fraction is None:
+        agg = min(pair_scores)  # strict: weakest pairwise evidence
+    else:
+        pair_scores.sort()
+        tc = max(1, int(np.ceil(len(pair_scores) * tail_fraction)))
+        agg = sum(pair_scores[:tc]) / tc
+    if dispersion_exponent > 0 and focus_docs > 0 and focus_term_docs > 0:
+        agg *= (focus_term_docs / focus_docs) ** dispersion_exponent
+    return agg
+
+
 def part_rate_ratio(fo_count, fo_tokens, part_counts, part_tokens,
                     focus_part, alpha=0.3, min_part_tokens=1):
     """Smoothed log2 rate ratio vs the STRONGEST non-focus part

@@ -263,3 +263,29 @@ class TestIvf:
         # deterministic fit
         ivf2 = IvfIndexedSearch(n_lists=8).fit(V)
         assert np.allclose(ivf.centroids, ivf2.centroids)
+
+    def test_part_loglikelihood_strict_min(self):
+        from alix_ray.ops.analytics import keyness_g2, part_loglikelihood
+
+        counts = [20, 5, 18]   # focus part 0
+        tokens = [100, 100, 100]
+        got = part_loglikelihood(counts, tokens, 0, focus_term_docs=5,
+                                 focus_docs=10, dispersion_exponent=0.3,
+                                 min_focus_term_docs=3)
+        g_vs1 = keyness_g2(np.array([20.0]), 100.0, np.array([5.0]), 100.0)[0]
+        g_vs2 = keyness_g2(np.array([20.0]), 100.0, np.array([18.0]), 100.0)[0]
+        expect = min(g_vs1, g_vs2) * (5 / 10) ** 0.3
+        assert got == pytest.approx(expect)
+
+    def test_part_loglikelihood_tail_and_floor(self):
+        from alix_ray.ops.analytics import part_loglikelihood
+
+        counts = [20, 5, 18, 1]
+        tokens = [100, 100, 100, 100]
+        tail = part_loglikelihood(counts, tokens, 0, 5, 10,
+                                  tail_fraction=0.5)
+        strict = part_loglikelihood(counts, tokens, 0, 5, 10)
+        assert tail >= strict  # mean of lowest half >= min
+        # min_focus_term_docs floor
+        import math
+        assert math.isnan(part_loglikelihood(counts, tokens, 0, 2, 10))
