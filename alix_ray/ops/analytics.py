@@ -147,6 +147,65 @@ def part_loglikelihood(part_counts, part_tokens, focus_part,
     return agg
 
 
+def contrastive_terms(ds, part_col: str, focus_part: str, k: int = 20,
+                      text_col: str = "text", tail_fraction: float = 0.20,
+                      min_focus_term_docs: int = 3):
+    """The reference's ``/terms`` contrastive mode end-to-end
+    (OpTerms.java:100-177: Partition + PartScorer.LogLikelihoodTail):
+    distributed term×part count matrix → per-term pairwise LL-tail score
+    for the focus part → top-k (score desc, term asc)."""
+    import pandas as pd
+
+    from ..ops.clades import contingency
+
+    cont = contingency(ds, part_col, text_col=text_col)
+    mat = cont.pivot_table(index="term", columns="category", values="n",
+                           fill_value=0, aggfunc="sum")
+    parts = list(mat.columns)
+    fi = parts.index(focus_part)
+    part_tokens = mat.sum(axis=0).to_numpy(np.int64)
+
+    # focus-doc coverage needs per-term focus df: one more small pass
+    def focus_df(batch):
+        import pyarrow as pa
+
+        m = pc.equal(batch[part_col], focus_part)
+        sub = batch.filter(m)
+        lists = SimpleAnalyzer.tokens_arrays(sub[text_col])
+        seen: dict[str, int] = {}
+        for toks in lists.to_pylist():
+            for t in set(toks):
+                seen[t] = seen.get(t, 0) + 1
+        return pa.table({"term": list(seen) or pa.array([], type="string"),
+                         "df": list(seen.values()) or pa.array([], type="int64")})
+
+    fdf = (
+        ds.map_batches(focus_df, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
+    )
+    fdf_map = dict(zip(fdf["term"], fdf["df"]))
+    n_focus_docs = int(ds.map_batches(
+        lambda b: __import__("pyarrow").table(
+            {"n": [int(pc.sum(pc.cast(pc.equal(b[part_col], focus_part),
+                                      "int64")).as_py() or 0)]}),
+        batch_format="pyarrow").sum("n"))
+
+    rows = []
+    counts = mat.to_numpy(np.int64)
+    for ti, term in enumerate(mat.index):
+        score = part_loglikelihood(
+            counts[ti], part_tokens, fi,
+            focus_term_docs=int(fdf_map.get(term, 0)),
+            focus_docs=n_focus_docs,
+            tail_fraction=tail_fraction,
+            min_focus_term_docs=min_focus_term_docs,
+        )
+        if not np.isnan(score):
+            rows.append((term, float(score)))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return pd.DataFrame(rows[:k], columns=["term", "score"])
+
+
 def part_rate_ratio(fo_count, fo_tokens, part_counts, part_tokens,
                     focus_part, alpha=0.3, min_part_tokens=1):
     """Smoothed log2 rate ratio vs the STRONGEST non-focus part

@@ -779,7 +779,19 @@ def q_span_near(sf_dir: str) -> pd.DataFrame:
             rows.append((qid, rank, doc, round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
+
+def q_contrastive_terms(sf_dir: str) -> pd.DataFrame:
+    """/terms contrastive mode: LL-tail over the lang partition, focus
+    'en' (rows-only — pairwise part scoring is not SQL-expressible)."""
+    from ..ops.analytics import contrastive_terms
+    from ..ops.textstats import round_half_away
+
+    df = contrastive_terms(_docs(sf_dir), "lang", KEYNESS_FOCUS_LANG, k=20)
+    df["score"] = round_half_away(df["score"].to_numpy())
+    return df.reset_index(drop=True)
+
 QUERIES.update({
+    "contrastive_terms": q_contrastive_terms,
     "span_near": q_span_near,
     "cooc_profile": q_cooc_profile,
     "theme_terms": q_theme_terms,
