@@ -595,6 +595,29 @@ class BM25Index:
                     score = float(
                         np.copysign(abs(rsj) ** self.idf_exp, rsj)
                     ) * acc
+            elif mode == "DKL":
+                # IdfTermScorer.DklContrast (IdfTermScorer.java:385-520):
+                # per-part KL divergence of the term's tf distribution
+                # from the doc-length distribution; score = D(rest)-D(focus)
+                dl = self.doc_tokens[d].astype(np.float64)
+                ok = (tf > 0) & (dl > 0)
+
+                def dkl(mask, part_tokens):
+                    T = float(tf[mask].sum())
+                    if T <= 0 or part_tokens <= 0:
+                        return np.nan
+                    tlogt = float((tf[mask] * np.log(tf[mask])).sum())
+                    tlogdl = float((tf[mask] * np.log(dl[mask])).sum())
+                    return (tlogt - T * np.log(T) - tlogdl
+                            + T * np.log(part_tokens)) / T
+
+                focus_tokens = float(self.doc_tokens[focus_mask].sum())
+                rest_tokens = float(self.cfg["total_tokens"]) - focus_tokens
+                d_focus = dkl(m & ok, focus_tokens)
+                d_rest = dkl(~m & ok, rest_tokens)
+                if np.isnan(d_focus) or np.isnan(d_rest):
+                    continue
+                score = d_rest - d_focus
             elif mode == "FACTOR":
                 ftf = float(tf[m].sum())
                 focus_tokens = float(self.doc_tokens[focus_mask].sum())

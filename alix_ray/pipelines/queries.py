@@ -757,7 +757,7 @@ def q_theme_terms(sf_dir: str) -> pd.DataFrame:
     en = full[full["lang"] == "en"]["doc_id"].to_numpy()
     mask[en] = True
     rows = []
-    for mode in ("BM25", "MINUS", "WEIGHTED", "IRDF", "RSJ", "FACTOR"):
+    for mode in ("BM25", "MINUS", "WEIGHTED", "IRDF", "RSJ", "FACTOR", "DKL"):
         for rank, (term, score) in enumerate(ix.theme_terms(mask, k=10, mode=mode)):
             rows.append((mode, rank, term, round(score, 6)))
     return pd.DataFrame(rows, columns=["mode", "rank", "term", "score"])

@@ -74,6 +74,16 @@ class TestThemeTerms:
         mask = np.zeros(20, bool)
         mask[:10] = True
         assert ix.theme_terms(mask, k=5) == ix.theme_terms(mask, k=5)
+    def test_dkl_requires_both_parts(self, ix):
+        # DklContrast returns NaN (→ excluded) for terms absent from
+        # either part (IdfTermScorer.java termScore guards) — the
+        # focus-only 'focusword' must NOT appear under DKL
+        mask = np.zeros(20, bool)
+        mask[:10] = True
+        top = ix.theme_terms(mask, k=5, mode="DKL")
+        assert "focusword" not in [t for t, _ in top]
+        assert top  # cross-part terms are scored
+
 
 
 class TestCooc:
