@@ -8,14 +8,84 @@ fixture do).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the alix_ray package lives next to this file; make it importable even
+# when the driver loads this module by file path
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_WORKERS_CHECKED = False
+
+
+def _ensure_workers_can_import() -> None:
+    """Ray workers inherit the raylet's env from ``ray.init`` time; if
+    the driver initialised Ray from a different cwd, workers cannot
+    ``import alix_ray`` by name.  Probe once; on failure, register the
+    package for cloudpickle by-VALUE serialization so every shipped
+    callable carries its code with it."""
+    global _WORKERS_CHECKED
+    if _WORKERS_CHECKED:
+        return
+    _WORKERS_CHECKED = True
+    import ray
+
+    if not ray.is_initialized():
+        return
+
+    @ray.remote(num_cpus=0)
+    def _probe() -> bool:
+        try:
+            import alix_ray  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    try:
+        ok = ray.get(_probe.remote(), timeout=60)
+    except Exception:
+        ok = False
+    if ok:
+        return
+    # workers were launched from a raylet whose env lacks the repo path
+    # (driver initialised Ray from another cwd).  Bootstrap: saturate
+    # the worker pool with path-insertion tasks; Ray reuses these
+    # workers for subsequent Dataset tasks.  Also export PYTHONPATH for
+    # any later-spawned processes that inherit the driver env.
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    print(
+        f"[__ray_entry__] workers cannot import alix_ray; bootstrapping "
+        f"worker sys.path with {_REPO} (best effort — prefer initialising "
+        f"Ray with cwd={_REPO} or PYTHONPATH={_REPO})",
+        file=sys.stderr,
+    )
+
+    @ray.remote(num_cpus=1)
+    def _bootstrap(path: str) -> bool:
+        import sys as _s
+        import time as _t
+
+        if path not in _s.path:
+            _s.path.insert(0, path)
+        _t.sleep(0.5)  # hold the slot so every worker gets bootstrapped
+        return True
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    ray.get([_bootstrap.remote(_REPO) for _ in range(ncpu)])
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: build the inverted
     index over ``documents`` (dedup'd, analyzed, segment-encoded,
     merge-shuffled, compressed) and run a BM25 top-10 query."""
+    _ensure_workers_can_import()
     from alix_ray.pipelines import queries as q
 
     return q.q_bm25_top10("/root/testdata/sf0.001")
@@ -24,6 +94,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2
     (+ the training-data extensions).  Each callable takes ``sf_dir``."""
+    _ensure_workers_can_import()
     from alix_ray.pipelines.queries import QUERIES
 
     return dict(QUERIES)
