@@ -26,6 +26,16 @@ import subprocess
 import sys
 import time
 
+# make alix_ray importable in Ray WORKERS even when bench.py is invoked
+# from another cwd: the raylet (and so every worker) inherits this env
+# because ray.init happens in this process, after this line
+_REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_SF = 2_400_000  # sf0.1 → 240k pages (enough work that
