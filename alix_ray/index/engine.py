@@ -255,7 +255,10 @@ class BM25Index:
 
     # -- exact term-at-a-time (the oracle) ----------------------------
     def search_exact(self, terms, k: int = 10, mode: str = "or",
-                     scorer: str = "bm25"):
+                     scorer: str = "bm25", filter_mask=None):
+        """``filter_mask``: optional boolean doc mask (the filterQuery
+        conjunction of Op.java:310-339 — build with
+        :mod:`alix_ray.query.filters`); docs outside it never score."""
         qs = self._query_terms(terms)
         if not qs:
             return []
@@ -268,6 +271,8 @@ class BM25Index:
                 seen[d] += 1
         if mode == "and":
             acc[seen < len(qs)] = 0.0
+        if filter_mask is not None:
+            acc[~np.asarray(filter_mask, bool)] = 0.0
         nz = np.nonzero(acc)[0]
         if len(nz) == 0:
             return []
