@@ -8,7 +8,16 @@ All hashing is seeded/stable (blake2b or fixed-multiplier mixing), so
 results are identical across runs and parallelism levels.  The LSH
 pipelines follow the shingle → minhash → band → bucket-groupby shape
 from the ray_guide: sketches are computed vectorized per batch, only
-(band, hash, doc_id) rows shuffle, candidate verification is exact.
+slim (doc_id, band, band_hash) rows shuffle through the bucket
+groupby, and exact candidate verification joins each candidate doc's
+shingle set by doc_id (one corpus pass, shipped once — not once per
+band).
+
+Hashing is FNV-1a over utf-8 bytes + splitmix64 finalizer, run
+COLUMN-WISE: all tokens of a batch are laid into one (n_tokens,
+max_len) byte layout and the sequential ``h = (h ^ byte) * prime``
+recurrence advances one byte *position* per numpy op instead of one
+byte per Python op.  Values are bit-identical to the scalar loop.
 """
 
 from __future__ import annotations
@@ -23,6 +32,15 @@ from ..analysis import SimpleAnalyzer
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 _P1 = np.uint64(0xFF51AFD7ED558CCD)
 _P2 = np.uint64(0xC4CEB9FE1A85EC53)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+# Coarse shuffle-partition count for groupby-by-hash stages.  Shuffle
+# keys are hashed into this many partitions so per-group dispatch cost
+# is O(_NUM_PARTS), not O(distinct keys); raise for larger clusters
+# (rule of thumb: ≥ 4× total cores so no reducer starves).
+_NUM_PARTS = 512
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -37,26 +55,61 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable per-token 64-bit hashes (FNV-1a over utf-8, then mixed)."""
-    out = np.empty(len(tokens), np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode("utf-8"):
-            h ^= np.uint64(b)
-            h *= np.uint64(0x100000001B3)
-        out[i] = h
-    return _mix64(out)
+    """Stable per-token 64-bit hashes (FNV-1a over utf-8, then mixed).
+
+    Vectorized column-wise: one numpy pass per byte POSITION across all
+    tokens (max token length iterations), not per byte.  Unsigned numpy
+    arithmetic wraps silently, so no overflow warnings — and the values
+    are bit-identical to the per-byte scalar recurrence.
+    """
+    n = len(tokens)
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    if n == 0:
+        return h
+    enc = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter(map(len, enc), np.int64, n)
+    total = int(lens.sum())
+    if total:
+        buf = np.frombuffer(b"".join(enc), np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        for j in range(int(lens.max())):
+            live = lens > j
+            h[live] = (h[live] ^ buf[starts[live] + j].astype(np.uint64)) * _FNV_PRIME
+    return _mix64(h)
 
 
-def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (rolling combination of token hashes)."""
-    th = _token_hashes(tokens)
+def _partition_key(x: np.ndarray) -> np.ndarray:
+    """Deterministic coarse partition id for a uint64 key array."""
+    return (_mix64(x) % np.uint64(_NUM_PARTS)).astype(np.int64)
+
+
+def _shingles_from(th: np.ndarray, k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles from precomputed token hashes."""
     if len(th) < k:
         return _mix64(th) if len(th) else th
     acc = th[: len(th) - k + 1].copy()
     for j in range(1, k):
         acc = _mix64(acc * _MIX + th[j : len(th) - k + 1 + j])
     return acc
+
+
+def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Hashes of word k-shingles (rolling combination of token hashes)."""
+    return _shingles_from(_token_hashes(tokens), k)
+
+
+def _batch_token_hashes(texts: list, analyzer) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize + hash a whole batch in one vectorized pass.
+
+    Returns (flat token-hash array, offsets) — doc i's hashes are
+    ``flat[offs[i]:offs[i+1]]``.  Tokenization stays per-doc (regex),
+    hashing is one columnar pass over every token in the batch.
+    """
+    tok_lists = [analyzer.terms(t or "") for t in texts]
+    counts = np.fromiter(map(len, tok_lists), np.int64, len(tok_lists))
+    flat = [t for lst in tok_lists for t in lst]
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return _token_hashes(flat), offs
 
 
 # ---------------------------------------------------------------------
@@ -101,13 +154,15 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle_k = shingle_k
 
-    def signature(self, tokens: list[str]) -> np.ndarray:
-        sh = _shingle_hashes(tokens, self.shingle_k)
+    def signature_from(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.full(self.num_perm, np.uint64(2**64 - 1), np.uint64)
         # (num_perm, n_shingles) universal-hash family, min over shingles
         vals = self.a[:, None] * sh[None, :] + self.b[:, None]
         return vals.min(axis=1)
+
+    def signature(self, tokens: list[str]) -> np.ndarray:
+        return self.signature_from(_shingle_hashes(tokens, self.shingle_k))
 
 
 def minhash_lsh_pairs(
@@ -121,73 +176,215 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
-    Pipeline: per-batch signatures → explode to (band, band_hash, id)
-    → groupby bucket → candidate pairs → verify with exact shingle
-    Jaccard (the verify side re-reads both docs' shingles, shipped in
-    the bucket rows — at corpus scale the verify stage joins signatures
-    by id instead; documented trade-off).
-    Returns rows (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
-    threshold.
+    Shuffle discipline (the 100-TB shape):
+
+    1. ONE corpus pass computes per-doc (shingle set, signature, band
+       hashes); its output (`sigs`) is a compact derivative (~shingle
+       hashes, far smaller than html) checkpointed once — at production
+       scale this is partitioned Parquet, here an object-store
+       materialize.
+    2. Only slim ``(doc_id, band, band_hash)`` rows enter the bucket
+       groupby — shuffle bytes per doc are 16×20 B, NOT 16× the shingle
+       set.
+    3. Exact verification joins each CANDIDATE doc's shingle set by
+       doc_id (repartition join: shingles union candidate sides →
+       groupby doc_id → groupby pair).  Duplicate candidate sides (a
+       pair surfaced by several bands) are deduped INSIDE the doc_id
+       partition — every copy lands there — so each doc's shingles
+       cross the wire at most once per distinct pair partner, and only
+       pairs surfaced by some band are scored.
+
+    Every shuffle groups by a COARSE partition key (hash of the real
+    key mod ``_NUM_PARTS``), not by the raw key: Ray's map_groups pays
+    a per-group pandas dispatch (~0.1 ms), so millions of tiny LSH
+    buckets as groups would cost minutes.  Each partition function
+    re-finds the real buckets vectorized (lexsort + run detection /
+    pandas merge), which keeps function calls O(partitions) while
+    staying deterministic and fully distributed.
+
+    Returns rows (doc_a, doc_b, jaccard) with doc_a < doc_b, exact
+    shingle-set Jaccard ≥ threshold — value-identical to the all-pairs
+    oracle restricted to LSH candidates.
     """
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm, shingle_k)
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def doc_sigs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
         sa = SimpleAnalyzer()
-        out_id, out_band, out_hash, out_sh = [], [], [], []
-        for i, t in zip(ids, texts):
-            tokens = sa.terms(t or "")
-            sig = hasher.signature(tokens)
-            sh = np.unique(_shingle_hashes(tokens, shingle_k))
-            for b in range(bands):
-                seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = int(_mix64(seg.astype(np.uint64)).sum() & np.uint64(2**63 - 1))
-                out_id.append(i)
-                out_band.append(b)
-                out_hash.append(bh)
-                out_sh.append(sh.astype(np.int64).tobytes())
+        th, offs = _batch_token_hashes(batch[text_col].to_pylist(), sa)
+        sh_bytes, band_hashes = [], []
+        for i in range(len(ids)):
+            sh = np.unique(_shingles_from(th[offs[i] : offs[i + 1]], shingle_k))
+            sig = hasher.signature_from(sh)
+            bh = (
+                _mix64(sig).reshape(bands, rows_per_band).sum(axis=1)
+                & np.uint64(2**63 - 1)
+            ).astype(np.int64)
+            sh_bytes.append(sh.astype(np.int64).tobytes())
+            band_hashes.append(bh)
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "shingles": pa.array(out_sh, pa.large_binary()),
+                id_col: pa.array(ids, pa.int64()),
+                "shingles": pa.array(sh_bytes, pa.large_binary()),
+                "band_hashes": pa.array(
+                    [b.tolist() for b in band_hashes], pa.list_(pa.int64())
+                ),
             }
         )
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    # one tokenize+hash pass, reused by both the banding and the verify
+    # sides (a lazy Dataset re-executes lineage per consumer otherwise)
+    sigs = ds.map_batches(doc_sigs, batch_format="pyarrow").materialize()
 
-    def bucket_pairs(g):
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        bh = np.asarray(batch["band_hashes"].to_pylist(), np.int64)
+        n = len(ids)
+        band_no = np.tile(np.arange(bands, dtype=np.int64), n)
+        flat_bh = bh.reshape(-1)
+        pkey = _partition_key(flat_bh.astype(np.uint64) + np.uint64(0x9E37) * band_no.astype(np.uint64))
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band": pa.array(band_no.astype(np.int32)),
+                "band_hash": pa.array(flat_bh),
+                "pkey": pa.array(pkey),
+            }
+        )
+
+    banded = sigs.select_columns([id_col, "band_hashes"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
+
+    def part_bucket_pairs(g):
         import pandas as pd
 
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        shingles = [
-            np.frombuffer(s, np.int64) for s in g["shingles"].tolist()
-        ]
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                a, b = shingles[x], shingles[y]
-                if len(a) == 0 and len(b) == 0:
-                    continue
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                union = len(a) + len(b) - inter
-                j = inter / union if union else 0.0
-                if j >= threshold:
-                    rows.append((ids[x], ids[y], j))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        band = g["band"].to_numpy(np.int64)
+        bh = g["band_hash"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        new_run = np.empty(len(ids), bool)
+        new_run[0] = True
+        new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(ids))
+        out_a, out_b = [], []
+        for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            u = np.unique(ids[s:e])
+            if len(u) < 2:
+                continue
+            ia, ib = np.triu_indices(len(u), k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # candidate pairs, possibly repeated across bands — deduped inside
+    # the attach stage's doc_id partition (all copies co-locate there)
+    cand = banded.groupby("pkey").map_groups(
+        part_bucket_pairs, batch_format="pandas"
     )
-    # a pair can surface from several bands → dedup
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    # ---- exact verify via repartition join on doc_id ----------------
+    def pair_sides(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"].to_pylist(), np.int64)
+        b = np.asarray(batch["doc_b"].to_pylist(), np.int64)
+        doc = np.concatenate([a, b])
+        return pa.table(
+            {
+                id_col: pa.array(doc),
+                "doc_a": pa.array(np.concatenate([a, a])),
+                "doc_b": pa.array(np.concatenate([b, b])),
+                "shingles": pa.array([None] * (2 * len(a)), pa.large_binary()),
+                "pkey": pa.array(_partition_key(doc.astype(np.uint64))),
+            }
+        )
+
+    def shingle_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc = np.asarray(batch[id_col].to_pylist(), np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "doc_a": pa.array(np.full(n, -1, np.int64)),
+                "doc_b": pa.array(np.full(n, -1, np.int64)),
+                "shingles": batch["shingles"],
+                "pkey": pa.array(_partition_key(doc.astype(np.uint64))),
+            }
+        )
+
+    unioned = sigs.select_columns([id_col, "shingles"]).map_batches(
+        shingle_side, batch_format="pyarrow"
+    ).union(cand.map_batches(pair_sides, batch_format="pyarrow"))
+
+    def part_attach(g):
+        import pandas as pd
+
+        src = g[g["doc_a"] < 0][[id_col, "shingles"]]
+        # distinct pair partners needing each doc's shingles (the same
+        # pair may arrive once per agreeing band — dedup here is global
+        # per side because every copy partitions by the same doc_id)
+        need = g[g["doc_a"] >= 0].drop_duplicates([id_col, "doc_a", "doc_b"])
+        if len(src) == 0 or len(need) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "shingles": pd.Series([], dtype="object"),
+                 "pkey2": pd.Series([], dtype="int64")}
+            )
+        out = need.drop(columns=["shingles", "pkey"]).merge(src, on=id_col)
+        pk = _partition_key(
+            out["doc_a"].to_numpy(np.uint64) * _MIX
+            + out["doc_b"].to_numpy(np.uint64)
+        )
+        out["pkey2"] = pk
+        return out
+
+    def part_verify(g):
+        import pandas as pd
+
+        a = g["doc_a"].to_numpy(np.int64)
+        b = g["doc_b"].to_numpy(np.int64)
+        order = np.lexsort((g[id_col].to_numpy(np.int64), b, a))
+        sh = g["shingles"].to_numpy()[order]
+        a, b = a[order], b[order]
+        out_a, out_b, out_j = [], [], []
+        i = 0
+        while i < len(a):
+            if i + 1 < len(a) and a[i] == a[i + 1] and b[i] == b[i + 1]:
+                sa_ = np.frombuffer(sh[i] or b"", np.int64)
+                sb_ = np.frombuffer(sh[i + 1] or b"", np.int64)
+                if len(sa_) or len(sb_):
+                    inter = len(np.intersect1d(sa_, sb_, assume_unique=True))
+                    union = len(sa_) + len(sb_) - inter
+                    j = inter / union if union else 0.0
+                    if j >= threshold:
+                        out_a.append(a[i])
+                        out_b.append(b[i])
+                        out_j.append(j)
+                i += 2
+            else:  # partner side missing (doc absent from corpus) — skip
+                i += 1
+        return pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64"),
+             "jaccard": pd.Series(out_j, dtype="float64")}
+        )
+
+    return (
+        unioned.groupby("pkey")
+        .map_groups(part_attach, batch_format="pandas")
+        .groupby("pkey2")
+        .map_groups(part_verify, batch_format="pandas")
     )
 
 
@@ -196,11 +393,10 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------
 
 
-def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token hashes weighted by tf."""
-    if not tokens:
+def _simhash_from(th: np.ndarray) -> int:
+    """64-bit SimHash from precomputed token hashes, weighted by tf."""
+    if len(th) == 0:
         return 0
-    th = _token_hashes(tokens)
     uniq, counts = np.unique(th, return_counts=True)
     bits = ((uniq[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
@@ -209,54 +405,88 @@ def simhash64(tokens: list[str]) -> int:
     return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes weighted by tf."""
+    return _simhash_from(_token_hashes(tokens))
+
+
 def simhash_pairs(ds: ray.data.Dataset, text_col="text", id_col="doc_id",
                   max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4-block
-    banding (a pair within distance 3 shares at least one of 4 blocks)."""
+    banding (a pair within distance 3 shares at least one of 4 blocks).
+    Band rows are slim: (doc_id, block, key, 8-byte sig)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
         sa = SimpleAnalyzer()
         ids = batch[id_col].to_pylist()
-        out_id, out_block, out_key, out_sig = [], [], [], []
-        for i, t in zip(ids, batch[text_col].to_pylist()):
-            h = simhash64(sa.terms(t or ""))
-            for blk in range(4):
-                out_id.append(i)
-                out_block.append(blk)
-                out_key.append((h >> (blk * 16)) & 0xFFFF)
-                out_sig.append(h)
+        th, offs = _batch_token_hashes(batch[text_col].to_pylist(), sa)
+        hs = np.fromiter(
+            (_simhash_from(th[offs[i] : offs[i + 1]]) for i in range(len(ids))),
+            np.uint64,
+            len(ids),
+        )
+        n = len(ids)
+        blocks = np.tile(np.arange(4, dtype=np.int64), n)
+        rep = np.repeat(hs, 4)
+        keys = (rep >> (blocks.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+        pkey = _partition_key(keys + np.uint64(0x10000) * blocks.astype(np.uint64))
         return pa.table(
             {
-                id_col: pa.array(out_id, pa.int64()),
-                "block": pa.array(out_block, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                "sig": pa.array(np.array(out_sig, dtype=np.uint64).astype(np.int64)),
+                id_col: pa.array(np.repeat(np.asarray(ids, np.int64), 4)),
+                "block": pa.array(blocks.astype(np.int32)),
+                "key": pa.array(keys.astype(np.int64)),
+                "sig": pa.array(rep.astype(np.int64)),
+                "pkey": pa.array(pkey),
             }
         )
 
-    def bucket_pairs(g):
+    def part_bucket_pairs(g):
         import pandas as pd
 
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
+        block = g["block"].to_numpy(np.int64)
+        key = g["key"].to_numpy(np.int64)
+        ids = g[id_col].to_numpy(np.int64)
         s = g["sig"].to_numpy().astype(np.uint64)
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = int(bin(int(s[x]) ^ int(s[y])).count("1"))
-                if d <= max_hamming:
-                    rows.append((ids[x], ids[y], d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        order = np.lexsort((ids, key, block))
+        block, key, ids, s = block[order], key[order], ids[order], s[order]
+        new_run = np.empty(len(ids), bool)
+        new_run[0] = True
+        new_run[1:] = (block[1:] != block[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(ids))
+        out_a, out_b, out_d = [], [], []
+        for st, en in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+            u_ids, u_s = ids[st:en], s[st:en]
+            ia, ib = np.triu_indices(en - st, k=1)
+            x = u_s[ia] ^ u_s[ib]
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            keep = d <= max_hamming
+            out_a.append(u_ids[ia[keep]])
+            out_b.append(u_ids[ib[keep]])
+            out_d.append(d[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64"),
+                 "pkey2": pd.Series([], dtype="int64")}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "hamming": np.concatenate(out_d),
+             "pkey2": _partition_key(a.astype(np.uint64) * _MIX + b.astype(np.uint64))}
+        )
 
     pairs = (
         ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby(["block", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(part_bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # same pair can surface from several blocks; all copies share pkey2
+    return pairs.groupby("pkey2").map_groups(
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(columns="pkey2"),
+        batch_format="pandas",
     )
 
 
@@ -266,10 +496,19 @@ def simhash_pairs(ds: ray.data.Dataset, text_col="text", id_col="doc_id",
 
 
 def jaccard_pairs_exact(ds: ray.data.Dataset, threshold: float,
-                        text_col="text", id_col="doc_id"):
+                        text_col="text", id_col="doc_id",
+                        max_docs: int = 20_000):
     """All-pairs token-set Jaccard ≥ threshold.  The SQL-checkable
-    oracle for the LSH pipelines; the scale path is minhash_lsh_pairs."""
+    oracle for the LSH pipelines; the scale path is minhash_lsh_pairs.
+    Guarded: refuses inputs past max_docs so a larger sf run fails fast
+    instead of OOMing the driver on the O(n²) loop."""
     tbl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
+    if tbl.num_rows > max_docs:
+        raise ValueError(
+            f"jaccard_pairs_exact is an O(n²) driver-side oracle; got "
+            f"{tbl.num_rows} docs > max_docs={max_docs}. Use "
+            f"minhash_lsh_pairs for large inputs."
+        )
     sa = SimpleAnalyzer()
     ids = tbl[id_col].to_pylist()
     sets = [set(sa.terms(t or "")) for t in tbl[text_col].to_pylist()]
@@ -299,7 +538,8 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                         vec_col="embedding", id_col="vec_id"):
     """Pairs with cosine ≥ threshold: batches scored against the full
     (broadcast) normalized matrix — ray.put once, matmul per batch.
-    At corpus scale the matrix is replaced by an IVF partition join."""
+    At corpus scale the matrix is replaced by an IVF partition join
+    (see embedding_dup_pairs_ivf)."""
     mat_tbl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
     ids = np.asarray(mat_tbl[id_col].to_pylist(), np.int64)
     V = np.array(mat_tbl[vec_col].to_pylist(), np.float64)

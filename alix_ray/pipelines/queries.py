@@ -47,8 +47,12 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
 
 
 def _docs_text(sf_dir: str) -> ray.data.Dataset:
+    # documents.parquet is a single file/row-group at test scale, which
+    # Ray reads as ONE block — pin enough blocks that per-doc stages
+    # (tokenize/hash) parallelize instead of running single-task.
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+        override_num_blocks=64,
     )
 
 
