@@ -326,31 +326,48 @@ class IndexBuilder:
 
     # -- stage 3: doc_stats -------------------------------------------
     def build_doc_stats(self, fingerprint: str):
-        fp = _fingerprint("doc_stats", fingerprint)
+        fp = _fingerprint("doc_stats", fingerprint, self.shard_range)
         if self.manifest.stage_done("doc_stats", fp):
             return
         t0 = time.time()
-        # the doc_stats artifact is a narrow projection of `analyzed` —
-        # read it with parquet column pruning on the driver and write a
-        # single compact file.  At 10^12 docs this becomes a distributed
-        # select_columns + write plus a ds.aggregate for the sums.
-        stats = pq.read_table(
+        # narrow projection of `analyzed`, written as SHARD-partitioned
+        # Parquet (shard = doc_id // shard_range — the same key the
+        # postings merge groups by) so each merge task later reads only
+        # its own shard's norm slice via partition pruning.  Fully
+        # distributed: no driver-side table at any corpus size.
+        shard_range = self.shard_range
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            doc = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "shard", pa.array((doc // shard_range).astype(np.int32))
+            )
+
+        stats_ds = ray.data.read_parquet(
             os.path.join(self.out_dir, "analyzed"),
             columns=["doc_id", "width", "tokens"],
-        )
+        ).map_batches(add_shard, batch_format="pyarrow")
         final = os.path.join(self.out_dir, "doc_stats")
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        pq.write_table(stats, os.path.join(tmp, "doc_stats.parquet"))
+        stats_ds.write_parquet(tmp, partition_cols=["shard"])
         _publish(tmp, final)
-        self.manifest.record_partitions(
-            "doc_stats", final, fp, int((time.time() - t0) * 1000)
+        self.manifest.append(
+            stage="doc_stats", fingerprint=fp, status="done",
+            wall_ms=int((time.time() - t0) * 1000),
         )
-        n_docs = stats.num_rows
-        total_tokens = int(pa.compute.sum(stats["tokens"]).as_py() or 0)
-        max_doc = int(pa.compute.max(stats["doc_id"]).as_py()) if n_docs else -1
+        # global sums via a distributed aggregate over the written
+        # artifact (never materializes rows on the driver)
+        from ray.data.aggregate import Count, Max
+        back = ray.data.read_parquet(final, columns=["doc_id", "tokens"])
+        agg = back.aggregate(
+            Count(alias_name="n"), Sum("tokens", alias_name="tok"),
+            Max("doc_id", alias_name="maxd"),
+        )
+        n_docs = int(agg["n"] or 0)
+        total_tokens = int(agg["tok"] or 0)
+        max_doc = int(agg["maxd"]) if n_docs else -1
         avgdl = total_tokens / n_docs if n_docs else 1.0
         cfg = {
             "n_docs": n_docs,
@@ -377,13 +394,6 @@ class IndexBuilder:
         if self.manifest.stage_done("postings", fp):
             return
         cfg = self.config()
-        stats = pq.read_table(
-            os.path.join(self.out_dir, "doc_stats"), columns=["doc_id", "tokens"]
-        )
-        n_slots = cfg["max_doc_id"] + 1
-        tokens = np.zeros(n_slots, np.int64)
-        tokens[stats["doc_id"].to_numpy()] = stats["tokens"].to_numpy()
-        norms_ref = ray.put(doc_norms(tokens, cfg["avgdl"]))
         analyzed = ray.data.read_parquet(
             os.path.join(self.out_dir, "analyzed"),
             columns=["doc_id", "terms", "tfs"],
@@ -393,8 +403,12 @@ class IndexBuilder:
             batch_format="pyarrow",
             batch_size=self.segment_batch_size,
         )
+        # block-max norms come from each group's own shard slice of the
+        # shard-partitioned doc_stats artifact — no global dense array
         merged = segments.groupby(["bucket", "shard"]).map_groups(
-            make_merge_fn(norms_ref, cfg["avgdl"]), batch_format="pyarrow"
+            make_merge_fn(os.path.join(self.out_dir, "doc_stats"),
+                          cfg["avgdl"], self.shard_range),
+            batch_format="pyarrow",
         )
         _write_stage(merged, self.out_dir, "postings", self.manifest, fp)
 
@@ -428,12 +442,25 @@ class IndexBuilder:
 
     def build(self, input_ds: ray.data.Dataset, input_kind: str = "pages",
               fingerprint: str = "input") -> str:
+        # fingerprints CHAIN: each stage's fp folds in its upstream
+        # stage's fp (which already folds in analyzer/keep_positions/
+        # shard params), so resuming into an out_dir after changing any
+        # upstream parameter re-runs every downstream stage instead of
+        # silently mixing artifacts from different configurations.
         if input_kind == "pages":
             self.build_docs_from_pages(input_ds, fingerprint)
         else:
             self.build_docs_from_documents(input_ds, fingerprint)
-        self.build_analyzed(fingerprint)
-        self.build_doc_stats(fingerprint)
-        self.build_postings(fingerprint)
-        self.build_term_stats(fingerprint)
+        fp_docs = _fingerprint("docs", fingerprint)
+        self.build_analyzed(fp_docs)
+        fp_analyzed = _fingerprint(
+            "analyzed", fp_docs, self.analyzer, self.keep_positions
+        )
+        self.build_doc_stats(fp_analyzed)
+        fp_stats = _fingerprint("doc_stats", fp_analyzed, self.shard_range)
+        self.build_postings(fp_stats)
+        fp_postings = _fingerprint(
+            "postings", fp_stats, self.shard_range, self.num_buckets
+        )
+        self.build_term_stats(fp_postings)
         return self.out_dir

@@ -17,8 +17,12 @@ Ray-Data-first design (SURVEY.md §7.2 stages 5-6, §7.4.5):
 - **Merge stage** (``groupby((bucket, shard)).map_groups``): bucket =
   ``hash64(term) % num_buckets``.  Each group re-groups by term,
   concatenates + sorts decoded doc lists, and emits final posting rows
-  with 128-entry blocks and block-max BM25 tf-norm metadata (needs the
-  per-doc length vector, broadcast once via ``ray.put``).
+  with 128-entry blocks and block-max BM25 tf-norm metadata.  The
+  per-doc length norms come from the shard-partitioned ``doc_stats``
+  artifact: each merge task reads ONLY its own shard's slice
+  (partition-pruned Parquet read, cached per worker) — there is no
+  O(max_doc_id) dense array anywhere, so the stage works unchanged at
+  10^12 docs where a global norms vector would be ~8 TB.
 
 Determinism: shard/bucket keys are pure functions of (term, doc_id);
 per-term output bytes are independent of batch boundaries and
@@ -32,7 +36,6 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 
 from .. import B, K1
 from ..codec import decode_posting, encode_doc_deltas, encode_posting, vb_encode
@@ -146,14 +149,47 @@ def _empty_postings_table() -> pa.Table:
     )
 
 
-def make_merge_fn(norms_ref, avgdl: float):
-    """Merge-group function; ``norms_ref`` = ray.put'd float64 array of
-    per-doc ``k1*(1-b+b*dl/avgdl)`` indexed by doc_id."""
+# Per-worker cache of per-shard norm slices (shard files are read once
+# per worker, not once per merge group).  Bounded: a worker only ever
+# caches shards of the groups it merges; cap guards pathological reuse.
+_NORM_CACHE: dict = {}
+_NORM_CACHE_MAX = 8
+
+
+def _shard_norms(stats_dir: str, shard: int, shard_range: int,
+                 avgdl: float) -> tuple[int, np.ndarray]:
+    """(base_doc_id, dense norm slice) for one shard, from the
+    shard-partitioned doc_stats artifact (partition-pruned read)."""
+    import pyarrow.parquet as pq
+
+    key = (stats_dir, shard)
+    hit = _NORM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    t = pq.read_table(
+        stats_dir, columns=["doc_id", "tokens"],
+        filters=[("shard", "=", int(shard))],
+    )
+    base = shard * shard_range
+    local = t["doc_id"].to_numpy() - base
+    dense = np.zeros(int(local.max()) + 1 if len(local) else 0, np.float64)
+    dense[local] = doc_norms(t["tokens"].to_numpy(), avgdl)
+    if len(_NORM_CACHE) >= _NORM_CACHE_MAX:
+        _NORM_CACHE.pop(next(iter(_NORM_CACHE)))
+    _NORM_CACHE[key] = (base, dense)
+    return base, dense
+
+
+def make_merge_fn(stats_dir: str, avgdl: float, shard_range: int):
+    """Merge-group function.  Per-doc BM25 length norms
+    ``k1*(1-b+b*dl/avgdl)`` are looked up from the merge group's OWN
+    shard slice of doc_stats — never a global dense array."""
 
     def merge_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _empty_postings_table()
-        norms = ray.get(norms_ref)
+        shard0 = int(group["shard"][0].as_py())
+        base, norms = _shard_norms(stats_dir, shard0, shard_range, avgdl)
         idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
         group = group.take(idx)
         terms = group["term"].to_numpy(zero_copy_only=False)
@@ -183,10 +219,16 @@ def make_merge_fn(norms_ref, avgdl: float):
             t = t[order]
             docs_b, tfs_b, blast, boffd, bofft = encode_posting(d, t)
             # block-max BM25 tf-norm: max over block of tf/(tf+norm[doc])
-            tfn = t / (t + norms[d])
-            bmax = np.maximum.reduceat(tfn, np.arange(0, len(tfn), 128)).astype(
-                np.float32
-            )
+            tfn = t / (t + norms[d - base])
+            bmax64 = np.maximum.reduceat(tfn, np.arange(0, len(tfn), 128))
+            bmax = bmax64.astype(np.float32)
+            # the engine treats block_max as a SAFE upper bound with
+            # strict skips — round the float32 cast upward where
+            # round-to-nearest landed below the float64 max, or a 1-ulp
+            # underestimate could skip a block holding a tied doc
+            under = bmax.astype(np.float64) < bmax64
+            if under.any():
+                bmax[under] = np.nextafter(bmax[under], np.float32(np.inf))
             rows["term"].append(term)
             rows["shard"].append(shard)
             rows["df"].append(len(d))
