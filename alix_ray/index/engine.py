@@ -23,10 +23,15 @@ Two scorers that must agree exactly (tests enforce it):
   tie-breaks stay rank-identical to the exact scorer.
 
 The index handle is immutable after load — share freely across query
-actors (reference: frozen ``LuceneIndex`` handle, SURVEY.md §3.2).  At
-10^12-doc scale postings would be row-group-pruned per term from the
-Parquet (the ``term`` column is sorted within each merge partition);
-in this sandbox the table loads into a dict once per process.
+actors (reference: frozen ``LuceneIndex`` handle, SURVEY.md §3.2).
+
+Postings are LAZY: open scans only the ``term`` column of each posting
+row group (O(lexicon) work and memory — blobs stay on disk) to build a
+term → (file, row-group, row) directory; a term's posting rows are
+read on first use via row-group-pruned Parquet reads and memoized.
+The rail (positions forward index) is likewise lazy: per-row-group
+doc_id min/max statistics prune the read, so a span query touches only
+the row groups holding its candidate docs.
 """
 
 from __future__ import annotations
@@ -71,6 +76,144 @@ class PostingShard:
 
     def n_blocks(self) -> int:
         return len(self.block_last)
+
+
+class PostingStore:
+    """Lazy term → list[PostingShard] mapping over the postings Parquet.
+
+    Open cost is O(lexicon): only the ``term`` (+df ordering metadata)
+    column of each row group is scanned to build the directory; binary
+    posting blobs are read per row group on first access (LRU-cached),
+    so resident memory grows with the TOUCHED vocabulary, not the index
+    size.  (Reference keeps postings on disk behind Lucene's codec —
+    ``SURVEY.md §1.3``; this is the Parquet equivalent.)"""
+
+    _RG_CACHE_MAX = 32
+    _COLS = ["term", "df", "docs", "tfs", "block_last",
+             "block_off_docs", "block_off_tfs", "block_max"]
+
+    def __init__(self, postings_dir: str):
+        self.files = sorted(
+            os.path.join(postings_dir, f)
+            for f in os.listdir(postings_dir)
+            if f.endswith(".parquet")
+        )
+        self._pf = [pq.ParquetFile(f) for f in self.files]
+        # term → list[(file_idx, row_group, row_in_group)]
+        self.locs: dict[str, list[tuple[int, int, int]]] = {}
+        for fi, pf in enumerate(self._pf):
+            for rg in range(pf.metadata.num_row_groups):
+                terms = pf.read_row_group(rg, columns=["term"])["term"]
+                for row, t in enumerate(terms.to_pylist()):
+                    self.locs.setdefault(t, []).append((fi, rg, row))
+        self._rg_cache: dict[tuple[int, int], dict] = {}
+        self._shards: dict[str, list[PostingShard]] = {}
+
+    def __contains__(self, term: str) -> bool:
+        return term in self.locs
+
+    def __iter__(self):
+        return iter(self.locs)
+
+    def __len__(self) -> int:
+        return len(self.locs)
+
+    def _row_group(self, fi: int, rg: int):
+        key = (fi, rg)
+        hit = self._rg_cache.get(key)
+        if hit is None:
+            hit = self._pf[fi].read_row_group(rg, columns=self._COLS)
+            if len(self._rg_cache) >= self._RG_CACHE_MAX:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = hit
+        return hit
+
+    def __getitem__(self, term: str) -> list:
+        shards = self._shards.get(term)
+        if shards is None:
+            shards = []
+            for fi, rg, row in self.locs[term]:
+                t = self._row_group(fi, rg)
+                # convert ONLY this term's row to Python objects
+                shards.append(
+                    PostingShard({k: t[k][row].as_py() for k in self._COLS})
+                )
+            shards.sort(key=lambda s: s.first_doc())
+            self._shards[term] = shards
+        return shards
+
+    def items(self):
+        """Stream (term, shards) over the whole vocabulary in storage
+        order (row-group-sequential, so the LRU cache hits)."""
+        order = sorted(self.locs, key=lambda t: self.locs[t][0])
+        for t in order:
+            yield t, self[t]
+
+
+class Rail:
+    """Lazy doc → (terms, positions) forward index over ``analyzed``.
+
+    Row groups are pruned with the Parquet doc_id min/max statistics;
+    only groups containing requested docs are read (and LRU-cached), so
+    a span query touches a handful of row groups, not the corpus."""
+
+    _RG_CACHE_MAX = 64
+
+    def __init__(self, analyzed_dir: str):
+        self.files = sorted(
+            os.path.join(analyzed_dir, f)
+            for f in _walk_parquet(analyzed_dir)
+        )
+        self._pf = [pq.ParquetFile(f) for f in self.files]
+        self._spans: list[tuple[int, int, int, int]] = []  # (min,max,fi,rg)
+        for fi, pf in enumerate(self._pf):
+            md = pf.metadata
+            ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    self._spans.append((int(st.min), int(st.max), fi, rg))
+                else:  # no stats → cannot prune, always a candidate
+                    self._spans.append((-1, 1 << 62, fi, rg))
+        self._spans.sort()
+        self._rg_cache: dict[tuple[int, int], dict] = {}
+
+    def _load(self, fi: int, rg: int) -> dict:
+        key = (fi, rg)
+        hit = self._rg_cache.get(key)
+        if hit is None:
+            t = self._pf[fi].read_row_group(
+                rg, columns=["doc_id", "pos_terms", "positions"]
+            )
+            hit = {
+                d: (np.asarray(ts, dtype=object), np.asarray(ps, np.int64))
+                for d, ts, ps in zip(
+                    t["doc_id"].to_pylist(),
+                    t["pos_terms"].to_pylist(),
+                    t["positions"].to_pylist(),
+                )
+            }
+            if len(self._rg_cache) >= self._RG_CACHE_MAX:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = hit
+        return hit
+
+    def get(self, doc: int):
+        for mn, mx, fi, rg in self._spans:
+            if mn > doc:
+                break
+            if doc <= mx:
+                rows = self._load(fi, rg)
+                if doc in rows:
+                    return rows[doc]
+        raise KeyError(doc)
+
+
+def _walk_parquet(dir_: str):
+    for root, _dirs, names in os.walk(dir_):
+        for n in names:
+            if n.endswith(".parquet"):
+                yield os.path.join(root, n)
 
 
 class _Cursor:
@@ -185,12 +328,9 @@ class BM25Index:
         self.lexicon = ts["term"].to_pylist()
         self.df = dict(zip(self.lexicon, ts["df"].to_numpy()))
         self.cf = dict(zip(self.lexicon, ts["cf"].to_numpy()))
-        posts = pq.read_table(os.path.join(out_dir, "postings"))
-        self.postings: dict[str, list[PostingShard]] = {}
-        for row in posts.to_pylist():
-            self.postings.setdefault(row["term"], []).append(PostingShard(row))
-        for shards in self.postings.values():
-            shards.sort(key=lambda s: s.first_doc())
+        # lazy: open scans only the term column (O(lexicon)); posting
+        # blobs are row-group-read on first use
+        self.postings = PostingStore(os.path.join(out_dir, "postings"))
         self._analyzer = None
         self._contrib_cache: dict = {}
 
@@ -439,24 +579,15 @@ class BM25Index:
         return [(-nd, s) for s, nd in out]
 
     # -- span / proximity search over the rail artifact ---------------
-    def rail(self):
+    def rail(self) -> Rail:
         """Forward index doc → (term array, position array) — the
-        ``TermRail`` analog (SURVEY.md §1.3), read lazily from the
-        ``analyzed`` artifact (requires a ``keep_positions=True``
-        build).  Gaps where punctuation/stop words sat are preserved
-        (position holes block span matches, CleanupFilter semantics)."""
+        ``TermRail`` analog (SURVEY.md §1.3), row-group-pruned lazy
+        reads from the ``analyzed`` artifact (requires a
+        ``keep_positions=True`` build).  Gaps where punctuation/stop
+        words sat are preserved (position holes block span matches,
+        CleanupFilter semantics)."""
         if getattr(self, "_rail", None) is None:
-            t = pq.read_table(
-                os.path.join(self.dir, "analyzed"),
-                columns=["doc_id", "pos_terms", "positions"],
-            )
-            rail = {}
-            for row in t.to_pylist():
-                rail[row["doc_id"]] = (
-                    np.asarray(row["pos_terms"], dtype=object),
-                    np.asarray(row["positions"], dtype=np.int64),
-                )
-            self._rail = rail
+            self._rail = Rail(os.path.join(self.dir, "analyzed"))
         return self._rail
 
     @staticmethod
@@ -493,22 +624,22 @@ class BM25Index:
         qs = self._query_terms(terms)
         if not qs:
             return []
-        # conjunctive candidates: intersect posting doc sets
-        docsets = []
-        for t in qs:
-            docsets.append(
-                np.concatenate([s.decode()[0] for s in self.postings[t]])
+        # conjunctive candidates: intersect posting doc sets, rarest
+        # term first so the working set shrinks as fast as possible
+        by_df = sorted(qs, key=lambda t: int(self.df.get(t, 0)))
+        cand = None
+        for t in by_df:
+            d = np.concatenate([s.decode()[0] for s in self.postings[t]])
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True
             )
-        cand = docsets[0]
-        for d in docsets[1:]:
-            cand = np.intersect1d(cand, d, assume_unique=True)
             if cand.size == 0:
                 return []
         rail = self.rail()
         width_limit = len(qs) + slop
         matched = []
         for doc in cand.tolist():
-            rterms, rpos = rail[doc]
+            rterms, rpos = rail.get(doc)
             pls = []
             ok = True
             for t in qs:

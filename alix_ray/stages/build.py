@@ -351,23 +351,38 @@ class IndexBuilder:
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        stats_ds.write_parquet(tmp, partition_cols=["shard"])
+        # coalesce: without a floor, each upstream block writes its own
+        # tiny file (~#analyzed-files of them) and every later
+        # partition-pruned read pays per-file footer costs
+        stats_ds.write_parquet(
+            tmp, partition_cols=["shard"],
+            min_rows_per_file=250_000, max_rows_per_file=2_000_000,
+        )
         _publish(tmp, final)
         self.manifest.append(
             stage="doc_stats", fingerprint=fp, status="done",
             wall_ms=int((time.time() - t0) * 1000),
         )
-        # global sums via a distributed aggregate over the written
-        # artifact (never materializes rows on the driver)
-        from ray.data.aggregate import Count, Max
-        back = ray.data.read_parquet(final, columns=["doc_id", "tokens"])
-        agg = back.aggregate(
-            Count(alias_name="n"), Sum("tokens", alias_name="tok"),
-            Max("doc_id", alias_name="maxd"),
-        )
-        n_docs = int(agg["n"] or 0)
-        total_tokens = int(agg["tok"] or 0)
-        max_doc = int(agg["maxd"]) if n_docs else -1
+        # global sums via per-batch partials + driver merge over the
+        # written artifact — rows never materialize on the driver, and
+        # the partial table is O(#blocks) (a Ray global aggregate costs
+        # ~1s fixed; this is ~0.2s, same distributed shape)
+        def _partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "tok": pa.array([int(pa.compute.sum(t["tokens"]).as_py() or 0)]),
+                "maxd": pa.array([
+                    int(pa.compute.max(t["doc_id"]).as_py())
+                    if t.num_rows else -1
+                ]),
+            })
+
+        parts = ray.data.read_parquet(
+            final, columns=["doc_id", "tokens"]
+        ).map_batches(_partial, batch_format="pyarrow").take_all()
+        n_docs = int(sum(p["n"] for p in parts))
+        total_tokens = int(sum(p["tok"] for p in parts))
+        max_doc = int(max((p["maxd"] for p in parts), default=-1))
         avgdl = total_tokens / n_docs if n_docs else 1.0
         cfg = {
             "n_docs": n_docs,
@@ -410,7 +425,11 @@ class IndexBuilder:
                           cfg["avgdl"], self.shard_range),
             batch_format="pyarrow",
         )
-        _write_stage(merged, self.out_dir, "postings", self.manifest, fp)
+        # small row groups: the serving engine reads postings per term
+        # via row-group-pruned reads — one giant row group per file
+        # would make every cold term read the whole file's blobs
+        _write_stage(merged, self.out_dir, "postings", self.manifest, fp,
+                     row_group_size=256)
 
     # -- stage 5: term_stats / lexicon --------------------------------
     def build_term_stats(self, fingerprint: str):
