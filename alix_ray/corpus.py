@@ -30,7 +30,7 @@ import pyarrow as pa
 from .extract import extract_text
 
 SEED = 42
-CORPUS_VERSION = 1  # bump when the generator changes (invalidates cached corpora)
+CORPUS_VERSION = 2  # bump when the generator changes (invalidates cached corpora)
 DUP_EVERY = 50  # row i with i % DUP_EVERY == 1 duplicates row i-1's url
 OVERSIZED_EVERY = 997  # rows with huge html (quarantine path)
 MALFORMED_EVERY = 211  # rows with broken markup (extractor tolerance)
@@ -139,7 +139,17 @@ def make_page(i: int) -> dict:
     if i % MALFORMED_EVERY == 3:
         html = 'attr="oops">' + html + "<unterminated"
     if i % OVERSIZED_EVERY == 5:
-        html = html + "<div>" + ("pad " * 20000) + "</div>"
+        # push past the analyze-stage MAX_HTML_BYTES (2 MB) so the
+        # oversized-row quarantine path is genuinely exercised; the
+        # expected text for a quarantined row is the empty string
+        html = html + "<div>" + ("pad " * 520_000) + "</div>"
+        return {
+            "url": url,
+            "warc_ts": ts,
+            "html": html.encode("utf-8"),
+            "text": "",
+            "lang": lang,
+        }
     text = extract_text(html)
     return {
         "url": url,

@@ -43,8 +43,14 @@ def brute_force_topk(
         kk = min(k, S.shape[1])
         out_q, out_id, out_s = [], [], []
         for qi in range(S.shape[0]):
-            idx = np.argpartition(-S[qi], kk - 1)[:kk]
-            out_q.extend([qi] * kk)
+            # tie-safe partial cutoff: keep EVERY candidate scoring >=
+            # the kth value, so an exact-score tie at the boundary can't
+            # drop a smaller-id vector before the global merge (the
+            # merge breaks ties by vec_id asc, matching the SQL oracle)
+            part = np.argpartition(-S[qi], kk - 1)[:kk]
+            theta = S[qi, part].min()
+            idx = np.nonzero(S[qi] >= theta)[0]
+            out_q.extend([qi] * len(idx))
             out_id.extend(ids[idx].tolist())
             out_s.extend(S[qi, idx].tolist())
         return pa.table(

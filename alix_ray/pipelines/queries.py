@@ -176,8 +176,11 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 6) AS score
-FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
 """
+# NB: ORDER BY scored.score (the RAW float64 sum), not the rounded
+# alias — the engine ranks by raw score, and two docs straddling the
+# LIMIT boundary could round equal while their raw scores differ.
 
 
 SQL_BM25_TOP10 = _sql_bm25(BM25_QUERY_TERMS, 10)

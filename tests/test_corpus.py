@@ -11,9 +11,17 @@ def test_deterministic():
 
 
 def test_text_is_extraction_oracle():
-    for i in [0, 1, 3, 5, 50, 101, 211 + 3, 997 + 5]:
+    from alix_ray.stages.analyze import MAX_HTML_BYTES
+
+    for i in [0, 1, 3, 50, 101, 211 + 3]:
         r = make_page(i)
         assert r["text"] == extract_text(r["html"])
+    # oversized rows exceed the quarantine threshold and expect the
+    # quarantined empty string, not the raw extraction
+    for i in [5, 997 + 5]:
+        r = make_page(i)
+        assert len(r["html"]) > MAX_HTML_BYTES
+        assert r["text"] == ""
 
 
 def test_duplicate_urls_distinct_ts():
