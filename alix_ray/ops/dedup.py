@@ -325,29 +325,35 @@ def minhash_lsh_pairs(
         shingle_side, batch_format="pyarrow"
     ).union(cand.map_batches(pair_sides, batch_format="pyarrow"))
 
-    def part_attach(g):
-        import pandas as pd
+    _ATTACH_SCHEMA = pa.schema(
+        [(id_col, pa.int64()), ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("shingles", pa.large_binary()), ("pkey2", pa.int64())]
+    )
 
+    def part_attach(g):
         src = g[g["doc_a"] < 0][[id_col, "shingles"]]
         # distinct pair partners needing each doc's shingles (the same
         # pair may arrive once per agreeing band — dedup here is global
         # per side because every copy partitions by the same doc_id)
         need = g[g["doc_a"] >= 0].drop_duplicates([id_col, "doc_a", "doc_b"])
         if len(src) == 0 or len(need) == 0:
-            return pd.DataFrame(
-                {id_col: pd.Series([], dtype="int64"),
-                 "doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "shingles": pd.Series([], dtype="object"),
-                 "pkey2": pd.Series([], dtype="int64")}
-            )
+            return _ATTACH_SCHEMA.empty_table()
         out = need.drop(columns=["shingles", "pkey"]).merge(src, on=id_col)
         pk = _partition_key(
             out["doc_a"].to_numpy(np.uint64) * _MIX
             + out["doc_b"].to_numpy(np.uint64)
         )
-        out["pkey2"] = pk
-        return out
+        # explicit Arrow schema: a zero-row pandas object column breaks
+        # Ray's block size estimation and schema unification
+        return pa.table(
+            {
+                id_col: pa.array(out[id_col].to_numpy(np.int64)),
+                "doc_a": pa.array(out["doc_a"].to_numpy(np.int64)),
+                "doc_b": pa.array(out["doc_b"].to_numpy(np.int64)),
+                "shingles": pa.array(list(out["shingles"]), pa.large_binary()),
+                "pkey2": pa.array(pk),
+            }
+        )
 
     def part_verify(g):
         import pandas as pd

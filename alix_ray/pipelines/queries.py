@@ -464,11 +464,51 @@ FROM base ORDER BY doc_id
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup pairs, exact-shingle-verified.  Oracle:
+    all-pairs 3-shingle Jaccard ≥ threshold in SQL — sound because the
+    emitted jaccard is the EXACT verified value, and complete on this
+    corpus because every qualifying pair lands well above the banding
+    recall knee (16 bands × 4 rows: P(miss) < 1e-6 at J ≥ 0.85)."""
     from ..ops.dedup import minhash_lsh_pairs
 
     df = minhash_lsh_pairs(_docs_text(sf_dir), threshold=0.5).to_pandas()
     df["jaccard"] = df["jaccard"].round(6)
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# 3-token shingles (docs shorter than 3 tokens fall back to their
+# distinct tokens — mirroring _shingles_from); exact set Jaccard.
+SQL_MINHASH_PAIRS = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM base),
+cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c3.term AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2
+  UNION
+  SELECT DISTINCT t.doc_id, t.term AS s
+  FROM tok t JOIN cnt ON t.doc_id = cnt.doc_id WHERE cnt.c < 3),
+sz AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY a, b)
+SELECT inter.a AS doc_a, inter.b AS doc_b,
+       round(inter.i / (sa.n + sb.n - inter.i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.a = sa.doc_id
+JOIN sz sb ON inter.b = sb.doc_id
+WHERE inter.i / (sa.n + sb.n - inter.i) >= 0.5
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -540,18 +580,79 @@ def q_pages_extract(sf_dir: str) -> pd.DataFrame:
     return df[["url", "n_chars", "error"]].sort_values("url").reset_index(drop=True)
 
 
+WAND_BATTERY: tuple = (
+    ("table",),
+    ("stream", "vector"),
+    ("table", "stream", "vector"),
+    ("key", "value"),
+    ("value",),
+    ("table", "key"),
+    ("stream", "key", "value"),
+    ("vector", "table"),
+)
+
+
 def q_wand_consistency(sf_dir: str) -> pd.DataFrame:
-    """Rank-identity audit: WAND vs exact on a seeded query battery
-    (returns one row per query with match flag — all must be true)."""
+    """Block-max WAND top-10 for a fixed query battery, oracle-checked
+    against DuckDB BM25.  Rank identity WAND == exact == block-window is
+    ALSO asserted inline (raises on divergence), plus a seeded 50-query
+    random audit — so the oracle covers scores and the audit covers the
+    skip logic."""
     ix = _index(sf_dir)
     rng = np.random.default_rng(42)
     terms = list(ix.lexicon)
-    rows = []
-    for qi in range(50):
+    for _ in range(50):
         qs = [terms[i] for i in rng.choice(len(terms), rng.integers(1, 4))]
-        ok = ix.search_exact(qs, 10) == ix.search_wand(qs, 10)
-        rows.append((qi, " ".join(sorted(set(qs))), bool(ok)))
-    return pd.DataFrame(rows, columns=["query_id", "q", "rank_identical"])
+        exact = ix.search_exact(qs, 10)
+        if not (exact == ix.search_wand(qs, 10)
+                == ix.search_block_window(qs, 10)):
+            raise AssertionError(f"WAND rank divergence on {qs!r}")
+    rows = []
+    for qid, qs in enumerate(WAND_BATTERY):
+        res = ix.search_wand(list(qs), 10)
+        if res != ix.search_exact(list(qs), 10):
+            raise AssertionError(f"WAND rank divergence on {qs!r}")
+        for rank, (doc, score) in enumerate(res):
+            rows.append((qid, rank, doc, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def _sql_bm25_ranked(qid: int, terms: tuple, k: int = 10) -> str:
+    """One battery query's (query_id, rank, doc_id, score) block —
+    rank/order by RAW float score (the engine's ranking), rounded score
+    only in the output."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+SELECT {qid}::BIGINT AS query_id,
+       (row_number() OVER (ORDER BY s.score DESC, s.doc_id)) - 1 AS rank,
+       s.doc_id, round(s.score, 6) AS score
+FROM (
+  WITH toks AS ({TOKS}),
+  corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+  dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+  avg_dl AS (SELECT sum(dl.dl) / corpus.n AS avgdl FROM dl, corpus GROUP BY corpus.n),
+  df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+         WHERE term IN ({tlist}) GROUP BY term),
+  tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+         WHERE term IN ({tlist}) GROUP BY doc_id, term)
+  SELECT tf.doc_id,
+    sum( pow(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5)), {IDF_EXP}) *
+         tf.tf * ({K1} + 1) /
+         (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / avg_dl.avgdl)) ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus CROSS JOIN avg_dl
+  GROUP BY tf.doc_id
+) s
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+SQL_WAND_CONSISTENCY = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_sql_bm25_ranked(qid, qs)})"
+    for qid, qs in enumerate(WAND_BATTERY)
+)
 
 
 # ---------------------------------------------------------------------
@@ -751,8 +852,9 @@ GROUP BY coterm, distance ORDER BY coterm, distance
 
 def q_theme_terms(sf_dir: str) -> pd.DataFrame:
     """Theme terms for the lang='en' doc subset, BM25 + contrastive
-    modes (IdfTermScorer.termScore; rows-only — the per-doc tf-part
-    accumulation is not reasonably SQL-expressible)."""
+    modes (IdfTermScorer.termScore) — oracle-checked: every mode's
+    score is a closed-form aggregate over (term × part) sums, so the
+    whole family is SQL-expressible (SQL_THEME_TERMS)."""
     import pyarrow.parquet as _pq
 
     ix = _index(sf_dir)
@@ -770,21 +872,164 @@ def q_theme_terms(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["mode", "rank", "term", "score"])
 
 
+# Closed-form SQL mirror of IdfTermScorer.termScore (all 7 modes).
+# Per-term part sums over the (doc, term, tf) join: acc/other_acc are
+# BM25 tf-part sums, fdf/ftf/otf the focus df / tf totals, and the DKL
+# pieces are Σ tf·ln(tf) and Σ tf·ln(dl) per part.  Modes are ranked by
+# RAW score (desc, term asc) exactly like the engine, rounded on output.
+SQL_THEME_TERMS = f"""
+WITH toks AS ({TOKS}),
+corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT sum(dl)::DOUBLE AS total_tokens FROM dl),
+avg_dl AS (SELECT tot.total_tokens / corpus.n AS avgdl FROM tot, corpus),
+fl AS (SELECT doc_id, (lang = '{KEYNESS_FOCUS_LANG}') AS is_focus FROM documents),
+fsum AS (
+  SELECT count(*) FILTER (WHERE fl.is_focus)::DOUBLE AS focus_docs,
+         coalesce(sum(CASE WHEN fl.is_focus THEN dl.dl ELSE 0 END), 0)::DOUBLE
+           AS focus_tokens
+  FROM fl LEFT JOIN dl USING (doc_id)),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY doc_id, term),
+parts AS (
+  SELECT t.term,
+    count(*)::DOUBLE AS df,
+    sum(t.tf) AS cf,
+    sum(CASE WHEN f.is_focus THEN 1 ELSE 0 END)::DOUBLE AS fdf,
+    sum(CASE WHEN f.is_focus THEN t.tf ELSE 0 END) AS ftf,
+    sum(CASE WHEN NOT f.is_focus THEN t.tf ELSE 0 END) AS otf,
+    sum(CASE WHEN f.is_focus
+        THEN t.tf * ({K1} + 1) / (t.tf + {K1} * (1 - {B} + {B} * d.dl / a.avgdl))
+        ELSE 0 END) AS acc,
+    sum(CASE WHEN NOT f.is_focus
+        THEN t.tf * ({K1} + 1) / (t.tf + {K1} * (1 - {B} + {B} * d.dl / a.avgdl))
+        ELSE 0 END) AS other_acc,
+    sum(CASE WHEN f.is_focus THEN t.tf * ln(t.tf) ELSE 0 END) AS f_tlogt,
+    sum(CASE WHEN f.is_focus THEN t.tf * ln(d.dl) ELSE 0 END) AS f_tlogdl,
+    sum(CASE WHEN NOT f.is_focus THEN t.tf * ln(t.tf) ELSE 0 END) AS o_tlogt,
+    sum(CASE WHEN NOT f.is_focus THEN t.tf * ln(d.dl) ELSE 0 END) AS o_tlogdl
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN fl f USING (doc_id)
+  CROSS JOIN avg_dl a
+  GROUP BY t.term),
+base AS (
+  SELECT p.*, c.n, s.focus_docs, s.focus_tokens, tt.total_tokens,
+    pow(ln(1 + (c.n - p.df + 0.5) / (p.df + 0.5)), {IDF_EXP}) AS idf,
+    c.n - s.focus_docs AS other_docs,
+    p.df - p.fdf AS other_df,
+    s.focus_docs - p.fdf AS fnon,
+    tt.total_tokens - s.focus_tokens AS rest_tokens
+  FROM parts p CROSS JOIN corpus c CROSS JOIN fsum s CROSS JOIN tot tt
+  WHERE p.fdf >= 1),
+scored AS (
+  SELECT term, 'BM25' AS mode, idf * acc AS score FROM base
+  UNION ALL
+  SELECT term, 'MINUS', idf * (acc - other_acc) FROM base
+  UNION ALL
+  SELECT term, 'WEIGHTED', idf * (acc - 2 * other_acc) FROM base
+  UNION ALL
+  SELECT term, 'IRDF',
+    pow(ln(1 + (other_docs - other_df + 0.5) / (other_df + 0.5)), {IDF_EXP}) * acc
+  FROM base
+  UNION ALL
+  SELECT term, 'RSJ',
+    CASE WHEN least(other_docs, other_df, fnon,
+                    other_docs - other_df) < 0 THEN 0
+    ELSE ln( ((fdf + 0.5) * ((other_docs - other_df) + 0.5))
+           / ((other_df + 0.5) * (fnon + 0.5)) ) * acc END
+  FROM base
+  UNION ALL
+  SELECT term, 'FACTOR',
+    CASE WHEN ftf = 0 OR focus_tokens <= 0 OR cf / total_tokens <= 0 THEN 0
+    ELSE idf * acc * ln( (ftf / focus_tokens) / (cf / total_tokens) ) * ln(ftf)
+    END
+  FROM base
+  UNION ALL
+  SELECT term, 'DKL',
+    ( (o_tlogt - otf * ln(otf) - o_tlogdl + otf * ln(rest_tokens)) / otf )
+    - ( (f_tlogt - ftf * ln(ftf) - f_tlogdl + ftf * ln(focus_tokens)) / ftf )
+  FROM base
+  WHERE otf > 0 AND ftf > 0 AND rest_tokens > 0 AND focus_tokens > 0),
+ranked AS (
+  SELECT mode,
+    (row_number() OVER (PARTITION BY mode ORDER BY score DESC, term)) - 1
+      AS rank,
+    term, round(score, 6) AS score
+  FROM scored)
+SELECT mode, rank, term, score FROM ranked
+WHERE rank < 10 ORDER BY mode, rank
+"""
+
+
+SPAN_BATTERY = (
+    (("table", "stream"), 2),
+    (("table", "stream"), 8),
+    (("key", "value"), 1),
+)
+
+
 def q_span_near(sf_dir: str) -> pd.DataFrame:
     """Unordered span-near BM25 top-k over the rail artifact
-    (SpanNearQuery relevance mode; rows-only — span windows over the
-    canonical-position rail are not SQL-expressible with the simple
-    token CTE because the French chain's position holes differ)."""
+    (SpanNearQuery relevance mode).  Oracle-checked: the simple profile
+    has contiguous positions, so the two-term window condition is
+    exactly ``|pos_a − pos_b| ≤ slop + 1`` over the token CTE and the
+    score is the plain two-term BM25 sum."""
     ix = _index(sf_dir, profile="simple_pos")
     rows = []
-    for qid, (terms, slop) in enumerate([
-        (["table", "stream"], 2),
-        (["table", "stream"], 8),
-        (["key", "value"], 1),
-    ]):
-        for rank, (doc, score) in enumerate(ix.search_span(terms, k=10, slop=slop)):
+    for qid, (terms, slop) in enumerate(SPAN_BATTERY):
+        for rank, (doc, score) in enumerate(
+            ix.search_span(list(terms), k=10, slop=slop)
+        ):
             rows.append((qid, rank, doc, round(score, 6)))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def _sql_span_near(qid: int, t1: str, t2: str, slop: int, k: int = 10) -> str:
+    return f"""
+SELECT {qid}::BIGINT AS query_id,
+       (row_number() OVER (ORDER BY s.score DESC, s.doc_id)) - 1 AS rank,
+       s.doc_id, round(s.score, 6) AS score
+FROM (
+  WITH toks AS ({TOKS}),
+  base AS (
+    SELECT doc_id,
+      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> '') AS arr
+    FROM documents),
+  pos AS (
+    SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+    FROM base),
+  near AS (
+    SELECT DISTINCT a.doc_id
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+    WHERE a.term = '{t1}' AND b.term = '{t2}'
+      AND abs(a.pos - b.pos) <= {slop + 1}),
+  corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+  dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+  avg_dl AS (SELECT sum(dl.dl) / corpus.n AS avgdl FROM dl, corpus GROUP BY corpus.n),
+  df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+         WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+  tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+         WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id, term)
+  SELECT tf.doc_id,
+    sum( pow(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5)), {IDF_EXP}) *
+         tf.tf * ({K1} + 1) /
+         (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / avg_dl.avgdl)) ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN near ON tf.doc_id = near.doc_id
+  CROSS JOIN corpus CROSS JOIN avg_dl
+  GROUP BY tf.doc_id
+) s
+ORDER BY s.score DESC, s.doc_id LIMIT {k}
+"""
+
+
+SQL_SPAN_NEAR = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_sql_span_near(qid, ts[0], ts[1], slop)})"
+    for qid, (ts, slop) in enumerate(SPAN_BATTERY)
+)
 
 
 def q_contrastive_terms(sf_dir: str) -> pd.DataFrame:
@@ -812,4 +1057,8 @@ ORACLES.update({
     "cooc_profile": SQL_COOC_PROFILE,
     "token_dump": SQL_TOKEN_DUMP,
     "keyness_g2": SQL_KEYNESS_G2,
+    "theme_terms": SQL_THEME_TERMS,
+    "span_near": SQL_SPAN_NEAR,
+    "wand_consistency": SQL_WAND_CONSISTENCY,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
 })
