@@ -666,9 +666,69 @@ class BM25Index:
         return [(matched[i], scores[i]) for i in order]
 
     # -- theme terms: rank TERMS for a doc subset (OpTerms main mode) --
+    def _theme_stats(self, focus_mask: np.ndarray) -> dict:
+        """One streaming pass over the postings artifact computing every
+        per-term part aggregate all 7 contrastive modes need (cached by
+        mask identity, so a 7-mode sweep decodes postings ONCE).  The
+        per-posting arithmetic is numpy over the decoded (doc, tf)
+        arrays; at full corpus scale this pass is the term_stats-style
+        Ray job (groupby term over the analyzed artifact) — the engine
+        version streams row groups through the same formulas."""
+        key = (focus_mask.tobytes(), len(focus_mask))
+        hit = getattr(self, "_theme_cache", {}).get(key)
+        if hit is not None:
+            return hit
+        terms, dfv, fdfv, accv, oaccv = [], [], [], [], []
+        ftfv, otfv, ftlt, ftld, otlt, otld = [], [], [], [], [], []
+        for term, shards in self.postings.items():
+            d_all, tf_all = [], []
+            for s in shards:
+                d, t = s.decode()
+                d_all.append(d)
+                tf_all.append(t)
+            d = np.concatenate(d_all)
+            tf = np.concatenate(tf_all).astype(np.float64)
+            tfpart = tf * (self.k1 + 1.0) / (tf + self.norms[d])
+            m = focus_mask[d]
+            logtf = np.log(tf)
+            logdl = np.log(self.doc_tokens[d].astype(np.float64))
+            terms.append(term)
+            dfv.append(len(d))
+            fdfv.append(int(m.sum()))
+            accv.append(tfpart[m].sum())
+            oaccv.append(tfpart[~m].sum())
+            ftfv.append(tf[m].sum())
+            otfv.append(tf[~m].sum())
+            ftlt.append((tf[m] * logtf[m]).sum())
+            ftld.append((tf[m] * logdl[m]).sum())
+            otlt.append((tf[~m] * logtf[~m]).sum())
+            otld.append((tf[~m] * logdl[~m]).sum())
+        stats = {
+            "terms": np.array(terms, dtype=object),
+            "df": np.array(dfv, np.float64),
+            "fdf": np.array(fdfv, np.float64),
+            "acc": np.array(accv, np.float64),
+            "oacc": np.array(oaccv, np.float64),
+            "ftf": np.array(ftfv, np.float64),
+            "otf": np.array(otfv, np.float64),
+            "f_tlogt": np.array(ftlt, np.float64),
+            "f_tlogdl": np.array(ftld, np.float64),
+            "o_tlogt": np.array(otlt, np.float64),
+            "o_tlogdl": np.array(otld, np.float64),
+            "cf": np.array([float(self.cf[t]) for t in terms], np.float64),
+            "focus_docs": float(focus_mask.sum()),
+            "focus_tokens": float(self.doc_tokens[focus_mask].sum()),
+        }
+        if not hasattr(self, "_theme_cache"):
+            self._theme_cache = {}
+        if len(self._theme_cache) >= 4:
+            self._theme_cache.pop(next(iter(self._theme_cache)))
+        self._theme_cache[key] = stats
+        return stats
+
     def theme_terms(self, focus_mask: np.ndarray, k: int = 20,
                     mode: str = "BM25", min_focus_df: int = 1):
-        """Rank vocabulary terms against a focus doc set.
+        """Rank vocabulary terms against a focus doc set — vectorized.
 
         Reference: ``IdfTermScorer.BM25.termScore()``
         (IdfTermScorer.java:268-360): per term, ``acc`` = Σ BM25 tf-part
@@ -681,96 +741,88 @@ class BM25Index:
         - ``RSJ``: sign-preserving ^e of the Robertson–Sparck-Jones log
           odds × acc
         - ``FACTOR``: idf × acc × ln(relFocus/relCorpus) × ln(focusTf)
+        - ``DKL``: per-part KL divergence contrast
+          (IdfTermScorer.java:385-520)
 
         Returns top-k ``(term, score)``, score desc / term asc.
         """
-        focus_docs = int(focus_mask.sum())
-        corpus_docs = self.n_docs
-        rows = []
-        for term, shards in self.postings.items():
-            d_all, tf_all = [], []
-            for s in shards:
-                d, t = s.decode()
-                d_all.append(d)
-                tf_all.append(t)
-            d = np.concatenate(d_all)
-            tf = np.concatenate(tf_all).astype(np.float64)
-            tfpart = tf * (self.k1 + 1.0) / (tf + self.norms[d])
-            m = focus_mask[d]
-            fdf = int(m.sum())
-            if fdf < min_focus_df:
-                continue
-            acc = float(tfpart[m].sum())
-            other_acc = float(tfpart[~m].sum())
-            idf = self.idf(term)
+        st = self._theme_stats(np.asarray(focus_mask, bool))
+        keep = st["fdf"] >= min_focus_df
+        N = float(self.n_docs)
+        df, fdf = st["df"], st["fdf"]
+        acc, oacc = st["acc"], st["oacc"]
+        idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5)) ** self.idf_exp
+        with np.errstate(divide="ignore", invalid="ignore"):
             if mode == "BM25":
                 score = idf * acc
             elif mode == "MINUS":
-                score = idf * (acc - other_acc)
+                score = idf * (acc - oacc)
             elif mode == "WEIGHTED":
-                score = idf * (1.0 * acc - 2.0 * other_acc)
+                score = idf * (acc - 2.0 * oacc)
             elif mode == "IRDF":
-                other_docs = corpus_docs - focus_docs
-                other_df = len(d) - fdf
-                irdf = np.log(
+                other_docs = N - st["focus_docs"]
+                other_df = df - fdf
+                score = np.log(
                     1.0 + (other_docs - other_df + 0.5) / (other_df + 0.5)
-                ) ** self.idf_exp
-                score = float(irdf) * acc
+                ) ** self.idf_exp * acc
             elif mode == "RSJ":
-                other_docs = corpus_docs - focus_docs
-                other_df = len(d) - fdf
-                fnon = focus_docs - fdf
+                other_docs = N - st["focus_docs"]
+                other_df = df - fdf
+                fnon = st["focus_docs"] - fdf
                 onon = other_docs - other_df
-                if min(other_docs, other_df, fnon, onon) < 0:
-                    score = 0.0
-                else:
-                    rsj = np.log(
-                        ((fdf + 0.5) * (onon + 0.5))
-                        / ((other_df + 0.5) * (fnon + 0.5))
-                    )
-                    score = float(
-                        np.copysign(abs(rsj) ** self.idf_exp, rsj)
-                    ) * acc
-            elif mode == "DKL":
-                # IdfTermScorer.DklContrast (IdfTermScorer.java:385-520):
-                # per-part KL divergence of the term's tf distribution
-                # from the doc-length distribution; score = D(rest)-D(focus)
-                dl = self.doc_tokens[d].astype(np.float64)
-                ok = (tf > 0) & (dl > 0)
-
-                def dkl(mask, part_tokens):
-                    T = float(tf[mask].sum())
-                    if T <= 0 or part_tokens <= 0:
-                        return np.nan
-                    tlogt = float((tf[mask] * np.log(tf[mask])).sum())
-                    tlogdl = float((tf[mask] * np.log(dl[mask])).sum())
-                    return (tlogt - T * np.log(T) - tlogdl
-                            + T * np.log(part_tokens)) / T
-
-                focus_tokens = float(self.doc_tokens[focus_mask].sum())
-                rest_tokens = float(self.cfg["total_tokens"]) - focus_tokens
-                d_focus = dkl(m & ok, focus_tokens)
-                d_rest = dkl(~m & ok, rest_tokens)
-                if np.isnan(d_focus) or np.isnan(d_rest):
-                    continue
-                score = d_rest - d_focus
+                rsj = np.log(
+                    ((fdf + 0.5) * (onon + 0.5))
+                    / ((other_df + 0.5) * (fnon + 0.5))
+                )
+                score = np.copysign(np.abs(rsj) ** self.idf_exp, rsj) * acc
+                score = np.where(
+                    np.minimum(np.minimum(other_docs, other_df),
+                               np.minimum(fnon, onon)) < 0,
+                    0.0, score,
+                )
             elif mode == "FACTOR":
-                ftf = float(tf[m].sum())
-                focus_tokens = float(self.doc_tokens[focus_mask].sum())
-                if ftf == 0 or focus_tokens <= 0:
-                    score = 0.0
-                else:
-                    rel_focus = ftf / focus_tokens
-                    rel_corpus = float(self.cf[term]) / self.cfg["total_tokens"]
-                    score = (
-                        idf * acc * np.log(rel_focus / rel_corpus) * np.log(ftf)
-                        if rel_corpus > 0 else 0.0
-                    )
+                total = float(self.cfg["total_tokens"])
+                ftf = st["ftf"]
+                rel_focus = ftf / max(st["focus_tokens"], 1e-300)
+                rel_corpus = st["cf"] / total
+                score = idf * acc * np.log(rel_focus / rel_corpus) * np.log(ftf)
+                invalid = (ftf == 0) | (st["focus_tokens"] <= 0) | (
+                    rel_corpus <= 0
+                )
+                score = np.where(invalid, 0.0, score)
+            elif mode == "DKL":
+                ftf, otf = st["ftf"], st["otf"]
+                focus_tokens = st["focus_tokens"]
+                rest_tokens = float(self.cfg["total_tokens"]) - focus_tokens
+                d_focus = (
+                    st["f_tlogt"] - ftf * np.log(ftf) - st["f_tlogdl"]
+                    + ftf * np.log(max(focus_tokens, 1e-300))
+                ) / ftf
+                d_rest = (
+                    st["o_tlogt"] - otf * np.log(otf) - st["o_tlogdl"]
+                    + otf * np.log(max(rest_tokens, 1e-300))
+                ) / otf
+                score = d_rest - d_focus
+                # the reference SKIPS terms with an undefined part
+                keep = keep & (ftf > 0) & (otf > 0) & (
+                    focus_tokens > 0
+                ) & (rest_tokens > 0)
             else:
                 raise ValueError(f"unknown mode {mode!r}")
-            rows.append((term, float(score)))
-        rows.sort(key=lambda x: (-x[1], x[0]))
-        return rows[:k]
+        terms = st["terms"][keep]
+        score = np.asarray(score, np.float64)[keep]
+        if len(terms) == 0:
+            return []
+        # top-k with the (score desc, term asc) tie rule, tie-safe
+        kk = min(k, len(terms))
+        if len(terms) > 4 * kk:
+            part = np.argpartition(-score, kk - 1)[:kk]
+            theta = score[part].min()
+            cand = np.nonzero(score >= theta)[0]
+        else:
+            cand = np.arange(len(terms))
+        order = sorted(cand.tolist(), key=lambda i: (-score[i], terms[i]))[:kk]
+        return [(str(terms[i]), float(score[i])) for i in order]
 
     # -- convenience ---------------------------------------------------
     def analyzer(self):

@@ -149,11 +149,19 @@ def part_loglikelihood(part_counts, part_tokens, focus_part,
 
 def contrastive_terms(ds, part_col: str, focus_part: str, k: int = 20,
                       text_col: str = "text", tail_fraction: float = 0.20,
-                      min_focus_term_docs: int = 3):
+                      min_focus_term_docs: int = 3,
+                      dispersion_exponent: float = 0.3,
+                      min_part_tokens: int = 1):
     """The reference's ``/terms`` contrastive mode end-to-end
     (OpTerms.java:100-177: Partition + PartScorer.LogLikelihoodTail):
     distributed term×part count matrix → per-term pairwise LL-tail score
-    for the focus part → top-k (score desc, term asc)."""
+    for the focus part → top-k (score desc, term asc).
+
+    Fully vectorized: the pairwise G2 runs once per NON-FOCUS PART over
+    the whole (terms × 1) count column (P−1 keyness_g2 calls total),
+    then the tail mean is a single row-sorted slice — no per-term
+    Python loop (the scalar :func:`part_loglikelihood` is kept as the
+    unit-tested reference kernel)."""
     import pandas as pd
 
     from ..ops.clades import contingency
@@ -165,24 +173,26 @@ def contrastive_terms(ds, part_col: str, focus_part: str, k: int = 20,
     fi = parts.index(focus_part)
     part_tokens = mat.sum(axis=0).to_numpy(np.int64)
 
-    # focus-doc coverage needs per-term focus df: one more small pass
+    # per-term focus df: flat (doc, term) pairs → unique → bincount
     def focus_df(batch):
-        import pyarrow as pa
-
         m = pc.equal(batch[part_col], focus_part)
         sub = batch.filter(m)
         lists = SimpleAnalyzer.tokens_arrays(sub[text_col])
-        seen: dict[str, int] = {}
-        for toks in lists.to_pylist():
-            for t in set(toks):
-                seen[t] = seen.get(t, 0) + 1
-        return pa.table({"term": list(seen) or pa.array([], type="string"),
-                         "df": list(seen.values()) or pa.array([], type="int64")})
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(lengths)), lengths)
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        uniq_terms, inv = np.unique(flat, return_inverse=True)
+        key = owner.astype(np.int64) * len(uniq_terms) + inv
+        tid, counts = np.unique(np.unique(key) % len(uniq_terms),
+                                return_counts=True)
+        return pa.table({"term": pa.array(uniq_terms[tid].tolist(), pa.string()),
+                         "df": pa.array(counts, pa.int64())})
 
-    fdf = (
-        ds.map_batches(focus_df, batch_format="pyarrow")
-        .groupby("term").aggregate(Sum("df", alias_name="df")).to_pandas()
-    )
+    fdf_parts = ds.map_batches(focus_df, batch_format="pyarrow").to_pandas()
+    fdf = fdf_parts.groupby("term", as_index=False)["df"].sum()
     fdf_map = dict(zip(fdf["term"], fdf["df"]))
     n_focus_docs = int(ds.map_batches(
         lambda b: __import__("pyarrow").table(
@@ -190,20 +200,38 @@ def contrastive_terms(ds, part_col: str, focus_part: str, k: int = 20,
                                       "int64")).as_py() or 0)]}),
         batch_format="pyarrow").sum("n"))
 
-    rows = []
-    counts = mat.to_numpy(np.int64)
-    for ti, term in enumerate(mat.index):
-        score = part_loglikelihood(
-            counts[ti], part_tokens, fi,
-            focus_term_docs=int(fdf_map.get(term, 0)),
-            focus_docs=n_focus_docs,
-            tail_fraction=tail_fraction,
-            min_focus_term_docs=min_focus_term_docs,
-        )
-        if not np.isnan(score):
-            rows.append((term, float(score)))
-    rows.sort(key=lambda x: (-x[1], x[0]))
-    return pd.DataFrame(rows[:k], columns=["term", "score"])
+    counts = mat.to_numpy(np.float64)
+    fo = counts[:, fi]
+    fo_tok = float(part_tokens[fi])
+    others = [p for p in range(len(parts))
+              if p != fi and part_tokens[p] >= min_part_tokens]
+    terms_idx = np.asarray(mat.index)
+    if fo_tok <= 0 or not others:
+        return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                             "score": pd.Series([], dtype="float64")})
+    G = np.stack([
+        keyness_g2(fo, fo_tok, counts[:, p], float(part_tokens[p]))
+        for p in others
+    ], axis=1)  # (terms, other parts)
+    tc = max(1, int(np.ceil(G.shape[1] * tail_fraction)))
+    G.sort(axis=1)
+    score = G[:, :tc].mean(axis=1)
+    fdfv = np.array([float(fdf_map.get(t, 0)) for t in terms_idx])
+    if dispersion_exponent > 0 and n_focus_docs > 0:
+        damp = np.where(fdfv > 0,
+                        (fdfv / n_focus_docs) ** dispersion_exponent, 1.0)
+        score = score * damp
+    keep = fdfv >= min_focus_term_docs if min_focus_term_docs > 0 else (
+        np.ones(len(score), bool)
+    )
+    keep &= ~np.isnan(score)
+    terms_k, score_k = terms_idx[keep], score[keep]
+    order = sorted(range(len(terms_k)),
+                   key=lambda i: (-score_k[i], terms_k[i]))[:k]
+    return pd.DataFrame(
+        {"term": [str(terms_k[i]) for i in order],
+         "score": [float(score_k[i]) for i in order]}
+    )
 
 
 def part_rate_ratio(fo_count, fo_tokens, part_counts, part_tokens,
@@ -388,33 +416,52 @@ def suggest(term_stats, prefix: str, k: int = 10):
 # ---------------------------------------------------------------------
 
 
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """(flat token array, doc index per token, position in doc)."""
+    lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+    lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(lengths)), lengths)
+    return flat, doc_of
+
+
+def _window_neighbors(sel: np.ndarray, doc_of: np.ndarray, n: int,
+                      radius: int):
+    """For selected token indices, yield (src_idx, nbr_idx, |offset|)
+    arrays for every offset in ±radius — vectorized per offset, bounded
+    to the same doc."""
+    for d in range(-radius, radius + 1):
+        if d == 0:
+            continue
+        j = sel + d
+        ok = (j >= 0) & (j < n)
+        src, nbr = sel[ok], j[ok]
+        same = doc_of[src] == doc_of[nbr]
+        yield src[same], nbr[same], abs(d)
+
+
 def cooc_window(ds: ray.data.Dataset, pivot: str, window: int = 2,
                 text_col="text") -> ray.data.Dataset:
     """Count co-terms within ±window positions of every pivot occurrence.
 
     Each (pivot occurrence, co-occurrence position) pair counts once —
     the per-pair counting model of the reference's cooc population.
+    Inner counting is numpy over the flat token array (one vector pass
+    per window offset), not a Python loop over rows.
     """
 
     def pairs(batch: pa.Table) -> pa.Table:
-        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
-        out: dict[str, int] = {}
-        for row in lists.to_pylist():
-            toks = row
-            n = len(toks)
-            for i, t in enumerate(toks):
-                if t != pivot:
-                    continue
-                lo = max(0, i - window)
-                hi = min(n, i + window + 1)
-                for j in range(lo, hi):
-                    if j == i:
-                        continue
-                    out[toks[j]] = out.get(toks[j], 0) + 1
-        if not out:
+        flat, doc_of = _flat_tokens(batch, text_col)
+        sel = np.flatnonzero(flat == pivot)
+        co = [flat[nbr] for _, nbr, _ in
+              _window_neighbors(sel, doc_of, len(flat), window)]
+        co = np.concatenate(co) if co else np.array([], object)
+        if len(co) == 0:
             return pa.table({"coterm": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        return pa.table({"coterm": list(out), "n": list(out.values())})
+        terms, counts = np.unique(co, return_counts=True)
+        return pa.table({"coterm": pa.array(terms.tolist(), pa.string()),
+                         "n": pa.array(counts, pa.int64())})
 
     partials = ds.map_batches(pairs, batch_format="pyarrow")
     return partials.groupby("coterm").aggregate(Sum("n", alias_name="n"))
@@ -427,26 +474,27 @@ def cooc_profile(ds: ray.data.Dataset, pivot: str, radius: int = 4,
     cumulate over distance on the consumer side for the shell view)."""
 
     def pairs(batch: pa.Table) -> pa.Table:
-        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
-        counts: dict[tuple[str, int], int] = {}
-        for toks in lists.to_pylist():
-            n = len(toks)
-            for i, t in enumerate(toks):
-                if t != pivot:
-                    continue
-                for j in range(max(0, i - radius), min(n, i + radius + 1)):
-                    if j == i:
-                        continue
-                    key = (toks[j], abs(j - i))
-                    counts[key] = counts.get(key, 0) + 1
-        if not counts:
+        flat, doc_of = _flat_tokens(batch, text_col)
+        sel = np.flatnonzero(flat == pivot)
+        co_t, co_d = [], []
+        for _, nbr, dist in _window_neighbors(sel, doc_of, len(flat), radius):
+            co_t.append(flat[nbr])
+            co_d.append(np.full(len(nbr), dist, np.int64))
+        if not co_t:
             return pa.table({"coterm": pa.array([], pa.string()),
                              "distance": pa.array([], pa.int32()),
                              "n": pa.array([], pa.int64())})
-        ks = list(counts)
-        return pa.table({"coterm": [k[0] for k in ks],
-                         "distance": pa.array([k[1] for k in ks], pa.int32()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+        co_t = np.concatenate(co_t)
+        co_d = np.concatenate(co_d)
+        uniq_t, tid = np.unique(co_t, return_inverse=True)
+        key = tid * (2 * radius + 1) + co_d
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {"coterm": pa.array(uniq_t[uk // (2 * radius + 1)].tolist(),
+                                pa.string()),
+             "distance": pa.array((uk % (2 * radius + 1)).astype(np.int32)),
+             "n": pa.array(counts, pa.int64())}
+        )
 
     partials = ds.map_batches(pairs, batch_format="pyarrow")
     return partials.groupby(["coterm", "distance"]).aggregate(
@@ -458,26 +506,32 @@ def cooc_matrix(ds: ray.data.Dataset, row_terms: list[str],
                 col_terms: list[str], window: int = 2,
                 text_col="text") -> ray.data.Dataset:
     """Rectangular term×term window pair counts (CoocMatSnippets.java:85)."""
-    rows = frozenset(row_terms)
-    cols = frozenset(col_terms)
+    rows_l = sorted(set(row_terms))
+    cols_l = sorted(set(col_terms))
 
     def pairs(batch: pa.Table) -> pa.Table:
-        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
-        counts: dict[tuple[str, str], int] = {}
-        for toks in lists.to_pylist():
-            n = len(toks)
-            for i, t in enumerate(toks):
-                if t not in rows:
-                    continue
-                for j in range(max(0, i - window), min(n, i + window + 1)):
-                    if j == i or toks[j] not in cols:
-                        continue
-                    key = (t, toks[j])
-                    counts[key] = counts.get(key, 0) + 1
-        ks = list(counts)
-        return pa.table({"row": pa.array([k[0] for k in ks], pa.string()),
-                         "col": pa.array([k[1] for k in ks], pa.string()),
-                         "n": pa.array(list(counts.values()), pa.int64())})
+        flat, doc_of = _flat_tokens(batch, text_col)
+        sel = np.flatnonzero(np.isin(flat, rows_l))
+        src_t, dst_t = [], []
+        for src, nbr, _ in _window_neighbors(sel, doc_of, len(flat), window):
+            keep = np.isin(flat[nbr], cols_l)
+            src_t.append(flat[src[keep]])
+            dst_t.append(flat[nbr[keep]])
+        if not src_t or not sum(len(x) for x in src_t):
+            return pa.table({"row": pa.array([], pa.string()),
+                             "col": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        src_t = np.concatenate(src_t)
+        dst_t = np.concatenate(dst_t)
+        ur, rid = np.unique(src_t, return_inverse=True)
+        ucl, cid = np.unique(dst_t, return_inverse=True)
+        key = rid.astype(np.int64) * len(ucl) + cid
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {"row": pa.array(ur[uk // len(ucl)].tolist(), pa.string()),
+             "col": pa.array(ucl[uk % len(ucl)].tolist(), pa.string()),
+             "n": pa.array(counts, pa.int64())}
+        )
 
     partials = ds.map_batches(pairs, batch_format="pyarrow")
     return partials.groupby(["row", "col"]).aggregate(Sum("n", alias_name="n"))
