@@ -366,6 +366,11 @@ class BM25Index:
                 measure = (tf - expected) ** 2 / expected
                 out = np.where(measure == 0, 0.0, np.log2(measure))
             return np.where(tf < expected, -out, out)
+        if scorer == "chi2inv":  # SimilarityChi2inv.java:53-66 — most
+            # REPULSED doc: the X2 cell only when observed < expected
+            with np.errstate(divide="ignore", invalid="ignore"):
+                measure = (tf - expected) ** 2 / expected
+            return np.where(tf > expected, 0.0, measure)
         if scorer == "gtest":  # SimilarityG.java:52-72
             with np.errstate(divide="ignore", invalid="ignore"):
                 o1 = total - tf
@@ -373,6 +378,11 @@ class BM25Index:
                     o1 / (total - expected)
                 )
             return np.where(tf < expected, -s, s)
+        if scorer == "gsimple":  # SimilarityGsimple.java:51-70 — the
+            # single-cell G measure, sign-flipped when under-expected
+            with np.errstate(divide="ignore", invalid="ignore"):
+                measure = tf * np.log(tf / expected)
+            return np.where(tf < expected, -measure, measure)
         raise ValueError(f"unknown scorer {scorer!r}")
 
     def _term_contrib(self, term: str, scorer: str):

@@ -234,6 +234,31 @@ def contrastive_terms(ds, part_col: str, focus_part: str, k: int = 20,
     )
 
 
+def part_loglikelihood_residual(fo_count, fo_tokens, total_count,
+                                total_tokens, min_focus_term_freq=5):
+    """Focus-row log-likelihood deviance residual (PartScorer.java
+    LogLikelihoodResidual:594-681): sign(O1−E1)·√(2·O1·ln(O1/E1) +
+    2·O0·ln(O0/E0)) against the proportional-to-part-size null.
+    Vectorized over terms; NaN when the expectation is degenerate or
+    the focus count is under the floor."""
+    fo = np.asarray(fo_count, np.float64)
+    tt = np.asarray(total_count, np.float64)
+    e1 = fo_tokens * tt / total_tokens
+    o0 = fo_tokens - fo
+    e0 = fo_tokens - e1
+
+    def cell(obs, exp):
+        out = np.zeros_like(obs)
+        m = (obs > 0) & (exp > 0)
+        out[m] = 2.0 * obs[m] * np.log(obs[m] / exp[m])
+        return out
+
+    g2 = cell(fo, e1) + cell(o0, e0)
+    score = np.where(g2 <= 0, 0.0, np.sign(fo - e1) * np.sqrt(np.maximum(g2, 0)))
+    bad = (e1 <= 0) | (e1 >= fo_tokens) | (fo < min_focus_term_freq)
+    return np.where(bad, np.nan, score)
+
+
 def part_rate_ratio(fo_count, fo_tokens, part_counts, part_tokens,
                     focus_part, alpha=0.3, min_part_tokens=1):
     """Smoothed log2 rate ratio vs the STRONGEST non-focus part

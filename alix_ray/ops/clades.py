@@ -95,3 +95,70 @@ def correspondence_coords(cont: pd.DataFrame, top_terms: int = 100,
         }
     ).reset_index(drop=True)
     return terms_df, cats_df
+
+
+def _chord_distances(profiles: np.ndarray) -> np.ndarray:
+    """Chord distances after unit-L2 row normalization
+    (ContingencyDistance.java chordDistances:...)."""
+    sq = (profiles ** 2).sum(axis=1)
+    if not np.all(np.isfinite(sq)) or (sq <= 0).any():
+        bad = int(np.argmin(sq))
+        raise ValueError(
+            f"contingency row {bad} has no finite positive profile"
+        )
+    norm = profiles / np.sqrt(sq)[:, None]
+    sim = np.clip(norm @ norm.T, -1.0, 1.0)
+    d = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * sim))
+    np.fill_diagonal(d, 0.0)
+    return d
+
+
+def hellinger_distances(counts: np.ndarray) -> np.ndarray:
+    """Hellinger distance between row profiles of a non-negative
+    contingency table (ContingencyDistance.java Hellinger:24-60):
+    profiles are sqrt(count/rowTotal), distances are chord distances of
+    the (already unit-norm) profiles."""
+    counts = np.asarray(counts, np.float64)
+    if counts.ndim != 2 or counts.size == 0:
+        raise ValueError("contingency table must be 2-D and non-empty")
+    if (counts < 0).any():
+        raise ValueError("negative contingency count")
+    row_tot = counts.sum(axis=1)
+    if (row_tot == 0).any():
+        bad = int(np.argmin(row_tot))
+        raise ValueError(f"contingency row {bad} has a zero total")
+    return _chord_distances(np.sqrt(counts / row_tot[:, None]))
+
+
+def positive_keyness_chord(counts: np.ndarray, scorer=None) -> np.ndarray:
+    """Chord distance between profiles of positive keyness evidence
+    (ContingencyDistance.java PositiveKeynessChord:70-130): each cell is
+    scored row-vs-all-other-rows with a keyness scorer, negatives are
+    dropped, positives square-rooted before the cosine norm."""
+    from .analytics import keyness_g2
+
+    counts = np.asarray(counts, np.float64)
+    if counts.ndim != 2 or counts.size == 0:
+        raise ValueError("contingency table must be 2-D and non-empty")
+    if (counts < 0).any():
+        raise ValueError("negative contingency count")
+    if scorer is None:
+        scorer = keyness_g2
+    n_rows = counts.shape[0]
+    if n_rows == 1:
+        return np.zeros((1, 1))
+    row_tot = counts.sum(axis=1)
+    if (row_tot == 0).any():
+        bad = int(np.argmin(row_tot))
+        raise ValueError(f"contingency row {bad} has a zero total")
+    col_tot = counts.sum(axis=0)
+    total = counts.sum()
+    profiles = np.zeros_like(counts)
+    for r in range(n_rows):
+        other_tot = total - row_tot[r]
+        scores = scorer(counts[r], row_tot[r], col_tot - counts[r], other_tot)
+        if np.isnan(scores).any():
+            raise ValueError(f"keyness scorer returned NaN in row {r}")
+        pos = scores > 0
+        profiles[r, pos] = np.sqrt(scores[pos])
+    return _chord_distances(profiles)

@@ -69,3 +69,134 @@ class TestDocScorers:
         r1 = index.search_exact(["cat", "dog"], 5)
         r2 = index.search_wand(["cat", "dog"], 5)
         assert r1 == r2
+
+
+class TestRound2Scorers:
+    """Round-2 scorer additions: LL-residual, Chi2inv/Gsimple doc sims,
+    PMI association family, Hellinger/chord distances."""
+
+    def test_loglikelihood_residual_hand(self):
+        import numpy as np
+
+        from alix_ray.ops.analytics import part_loglikelihood_residual
+
+        # focus part: 1000 tokens of 10000 total; term: 30 total, 10 in focus
+        # E1 = 1000*30/10000 = 3; O1=10, O0=990, E0=997
+        e1, o1, o0, e0 = 3.0, 10.0, 990.0, 997.0
+        g2 = 2 * o1 * np.log(o1 / e1) + 2 * o0 * np.log(o0 / e0)
+        want = np.sign(o1 - e1) * np.sqrt(g2)
+        got = part_loglikelihood_residual(
+            np.array([10.0]), 1000.0, np.array([30.0]), 10000.0
+        )
+        assert got[0] == pytest.approx(want)
+        # under-representation flips the sign
+        got2 = part_loglikelihood_residual(
+            np.array([5.0]), 5000.0, np.array([30.0]), 10000.0,
+            min_focus_term_freq=0,
+        )
+        assert got2[0] < 0
+        # floor → NaN
+        got3 = part_loglikelihood_residual(
+            np.array([2.0]), 1000.0, np.array([30.0]), 10000.0
+        )
+        assert np.isnan(got3[0])
+
+    def test_chi2inv_gsimple_contrib(self, ray_session, tmp_path):
+        import numpy as np
+        import ray.data
+
+        from alix_ray.index.engine import BM25Index
+        from alix_ray.stages.build import IndexBuilder
+
+        rows = [{"doc_id": i,
+                 "text": " ".join(["tok"] * (i + 1) + [f"w{i}"] * 3)}
+                for i in range(8)]
+        b = IndexBuilder(str(tmp_path / "ix"), analyzer="simple")
+        b.build(ray.data.from_items(rows), input_kind="documents",
+                fingerprint="t")
+        ix = BM25Index(str(tmp_path / "ix"))
+        term = max(ix.cf, key=lambda t: ix.cf[t])
+        d, c = ix._term_contrib(term, "chi2inv")
+        # chi2inv is only nonzero where observed <= expected, never negative
+        assert (np.asarray(c) >= 0).all()
+        dg, cg = ix._term_contrib(term, "gsimple")
+        # gsimple mirrors SimilarityGsimple.java:51-70 exactly:
+        # measure = tf·ln(tf/E0), negated when tf < E0 (so the returned
+        # value is |measure| — the code's behavior, not its comment)
+        shards = ix.postings[term]
+        tf = np.concatenate([s.decode()[1] for s in shards]).astype(float)
+        expected = float(ix.cf[term]) * ix.doc_tokens[dg] / ix.cfg["total_tokens"]
+        measure = tf * np.log(tf / expected)
+        want = np.where(tf < expected, -measure, measure)
+        assert cg == pytest.approx(want)
+        # both rank through search_exact without error
+        assert isinstance(ix.search_exact([term], 5, scorer="chi2inv"), list)
+        assert isinstance(ix.search_exact([term], 5, scorer="gsimple"), list)
+
+    def test_association_measures_hand(self):
+        import numpy as np
+
+        from alix_ray.ops.association import (
+            logdice, loglikelihood, npmi, pearson, ppmi,
+        )
+
+        # f(a,b)=8, f(a)=16, f(b)=16, N=64 → PMI = log2(8*64/256) = 1
+        assert ppmi([8], [16], [16], 64)[0] == pytest.approx(1.0)
+        # independence → PMI 0
+        assert ppmi([4], [16], [16], 64)[0] == pytest.approx(0.0)
+        # npmi: perfect association f(a,b)=f(a)=f(b)=N → 1
+        assert npmi([5], [5], [5], 5)[0] == pytest.approx(1.0)
+        assert npmi([0], [5], [5], 100)[0] == -1.0
+        # logdice peak at 14
+        assert logdice([10], [10], [10])[0] == pytest.approx(14.0)
+        assert logdice([0], [10], [10])[0] == -np.inf
+        # pearson residual: (o-e)/sqrt(e), e = 16*16/64 = 4
+        assert pearson([8], [16], [16], 64)[0] == pytest.approx((8 - 4) / 2)
+        # loglikelihood sign
+        assert loglikelihood([8], [16], [16], 64)[0] > 0
+        assert loglikelihood([1], [16], [16], 64)[0] < 0
+        # NaN on negative input
+        assert np.isnan(ppmi([-1], [4], [4], 16)[0])
+
+    def test_hellinger_hand(self):
+        import numpy as np
+
+        from alix_ray.ops.clades import hellinger_distances
+
+        # identical profiles → 0; orthogonal profiles → sqrt(2)
+        counts = np.array([[4, 0], [8, 0], [0, 3]])
+        d = hellinger_distances(counts)
+        assert d[0, 1] == pytest.approx(0.0)
+        assert d[0, 2] == pytest.approx(np.sqrt(2.0))
+        assert d[2, 0] == d[0, 2]
+        with pytest.raises(ValueError):
+            hellinger_distances(np.array([[0, 0], [1, 2]]))
+
+    def test_positive_keyness_chord(self):
+        import numpy as np
+
+        from alix_ray.ops.clades import positive_keyness_chord
+
+        counts = np.array([[30, 5, 5], [5, 30, 5], [28, 6, 6]])
+        d = positive_keyness_chord(counts)
+        assert d.shape == (3, 3)
+        assert np.allclose(d, d.T)
+        assert (np.diag(d) == 0).all()
+        # row 0 and row 2 share their over-represented column → closer
+        assert d[0, 2] < d[0, 1]
+
+    def test_score_cooc_matrix(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.analytics import cooc_matrix
+        from alix_ray.ops.association import score_cooc_matrix
+
+        ds = ray.data.from_items(
+            [{"doc_id": 0, "text": "a b a b a b c"},
+             {"doc_id": 1, "text": "a b x y z z"}]
+        )
+        pairs = cooc_matrix(ds, ["a"], ["b", "c", "z"], window=1).to_pandas()
+        scored = score_cooc_matrix(pairs, "ppmi")
+        assert "score" in scored.columns
+        ab = scored[(scored["row"] == "a") & (scored["col"] == "b")]
+        assert len(ab) == 1 and ab["score"].iloc[0] >= 0
