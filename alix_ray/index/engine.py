@@ -860,11 +860,24 @@ class BM25Index:
             return self.search_block_window(terms, k)
         return self.search_exact(terms, k)
 
+    def root_dict(self):
+        """Vocabulary-restricted root dictionary from the ``hunspell/``
+        sidecar dir (FlucText.hunspell() analog) — None when the index
+        was built without one."""
+        if not hasattr(self, "_root_dict"):
+            from ..analysis.hunspell import load_sidecars
+
+            self._root_dict = load_sidecars(
+                os.path.join(self.dir, "hunspell")
+            )
+        return self._root_dict
+
     def search(self, query: str, k: int = 10, exact: bool = False,
                wand: bool = False):
         from ..query.parser import parse_query
 
-        terms = parse_query(query, self.analyzer(), self.lexicon)
+        terms = parse_query(query, self.analyzer(), self.lexicon,
+                            root_dict=self.root_dict(), df=self.df)
         if exact:
             return self.search_exact(terms, k)
         if wand:

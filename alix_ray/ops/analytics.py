@@ -423,15 +423,31 @@ def chrono_histogram(events: ray.data.Dataset, ts_col="ts", value_col="value"):
 # ---------------------------------------------------------------------
 
 
+def fold_ascii(s: str) -> str:
+    """Diacritic fold (TermSuggest.java ASCII folding): NFD-decompose
+    and strip combining marks, lowercase."""
+    import unicodedata
+
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s.lower())
+        if not unicodedata.combining(c)
+    )
+
+
 def suggest(term_stats, prefix: str, k: int = 10):
-    """Prefix (<3 chars) / infix (≥3) suggestion ranked by cf desc."""
+    """Prefix (<3 folded chars) / infix (≥3) suggestion ranked by cf
+    desc, DIACRITIC-INSENSITIVE: both the vocabulary and the query are
+    ASCII-folded before matching (TermSuggest.java:29 — ``ete``
+    suggests ``été``); output keeps the original terms."""
     import pandas as pd
 
     df = term_stats if isinstance(term_stats, pd.DataFrame) else term_stats.to_pandas()
-    if len(prefix) < 3:
-        m = df[df["term"].str.startswith(prefix)]
+    q = fold_ascii(prefix)
+    folded = df["term"].map(fold_ascii)
+    if len(q) < 3:
+        m = df[folded.str.startswith(q)]
     else:
-        m = df[df["term"].str.contains(prefix, regex=False)]
+        m = df[folded.str.contains(q, regex=False)]
     m = m.sort_values(["cf", "term"], ascending=[False, True]).head(k)
     return m.reset_index(drop=True)
 

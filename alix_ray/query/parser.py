@@ -24,8 +24,18 @@ _PHRASE = re.compile(r'"([^"]*)"')
 _WS = re.compile(r"\s+")
 
 
-def parse_query(q: str, analyzer, lexicon=None) -> list[str]:
-    """Query string → list of index terms (possibly with duplicates)."""
+def parse_query(q: str, analyzer, lexicon=None, root_dict=None,
+                df=None) -> list[str]:
+    """Query string → list of index terms (possibly with duplicates).
+
+    When ``root_dict`` (a :class:`alix_ray.analysis.hunspell.
+    RootDictionary`) and ``df`` (term → document frequency) are given,
+    exact single-word terms prefer INDEXED dictionary roots — the
+    reference's Hunspell root preference
+    (``snippets/SpanQueryParser.java:463-520``): every indexed root of
+    the inflected form is kept (OR expansion); the surface form is the
+    fallback; terms with neither are left for the engine to drop.
+    """
     if not q:
         return []
     terms: list[str] = []
@@ -35,6 +45,12 @@ def parse_query(q: str, analyzer, lexicon=None) -> list[str]:
         if words:
             terms.append("_".join(words))
         return " "
+
+    def resolve(token: str) -> list[str]:
+        if root_dict is None or df is None:
+            return [token]
+        roots = [r for r in root_dict.get_roots(token) if df.get(r, 0) > 0]
+        return roots if roots else [token]
 
     rest = _PHRASE.sub(phrase, q)
     rest = rest.replace("(", " ").replace(")", " ")
@@ -49,5 +65,6 @@ def parse_query(q: str, analyzer, lexicon=None) -> list[str]:
         if "_" in word:
             terms.append(word)  # already-canonical MWE term
             continue
-        terms.extend(analyzer.terms(word))
+        for tok in analyzer.terms(word):
+            terms.extend(resolve(tok))
     return terms

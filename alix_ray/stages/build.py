@@ -165,6 +165,7 @@ class IndexBuilder:
         docs_rows_per_file: int = 250,
         docs_max_file_bytes: int = 1_500_000,
         keep_positions: bool = False,
+        hunspell_resources: tuple | None = None,
     ):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
@@ -182,6 +183,9 @@ class IndexBuilder:
         # analyzed artifact size ~3-5x and BM25 needs only tf
         # (SURVEY.md §7.4.6) — off by default, on for span/phrase queries
         self.keep_positions = keep_positions
+        # (dic_lines, aff_text) → compile a vocabulary-restricted
+        # Hunspell sidecar after term_stats (HunspellCompiler analog)
+        self.hunspell_resources = hunspell_resources
         self.manifest = Manifest(out_dir)
 
     # -- stage 1: docs -------------------------------------------------
@@ -482,4 +486,23 @@ class IndexBuilder:
             "postings", fp_stats, self.shard_range, self.num_buckets
         )
         self.build_term_stats(fp_postings)
+        if self.hunspell_resources is not None:
+            # HunspellCompiler.compile analog: prune the supplied dic
+            # to the indexed vocabulary, annotate fr: counts, write the
+            # <field>.dic/.aff sidecar pair next to the index
+            from ..analysis.hunspell import compile_restricted
+
+            ts = pq.read_table(
+                os.path.join(self.out_dir, "term_stats"),
+                columns=["term", "cf"],
+            )
+            term_cf = dict(zip(ts["term"].to_pylist(),
+                               ts["cf"].to_pylist()))
+            dic_lines, aff_text = self.hunspell_resources
+            kept = compile_restricted(
+                dic_lines, aff_text, term_cf,
+                os.path.join(self.out_dir, "hunspell"),
+            )
+            self.manifest.append(stage="hunspell", status="done",
+                                 rows=kept, fingerprint="sidecar")
         return self.out_dir
