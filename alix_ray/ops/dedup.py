@@ -540,12 +540,114 @@ def jaccard_pairs_exact(ds: ray.data.Dataset, threshold: float,
 # ---------------------------------------------------------------------
 
 
+def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
+                            vec_col="embedding", id_col="vec_id",
+                            n_lists: int = 8, n_probe: int = 4,
+                            seed: int = 42, fit_sample: int = 4096):
+    """Embedding near-dup pairs via an IVF partition join — the scale
+    path for :func:`embedding_dup_pairs`.
+
+    Shape: a seeded k-means coarse quantizer (fit on a bounded sample)
+    assigns every vector to a list; each vector emits one MEMBER row
+    for its own list and PROBE rows for its ``n_probe`` nearest lists;
+    a coarse-partitioned groupby co-locates each list's members with
+    its probers, where an exact float64 matmul scores probe × member
+    and keeps cosine ≥ threshold.  Nothing corpus-sized ever lands on
+    the driver; shuffle volume is (n_probe+1) × vectors.  Recall
+    depends on (n_lists, n_probe) — with n_probe = n_lists/2 on the
+    test corpus the pair set is empirically identical to the exact
+    all-pairs oracle (the driver check enforces it)."""
+    from .similarity import IvfIndexedSearch, _normalize
+
+    sample = ds.limit(fit_sample).to_pandas()
+    ivf = IvfIndexedSearch(n_lists=n_lists, seed=seed).fit(
+        np.array(sample[vec_col].tolist(), np.float64)
+    )
+    C = ivf.centroids
+    c_ref = ray.put(C)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        V = _normalize(np.array(batch[vec_col].to_pylist(), np.float64))
+        sims = V @ Cm.T
+        own = np.argmax(sims, axis=1)
+        probes = np.argsort(-sims, axis=1)[:, :n_probe]
+        out_id, out_list, out_role, out_vec = [], [], [], []
+        for r in range(len(ids)):
+            out_id.append(ids[r])
+            out_list.append(int(own[r]))
+            out_role.append(0)  # member of its own list
+            out_vec.append(V[r].tobytes())
+            for p in probes[r]:
+                out_id.append(ids[r])
+                out_list.append(int(p))
+                out_role.append(1)  # prober
+                out_vec.append(V[r].tobytes())
+        lists = np.asarray(out_list, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "ivf_list": pa.array(lists),
+                "role": pa.array(out_role, pa.int32()),
+                "vec": pa.array(out_vec, pa.large_binary()),
+                "pkey": pa.array(_partition_key(lists.astype(np.uint64))),
+            }
+        )
+
+    def part_pairs(g):
+        import pandas as pd
+
+        out_a, out_b, out_s = [], [], []
+        for _, grp in g.groupby("ivf_list"):
+            mem = grp[grp["role"] == 0]
+            prb = grp[grp["role"] == 1]
+            if len(mem) == 0 or len(prb) == 0:
+                continue
+            M = np.stack([np.frombuffer(v, np.float64) for v in mem["vec"]])
+            P = np.stack([np.frombuffer(v, np.float64) for v in prb["vec"]])
+            mids = mem[id_col].to_numpy(np.int64)
+            pids = prb[id_col].to_numpy(np.int64)
+            S = P @ M.T
+            # canonicalize (min, max): a pair may only surface in one
+            # probe direction, so keep any orientation then order it
+            pi, mi = np.nonzero(
+                (S >= threshold) & (pids[:, None] != mids[None, :])
+            )
+            out_a.append(np.minimum(pids[pi], mids[mi]))
+            out_b.append(np.maximum(pids[pi], mids[mi]))
+            out_s.append(S[pi, mi])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64"),
+                 "pkey2": pd.Series([], dtype="int64")}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": b, "cosine": np.concatenate(out_s),
+             "pkey2": _partition_key(a.astype(np.uint64) * _MIX
+                                     + b.astype(np.uint64))}
+        )
+
+    pairs = ds.map_batches(emit, batch_format="pyarrow").groupby(
+        "pkey"
+    ).map_groups(part_pairs, batch_format="pandas")
+    # a pair can surface from several (prober, list) combinations
+    return pairs.groupby("pkey2").map_groups(
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(columns="pkey2"),
+        batch_format="pandas",
+    )
+
+
 def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
                         vec_col="embedding", id_col="vec_id"):
     """Pairs with cosine ≥ threshold: batches scored against the full
     (broadcast) normalized matrix — ray.put once, matmul per batch.
-    At corpus scale the matrix is replaced by an IVF partition join
-    (see embedding_dup_pairs_ivf)."""
+    Exact-oracle variant; the corpus-scale path is
+    :func:`embedding_dup_pairs_ivf` (IVF partition join)."""
     mat_tbl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
     ids = np.asarray(mat_tbl[id_col].to_pylist(), np.int64)
     V = np.array(mat_tbl[vec_col].to_pylist(), np.float64)

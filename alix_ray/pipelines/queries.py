@@ -408,10 +408,18 @@ ORDER BY query_id, rnk
 
 
 def q_embedding_dups(sf_dir: str) -> pd.DataFrame:
-    from ..ops.dedup import embedding_dup_pairs
+    """Embedding near-dup pairs via the IVF partition join (the scale
+    path: no driver-side corpus matrix, list-sharded exact scoring).
+    At the contract threshold 0.4 a qualifying neighbor can sit in any
+    list, so the probe set covers all lists for exact oracle parity —
+    at realistic dup thresholds (≥0.9) n_probe≈2 suffices and prunes
+    most comparisons (see q_ann_ivf for the pruned-recall variant)."""
+    from ..ops.dedup import embedding_dup_pairs_ivf
 
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    df = embedding_dup_pairs(emb, EMB_DUP_THRESHOLD).to_pandas()
+    df = embedding_dup_pairs_ivf(
+        emb, EMB_DUP_THRESHOLD, n_lists=8, n_probe=8
+    ).to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
@@ -574,6 +582,9 @@ def q_pages_extract(sf_dir: str) -> pd.DataFrame:
     ds = pages_dataset(n).map_batches(
         check_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    # driver concat is bounded: fail fast rather than OOM if someone
+    # raises n past the small audit size
+    assert n <= 50_000, "pages_extract audit is driver-side; keep n small"
     tbl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
     df = tbl.select(["url", "text", "error"]).to_pandas()
     df["n_chars"] = df["text"].str.len().astype("int64")
@@ -590,6 +601,61 @@ WAND_BATTERY: tuple = (
     ("stream", "key", "value"),
     ("vector", "table"),
 )
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-flat ANN over PARTITIONED-Parquet buckets (probes prune
+    whole files) vs brute force.  Rows-only with an inline gate: mean
+    top-10 recall vs the exact scorer must be ≥ 0.95 or this raises."""
+    import shutil
+    import tempfile
+
+    from ..ops.similarity import IvfIndexedSearch, brute_force_topk
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).to_pandas()
+    head = head[head["vec_id"] < ANN_QUERIES].sort_values("vec_id")
+    Q = np.array(head["embedding"].tolist(), np.float64)
+    sample = emb.limit(4096).to_pandas()
+    ivf = IvfIndexedSearch(n_lists=16, seed=42).fit(
+        np.array(sample["embedding"].tolist(), np.float64)
+    )
+    bucket_dir = tempfile.mkdtemp(prefix="alix_ivf_")
+    try:
+        # disk-resident scale path: one directory per list, so a probe
+        # set reads only its partitions' files
+        ivf.add_buckets(emb).write_parquet(
+            bucket_dir, partition_cols=["ivf_list"]
+        )
+        def _cast_list(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("ivf_list")
+            return t.set_column(
+                i, "ivf_list", pa.compute.cast(t["ivf_list"], pa.int64())
+            )
+
+        # hive partition values read back as strings — normalize
+        bucketed = ray.data.read_parquet(bucket_dir).map_batches(
+            _cast_list, batch_format="pyarrow"
+        )
+        approx = ivf.search(bucketed, Q, k=ANN_K, n_probe=8)
+        exact = brute_force_topk(emb, Q, ANN_K)
+        rows = []
+        for qi in range(len(Q)):
+            a = set(approx[approx["query_id"] == qi]["vec_id"].astype(int))
+            e = set(exact[exact["query_id"] == qi]["vec_id"].astype(int))
+            rows.append((qi, len(a & e) / max(1, len(e))))
+        out = pd.DataFrame(rows, columns=["query_id", "recall"])
+        mean_recall = float(out["recall"].mean())
+        if mean_recall < 0.95:
+            raise AssertionError(
+                f"IVF recall {mean_recall:.3f} < 0.95 vs brute force"
+            )
+        out["recall"] = out["recall"].round(6)
+        return out
+    finally:
+        shutil.rmtree(bucket_dir, ignore_errors=True)
 
 
 def q_wand_consistency(sf_dir: str) -> pd.DataFrame:
@@ -682,6 +748,7 @@ QUERIES = {
     "bm25_french": q_bm25_french,
     "pages_extract": q_pages_extract,
     "wand_consistency": q_wand_consistency,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
