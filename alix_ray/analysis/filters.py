@@ -8,6 +8,7 @@ per filter), not ported code.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from collections import deque
 from functools import lru_cache
@@ -557,3 +558,108 @@ def cleanup(toks: list[Tok]) -> tuple[list[tuple[str, int]], int, int]:
             last_emitted_pos = p
     width = last_emitted_pos + 1
     return emitted, width, len(emitted)
+
+
+# ---------------------------------------------------------------------
+# MarkupZoneFilter (MarkupZoneFilter.java:1-310)
+# ---------------------------------------------------------------------
+
+_ZONE_OR_SPLIT = re.compile(r"\s*\|\s*")
+_ZONE_ATTR_ATOM = re.compile(r"^@([^\s=]+)(?:\s*=\s*(['\"])(.*?)\2)?$")
+_TAG_ATTRS = re.compile(
+    r"""([^\s=/>]+)(?:\s*=\s*(?:'([^']*)'|"([^"]*)"|([^\s>]*)))?"""
+)
+
+
+def _local_name(qname: str) -> str:
+    """QName → local name (prefix ignored, MarkupZoneFilter.java:56)."""
+    return qname.rsplit(":", 1)[-1]
+
+
+class ZoneMatch:
+    """Compiled ``matchExpr``: a ``|``-separated OR of element names,
+    ``@attr`` presence tests, and ``@attr='value'`` tests
+    (MarkupZoneFilter.java:51-66 — no XPath/AND/wildcards)."""
+
+    def __init__(self, expr: str):
+        if expr is None:
+            raise TypeError("matchExpr is None")
+        self.elems: set[str] = set()
+        self.attrs: list[tuple[str, str | None]] = []
+        for raw in _ZONE_OR_SPLIT.split(expr.strip()):
+            atom = raw.strip()
+            if not atom:
+                continue
+            m = _ZONE_ATTR_ATOM.match(atom)
+            if m:
+                self.attrs.append(
+                    (_local_name(m.group(1)),
+                     m.group(3) if m.group(2) else None)
+                )
+            else:
+                self.elems.add(_local_name(atom))
+        if not self.elems and not self.attrs:
+            raise ValueError(f"matchExpr has no usable atoms: {expr!r}")
+
+    def matches_start(self, tag_text: str) -> bool:
+        inner = tag_text[1:-1].strip()
+        if inner.endswith("/"):
+            inner = inner[:-1]
+        parts = inner.split(None, 1)
+        if not parts:
+            return False
+        name = _local_name(parts[0])
+        if name in self.elems:
+            return True
+        if self.attrs and len(parts) > 1:
+            attrs = {}
+            for m in _TAG_ATTRS.finditer(parts[1]):
+                val = m.group(2) or m.group(3) or m.group(4)
+                attrs[_local_name(m.group(1))] = val if val is not None else ""
+            for aname, aval in self.attrs:
+                if aname in attrs and (aval is None or attrs[aname] == aval):
+                    return True
+        return False
+
+
+def markup_zone_filter(toks: list[Tok], match_expr: str,
+                       mode: str = "include") -> list[Tok]:
+    """Zone include/exclude by open-element match
+    (MarkupZoneFilter.java:71-310).
+
+    Maintains a stack of open elements; "in zone" = at least one open
+    element whose START tag matched.  ``include`` keeps tokens only in
+    zone, ``exclude`` drops them there.  Order parity with the
+    reference: an OPEN tag is decided AFTER its push (the opening tag
+    of a matched zone is in-zone) and a CLOSE tag BEFORE its pop (the
+    closing tag is not lost); self-closing tags and ``<?``/``<!``
+    tokens never touch the stack.
+    """
+    zm = ZoneMatch(match_expr)
+    include = mode == "include"
+    stack: list[bool] = []
+    depth = 0  # number of matched open elements
+    out: list[Tok] = []
+    for t in toks:
+        if t.cls == "XML":
+            txt = t.text
+            if txt.startswith("<?") or txt.startswith("<!"):
+                pass  # PI/comment/doctype: no stack effect
+            elif txt.endswith("/>"):
+                pass  # EMPTY: recognized, no push/pop
+            elif txt.startswith("</"):
+                in_zone = depth > 0
+                if include == in_zone:
+                    out.append(t)
+                if stack and stack.pop():
+                    depth -= 1
+                continue
+            else:
+                matched = zm.matches_start(txt)
+                stack.append(matched)
+                if matched:
+                    depth += 1
+        in_zone = depth > 0
+        if include == in_zone:
+            out.append(t)
+    return out

@@ -435,3 +435,20 @@ class MarkupTokenizer:
             if _starts_sentence(t.text):
                 return detach(None)
             return pending
+
+
+class LineTokenizer:
+    """Each line is one token; empty lines dropped
+    (LineTokenizer.java:12-50).  Offsets account for the newline."""
+
+    def tokenize(self, s: str) -> list[Tok]:
+        out: list[Tok] = []
+        offset = 0
+        for line in s.split("\n"):
+            if line:
+                out.append(Tok(line, "LINE", offset, offset + len(line)))
+            offset += len(line) + 1
+        return out
+
+    def terms(self, s: str) -> list[str]:
+        return [t.text for t in self.tokenize(s)]

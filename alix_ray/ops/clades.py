@@ -162,3 +162,39 @@ def positive_keyness_chord(counts: np.ndarray, scorer=None) -> np.ndarray:
         pos = scores > 0
         profiles[r, pos] = np.sqrt(scores[pos])
     return _chord_distances(profiles)
+
+
+def randomized_svd(A: np.ndarray, dims: int, oversamples: int = 20,
+                   power_iterations: int = 4, seed: int = 0x5DEECE66D):
+    """Halko–Martinsson–Tropp randomized truncated SVD
+    (RandomizedSvd.java:49-200): Gaussian range sampling with
+    oversampling + subspace power iterations (QR-stabilized), then an
+    exact SVD of the small projected matrix.  Deterministic: the test
+    matrix is drawn from a fixed seed.  Returns ``(U, S, Vt)`` with
+    ``dims`` components, singular values descending.
+
+    This is the clades scale path: an exact SVD of a (vocab × parts)
+    residual matrix is O(vocab·parts²); the sketch needs only
+    matrix–panel products, which distribute (each Ray block computes
+    its row-slice of ``A @ G``)."""
+    A = np.asarray(A, np.float64)
+    if A.ndim != 2:
+        raise ValueError("matrix must be 2-D")
+    if dims <= 0:
+        raise ValueError("dims must be positive")
+    if oversamples < 0 or power_iterations < 0:
+        raise ValueError("oversamples and powerIterations must be non-negative")
+    n_rows, n_cols = A.shape
+    k = min(dims + oversamples, min(n_rows, n_cols))
+    rng = np.random.default_rng(seed)
+    G = rng.standard_normal((n_cols, k))
+    Y = A @ G
+    Q, _ = np.linalg.qr(Y)
+    for _ in range(power_iterations):
+        Z, _ = np.linalg.qr(A.T @ Q)
+        Q, _ = np.linalg.qr(A @ Z)
+    B = Q.T @ A
+    Ub, S, Vt = np.linalg.svd(B, full_matrices=False)
+    U = Q @ Ub
+    dims = min(dims, len(S))
+    return U[:, :dims], S[:dims], Vt[:dims]

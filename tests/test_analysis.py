@@ -211,3 +211,89 @@ class TestOptionalFilters:
                            pers_initial=False)
         s = "<p>J'aime l'analyse qu'il fit.</p>"
         assert a.analyze(s) == b.analyze(s)
+
+
+class TestMarkupZoneFilter:
+    def _toks(self, html):
+        from alix_ray.analysis.tokenizer import MarkupTokenizer
+
+        return MarkupTokenizer().tokenize(html)
+
+    def test_include_element_zone(self):
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        toks = self._toks("<div>out <note>in zone</note> out2</div>")
+        kept = [t.text for t in markup_zone_filter(toks, "note")
+                if t.cls == "WORD"]
+        assert kept == ["in", "zone"]
+
+    def test_exclude_element_zone(self):
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        toks = self._toks("<div>out <note>in zone</note> out2</div>")
+        kept = [t.text for t in markup_zone_filter(toks, "note", "exclude")
+                if t.cls == "WORD"]
+        assert kept == ["out", "out2"]
+
+    def test_attribute_value_atom(self):
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        toks = self._toks(
+            "<p>a</p><p data-type='quote'>b</p><p data-type=\"x\">c</p>"
+        )
+        kept = [t.text for t in
+                markup_zone_filter(toks, "@data-type='quote'")
+                if t.cls == "WORD"]
+        assert kept == ["b"]
+
+    def test_attribute_presence_atom(self):
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        toks = self._toks("<p>a</p><p disabled>b</p>")
+        kept = [t.text for t in markup_zone_filter(toks, "@disabled")
+                if t.cls == "WORD"]
+        assert kept == ["b"]
+
+    def test_or_atoms_and_prefix_ignored(self):
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        toks = self._toks("<tei:note>a</tei:note><head>b</head><p>c</p>")
+        kept = [t.text for t in
+                markup_zone_filter(toks, "note | head")
+                if t.cls == "WORD"]
+        assert kept == ["a", "b"]
+
+    def test_zone_boundary_tags_kept_in_include(self):
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        toks = self._toks("<div>x <note>y</note> z</div>")
+        kept = [t.text for t in markup_zone_filter(toks, "note")]
+        assert kept[0].startswith("<note") and kept[-1] == "</note>"
+
+    def test_self_closing_no_stack_effect(self):
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        toks = self._toks("<div>a <note/> b</div>")
+        kept = [t.text for t in markup_zone_filter(toks, "note", "exclude")
+                if t.cls == "WORD"]
+        assert kept == ["a", "b"]
+
+    def test_bad_expr_raises(self):
+        import pytest
+
+        from alix_ray.analysis.filters import markup_zone_filter
+
+        with pytest.raises(ValueError):
+            markup_zone_filter([], "  |  ")
+
+
+class TestLineTokenizer:
+    def test_lines_are_tokens_empties_dropped(self):
+        from alix_ray.analysis.tokenizer import LineTokenizer
+
+        lt = LineTokenizer()
+        toks = lt.tokenize("first line\n\nsecond\n")
+        assert [t.text for t in toks] == ["first line", "second"]
+        assert toks[0].start == 0 and toks[0].end == 10
+        assert toks[1].start == 12
+        assert lt.terms("a\nb") == ["a", "b"]

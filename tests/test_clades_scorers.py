@@ -200,3 +200,42 @@ class TestRound2Scorers:
         assert "score" in scored.columns
         ab = scored[(scored["row"] == "a") & (scored["col"] == "b")]
         assert len(ab) == 1 and ab["score"].iloc[0] >= 0
+
+
+class TestRandomizedSvd:
+    def test_matches_exact_svd_on_decaying_spectrum(self):
+        import numpy as np
+
+        from alix_ray.ops.clades import randomized_svd
+
+        rng = np.random.default_rng(7)
+        # low-rank + noise: spectrum decays, the HMT regime
+        A = (rng.standard_normal((120, 40)) @ np.diag(
+            np.concatenate([np.array([50, 20, 10, 5.0]), np.full(36, 0.01)])
+        ))
+        U, S, Vt = randomized_svd(A, 4)
+        S_exact = np.linalg.svd(A, compute_uv=False)[:4]
+        assert S == pytest.approx(S_exact, rel=1e-6)
+        # reconstruction error bounded by the next singular value
+        err = np.linalg.norm(A - (U * S) @ Vt, 2)
+        assert err <= np.linalg.svd(A, compute_uv=False)[4] * 1.5
+
+    def test_deterministic(self):
+        import numpy as np
+
+        from alix_ray.ops.clades import randomized_svd
+
+        A = np.arange(200, dtype=float).reshape(20, 10)
+        _, s1, _ = randomized_svd(A, 3)
+        _, s2, _ = randomized_svd(A, 3)
+        assert np.array_equal(s1, s2)
+
+    def test_validation(self):
+        import numpy as np
+
+        from alix_ray.ops.clades import randomized_svd
+
+        with pytest.raises(ValueError):
+            randomized_svd(np.zeros((3, 3)), 0)
+        with pytest.raises(ValueError):
+            randomized_svd(np.zeros(3), 2)
