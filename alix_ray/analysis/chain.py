@@ -62,9 +62,7 @@ class FrenchAnalyzer:
         self.sentence_start_lower = sentence_start_lower
         self.pers_initial = pers_initial
 
-    def analyze(self, text: str):
-        """Run the canonical chain on one document (optional members per
-        constructor flags — SURVEY.md §2.2 optional chain rows)."""
+    def _chain(self, text: str):
         from .filters import (
             ocr_garbage_filter,
             pers_initial_filter,
@@ -85,7 +83,21 @@ class FrenchAnalyzer:
         toks = stop_filter(toks, self.stopwords)
         if self.ocr_garbage:
             toks = ocr_garbage_filter(toks)
-        return cleanup(toks)
+        return toks
+
+    def analyze(self, text: str):
+        """Run the canonical chain on one document (optional members per
+        constructor flags — SURVEY.md §2.2 optional chain rows)."""
+        return cleanup(self._chain(text))
+
+    def analyze_counts(self, text: str):
+        """Chain + per-term COUNTS (no position stream) — the BM25
+        build path (keep_positions=False) never looks at positions, so
+        skipping the per-token tuple stream cuts the dominant
+        allocation pressure of the hot analyze stage."""
+        from .filters import cleanup_counts
+
+        return cleanup_counts(self._chain(text))
 
     def terms(self, text: str) -> list[str]:
         return [t for t, _ in self.analyze(text)[0]]

@@ -528,9 +528,17 @@ def _cleanup_accept(t: Tok) -> bool:
         return False
     if t.lemma:
         return True  # lemma copied over surface by caller
+    return _all_latin(text)
+
+
+@lru_cache(maxsize=65536)
+def _all_latin(text: str) -> bool:
+    """No non-Latin letters (greek / OCR garbage test) — cached per
+    distinct token text: the Zipf head repeats constantly, so the char
+    scan runs once per vocabulary entry, not once per occurrence."""
     for c in text:
         if _is_letter(c) and not _is_latin_letter(c):
-            return False  # greek / OCR garbage
+            return False
     return True
 
 
@@ -558,6 +566,31 @@ def cleanup(toks: list[Tok]) -> tuple[list[tuple[str, int]], int, int]:
             last_emitted_pos = p
     width = last_emitted_pos + 1
     return emitted, width, len(emitted)
+
+
+def cleanup_counts(toks: list[Tok]) -> tuple[dict, int, int]:
+    """Same walk as :func:`cleanup`, but aggregates per-term COUNTS
+    instead of emitting a (term, position) stream — for consumers that
+    only need tf (the BM25 build).  Identical skip/accept/width
+    semantics by construction."""
+    counts: dict[str, int] = {}
+    pos = 0
+    last_emitted_pos = -1
+    n = 0
+    for t in toks:
+        if not t.text:
+            pos += 1
+            continue
+        if _cleanup_skip(t):
+            continue
+        p = pos
+        pos += 1
+        if _cleanup_accept(t):
+            term = t.lemma if t.lemma else t.text
+            counts[term] = counts.get(term, 0) + 1
+            last_emitted_pos = p
+            n += 1
+    return counts, last_emitted_pos + 1, n
 
 
 # ---------------------------------------------------------------------

@@ -265,11 +265,14 @@ class MarkupTokenizer:
                 yield Tok(s[i:j], "PUNCTsent", i, j)
                 i = j
                 continue
-            if _is_digit(c):
+            f = _FLAGS.get(c)
+            if f is None:
+                f = _flags(c)
+            if f & _DIGIT:
                 tok, i, pending = self._read_number(s, i, "")
                 yield tok
                 continue
-            if _is_token_char(c):
+            if f & _TOKENC:
                 res = self._read_word(s, i)
                 if res is None:
                     i += 1  # defensive; _read_word always advances
@@ -285,9 +288,13 @@ class MarkupTokenizer:
         n = len(s)
         start = i - len(prefix)
         buf = list(prefix)
+        fget = _FLAGS.get
         while i < n:
             c = s[i]
-            if not _is_digit(c):
+            f = fget(c)
+            if f is None:
+                f = _flags(c)
+            if not f & _DIGIT:
                 last = buf[-1] if buf else ""
                 if c not in ".," or last in ".,":
                     break
@@ -308,10 +315,14 @@ class MarkupTokenizer:
         amp = -1
         last_raw = ""
         trailing_dot = False
+        fget = _FLAGS.get
         while i < n:
             c = s[i]
+            f = fget(c)
+            if f is None:
+                f = _flags(c)
             if trailing_dot:
-                if not _is_letter(c) and not self._is_brevidot("".join(buf)):
+                if not f & _LETTER and not self._is_brevidot("".join(buf)):
                     break
                 trailing_dot = False
             # entity decode: ';' closing a '&…' span of ≥1 chars
@@ -350,10 +361,10 @@ class MarkupTokenizer:
                 trailing_dot = True
                 continue
             # "-42": literal minus then digit → negative number
-            if last_raw == "-" and len(buf) == 1 and _is_digit(c):
+            if last_raw == "-" and len(buf) == 1 and f & _DIGIT:
                 tok, i, pending = self._read_number(s, i, buf[0])
                 return tok, i, pending
-            if not _flags(c) & _TOKENC:
+            if not f & _TOKENC:
                 break
             if c == "&":
                 amp = len(buf)

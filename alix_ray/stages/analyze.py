@@ -110,12 +110,23 @@ class AnalyzeDocs:
         texts = batch[self.text_col].to_pylist()
         terms_col, tfs_col, widths, ntoks = [], [], [], []
         pos_terms_col, pos_col = [], []
-        analyze = self.analyzer.analyze
+        # fast path: BM25 needs only tf — analyze_counts skips the
+        # per-token (term, position) tuple stream entirely
+        count_mode = not self.keep_positions and hasattr(
+            self.analyzer, "analyze_counts"
+        )
+        analyze = (
+            self.analyzer.analyze_counts if count_mode
+            else self.analyzer.analyze
+        )
         for text in texts:
-            emitted, width, n = analyze(text or "")
-            counts: dict[str, int] = {}
-            for term, _ in emitted:
-                counts[term] = counts.get(term, 0) + 1
+            if count_mode:
+                counts, width, n = analyze(text or "")
+            else:
+                emitted, width, n = analyze(text or "")
+                counts = {}
+                for term, _ in emitted:
+                    counts[term] = counts.get(term, 0) + 1
             # deterministic order: sorted by term (stable across runs)
             items = sorted(counts.items())
             terms_col.append([t for t, _ in items])

@@ -74,17 +74,29 @@ class Manifest:
 
     def record_partitions(self, stage: str, out_dir: str, fingerprint: str,
                           wall_ms: int) -> None:
-        total_rows = 0
-        for name in sorted(os.listdir(out_dir)):
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = sorted(
+            n for n in os.listdir(out_dir) if n.endswith(".parquet")
+        )
+
+        def meta(name):
             p = os.path.join(out_dir, name)
-            if not name.endswith(".parquet"):
-                continue
-            md = pq.read_metadata(p)
-            total_rows += md.num_rows
-            self.append(
-                stage=stage, partition=name, fingerprint=fingerprint,
-                rows=md.num_rows, bytes=os.path.getsize(p), status="partition",
-            )
+            return name, pq.read_metadata(p).num_rows, os.path.getsize(p)
+
+        # footer reads are I/O-bound and independent — a serial loop
+        # over ~1000 partition files costs ~1s of pure driver wall
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            metas = list(ex.map(meta, names))
+        total_rows = 0
+        with open(self.path, "a") as f:
+            for name, rows, nbytes in metas:
+                total_rows += rows
+                row = {"stage": stage, "partition": name,
+                       "fingerprint": fingerprint, "rows": rows,
+                       "bytes": nbytes, "status": "partition",
+                       "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+                f.write(json.dumps(row) + "\n")
         self.append(stage=stage, fingerprint=fingerprint, rows=total_rows,
                     wall_ms=wall_ms, status="done")
 
@@ -367,6 +379,7 @@ class IndexBuilder:
             stage="doc_stats", fingerprint=fp, status="done",
             wall_ms=int((time.time() - t0) * 1000),
         )
+        t0 = time.time()  # config wall measures ONLY the aggregate
         # global sums via per-batch partials + driver merge over the
         # written artifact — rows never materialize on the driver, and
         # the partial table is O(#blocks) (a Ray global aggregate costs

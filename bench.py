@@ -212,13 +212,17 @@ def _calib_work(seconds: float, _i: int) -> int:
     t0 = _t.time()
     cnt = 0
     while _t.time() - t0 < seconds:
-        fa.analyze(texts[cnt % 100])
+        fa.analyze_counts(texts[cnt % 100])  # the build's actual hot path
         cnt += 1
     return cnt
 
 
 def run_scaling() -> dict:
-    """Same job, two parallelism levels, fresh processes."""
+    """Same job, two parallelism levels, fresh processes.
+
+    Each level runs TWICE and the faster run counts: single builds
+    have ±10% wall noise on this box (thermal/turbo state, page
+    cache), which otherwise dominates the efficiency ratio."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -229,18 +233,25 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # warm the page cache / generate input once before timing
-    r_warm = None
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # hardware ceiling bracketing the builds (cold + hot states — the
+    # mp calibration itself swings ~0.1 with thermal/turbo drift)
+    ceil_pre = hw_ceiling(lo, hi)
+    # alternate levels so thermal/turbo drift doesn't systematically
+    # penalize whichever level runs later; best-of-2 per level
+    seq = [run(n) for n in (lo, hi, lo, hi)]
+    r_lo = min(seq[0::2], key=lambda r: r["value"])
+    r_hi = min(seq[1::2], key=lambda r: r["value"])
     thr_lo = r_lo["docs_per_sec"]
     thr_hi = r_hi["docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
-    ceiling = hw_ceiling(lo, hi)
+    ceil_post = hw_ceiling(lo, hi)
+    ceiling = (ceil_pre + ceil_post) / 2
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "hw_ceiling": round(ceiling, 3),
+        "hw_ceiling_pre": round(ceil_pre, 3),
+        "hw_ceiling_post": round(ceil_post, 3),
         "design_efficiency": round(min(1.0, eff / ceiling), 3),
         "unit": "ratio",
         "cpus_lo": lo,
