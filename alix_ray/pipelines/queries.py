@@ -1101,13 +1101,74 @@ SQL_SPAN_NEAR = "\nUNION ALL\n".join(
 
 def q_contrastive_terms(sf_dir: str) -> pd.DataFrame:
     """/terms contrastive mode: LL-tail over the lang partition, focus
-    'en' (rows-only — pairwise part scoring is not SQL-expressible)."""
+    'en'.  Oracle-checked: with the 5-language partition the 20% tail
+    of 4 pairwise comparisons is the single worst one, so the score is
+    ``min_p G2(focus, p) × (fdf/focusDocs)^0.3`` — closed-form SQL."""
     from ..ops.analytics import contrastive_terms
     from ..ops.textstats import round_half_away
 
     df = contrastive_terms(_docs(sf_dir), "lang", KEYNESS_FOCUS_LANG, k=20)
     df["score"] = round_half_away(df["score"].to_numpy())
     return df.reset_index(drop=True)
+
+
+# Pairwise signed G2 of the focus language against EVERY other
+# language (never a pooled rest — PartScorer.java LogLikelihoodTail),
+# worst pair kept, damped by focus-document coverage ^0.3, floor
+# fdf >= 3 (the contrastive_terms defaults).
+SQL_CONTRASTIVE_TERMS = f"""
+WITH toks AS ({TOKS}),
+tagged AS (SELECT t.term, t.doc_id, d.lang
+           FROM toks t JOIN documents d USING (doc_id)),
+counts AS (SELECT term, lang, count(*)::DOUBLE AS cnt
+           FROM tagged GROUP BY term, lang),
+pt AS (SELECT lang, count(*)::DOUBLE AS tok FROM tagged GROUP BY lang),
+terms AS (SELECT DISTINCT term FROM counts),
+cells AS (
+  SELECT tm.term, p.lang,
+    coalesce(fo.cnt, 0) AS fo, fpt.tok AS fo_tokens,
+    coalesce(ot.cnt, 0) AS ot, p.tok AS ot_tokens
+  FROM terms tm
+  CROSS JOIN (SELECT lang, tok FROM pt
+              WHERE lang <> '{KEYNESS_FOCUS_LANG}' AND tok >= 1) p
+  CROSS JOIN (SELECT tok FROM pt
+              WHERE lang = '{KEYNESS_FOCUS_LANG}') fpt
+  LEFT JOIN counts fo ON fo.term = tm.term
+                      AND fo.lang = '{KEYNESS_FOCUS_LANG}'
+  LEFT JOIN counts ot ON ot.term = tm.term AND ot.lang = p.lang),
+g AS (
+  SELECT term, lang,
+    (CASE WHEN fo > 0 AND fo_tokens * (fo + ot) / (fo_tokens + ot_tokens) > 0
+      THEN 2 * fo * ln(fo / (fo_tokens * (fo + ot) / (fo_tokens + ot_tokens)))
+      ELSE 0 END) +
+    (CASE WHEN ot > 0 AND ot_tokens * (fo + ot) / (fo_tokens + ot_tokens) > 0
+      THEN 2 * ot * ln(ot / (ot_tokens * (fo + ot) / (fo_tokens + ot_tokens)))
+      ELSE 0 END) +
+    (CASE WHEN fo_tokens - fo > 0
+      THEN 2 * (fo_tokens - fo) * ln((fo_tokens - fo) /
+        (fo_tokens * ((fo_tokens - fo) + (ot_tokens - ot))
+         / (fo_tokens + ot_tokens)))
+      ELSE 0 END) +
+    (CASE WHEN ot_tokens - ot > 0
+      THEN 2 * (ot_tokens - ot) * ln((ot_tokens - ot) /
+        (ot_tokens * ((fo_tokens - fo) + (ot_tokens - ot))
+         / (fo_tokens + ot_tokens)))
+      ELSE 0 END) AS raw,
+    CASE WHEN fo / fo_tokens >= ot / ot_tokens THEN 1 ELSE -1 END AS sgn
+  FROM cells),
+per_term AS (SELECT term, min(sgn * raw) AS min_g2 FROM g GROUP BY term),
+fdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS fdf
+  FROM tagged WHERE lang = '{KEYNESS_FOCUS_LANG}' GROUP BY term),
+nf AS (SELECT count(*)::DOUBLE AS n
+       FROM documents WHERE lang = '{KEYNESS_FOCUS_LANG}'),
+scored AS (
+  SELECT p.term, p.min_g2 * pow(f.fdf / nf.n, 0.3) AS score
+  FROM per_term p JOIN fdf f USING (term) CROSS JOIN nf
+  WHERE f.fdf >= 3)
+SELECT term, round(score, 6) AS score
+FROM scored ORDER BY scored.score DESC, term LIMIT 20
+"""
 
 QUERIES.update({
     "contrastive_terms": q_contrastive_terms,
@@ -1128,4 +1189,5 @@ ORACLES.update({
     "span_near": SQL_SPAN_NEAR,
     "wand_consistency": SQL_WAND_CONSISTENCY,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "contrastive_terms": SQL_CONTRASTIVE_TERMS,
 })
