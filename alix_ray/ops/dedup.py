@@ -395,6 +395,143 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------
+# Near-dup clustering: connected components over a pair set
+# ---------------------------------------------------------------------
+
+
+def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
+                         b_col="doc_b", max_iter: int = 30):
+    """Cluster near-dup pairs into components; cluster id = min doc id.
+
+    Distributed min-label propagation: labels start as each node's own
+    id and flow along (symmetrized) edges — two coarse-partitioned
+    groupbys per round (attach L(v) to edges by v, then min-reduce by
+    u), converging in O(component diameter) rounds (near-dup clusters
+    are shallow).  Nothing lands on the driver except the per-round
+    label-sum convergence scalar.  This is the step after
+    :func:`minhash_lsh_pairs` in a dedup pipeline: keep
+    ``doc_id == cluster_id`` rows to retain one representative per
+    cluster.
+
+    Returns a Dataset of ``(doc_id, cluster_id)`` for every doc that
+    appears in some pair.
+    """
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[a_col].to_pylist(), np.int64)
+        b = np.asarray(batch[b_col].to_pylist(), np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table(
+            {"u": pa.array(u), "v": pa.array(v),
+             "pkey": pa.array(_partition_key(v.astype(np.uint64)))}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(g):
+        import pandas as pd
+
+        nodes = np.unique(g["v"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"node": nodes, "label": nodes,
+             "pkey": _partition_key(nodes.astype(np.uint64))}
+        )
+
+    labels = edges.groupby("pkey").map_groups(
+        init_labels, batch_format="pandas"
+    ).materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"u": batch["u"], "v": batch["v"], "pkey": batch["pkey"],
+             "label": pa.array(np.full(n, -1, np.int64))}
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"u": pa.array(np.full(n, -1, np.int64)),
+             "v": batch["node"], "pkey": batch["pkey"],
+             "label": batch["label"]}
+        )
+
+    def attach(g):
+        import pandas as pd
+
+        lab = g[g["u"] < 0]
+        lmap = dict(zip(lab["v"].to_numpy(np.int64),
+                        lab["label"].to_numpy(np.int64)))
+        e = g[g["u"] >= 0]
+        if len(e) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "cand": pd.Series([], dtype="int64"),
+                 "pkey2": pd.Series([], dtype="int64")}
+            )
+        u = e["u"].to_numpy(np.int64)
+        cand = np.array([lmap[x] for x in e["v"].to_numpy(np.int64)],
+                        np.int64)
+        return pd.DataFrame(
+            {"node": u, "cand": cand,
+             "pkey2": _partition_key(u.astype(np.uint64))}
+        )
+
+    def reduce_min(g):
+        import pandas as pd
+
+        out = g.groupby("node", as_index=False)["cand"].min()
+        return out.rename(columns={"cand": "label"})
+
+    prev_sum = None
+    for _ in range(max_iter):
+        cands = (
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+            .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+            .groupby("pkey")
+            .map_groups(attach, batch_format="pandas")
+        )
+        def own_rows(b):
+            import pandas as pd
+
+            node = b["node"].to_numpy(np.int64)
+            # pandas output to match the map_groups blocks it unions with
+            return pd.DataFrame(
+                {"node": node, "cand": b["label"].to_numpy(np.int64),
+                 "pkey2": _partition_key(node.astype(np.uint64))}
+            )
+
+        own = labels.map_batches(own_rows, batch_format="pandas")
+        new_labels = (
+            cands.union(own).groupby("pkey2")
+            .map_groups(reduce_min, batch_format="pandas")
+            .map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "label": b["label"],
+                     "pkey": pa.array(_partition_key(
+                         np.asarray(b["node"].to_pylist(), np.int64)
+                         .astype(np.uint64)))}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = new_labels.sum("label")
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
+            break  # labels only decrease; equal sum = fixpoint
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"], "cluster_id": b["label"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------
 

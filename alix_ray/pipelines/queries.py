@@ -519,6 +519,34 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clusters: MinHash-LSH pairs → distributed connected
+    components (min-label propagation), cluster id = min doc id.
+    Oracle: recursive-CTE transitive closure over the exact shingle
+    pair set."""
+    from ..ops.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_text(sf_dir), threshold=0.5)
+    df = connected_components(pairs).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["cluster_id"] = df["cluster_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_PAIRS.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+
+
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import simhash_pairs
 
@@ -749,6 +777,7 @@ QUERIES = {
     "pages_extract": q_pages_extract,
     "wand_consistency": q_wand_consistency,
     "ann_ivf": q_ann_ivf,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -1190,4 +1219,5 @@ ORACLES.update({
     "wand_consistency": SQL_WAND_CONSISTENCY,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "contrastive_terms": SQL_CONTRASTIVE_TERMS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 })

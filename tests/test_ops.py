@@ -289,3 +289,31 @@ class TestIvf:
         # min_focus_term_docs floor
         import math
         assert math.isnan(part_loglikelihood(counts, tokens, 0, 2, 10))
+
+
+class TestConnectedComponents:
+    def test_chain_and_separate_components(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.dedup import connected_components
+
+        # chain 1-2-3-4 (diameter 3) + pair 10-11
+        pairs = ray.data.from_items(
+            [{"doc_a": 1, "doc_b": 2}, {"doc_a": 2, "doc_b": 3},
+             {"doc_a": 3, "doc_b": 4}, {"doc_a": 10, "doc_b": 11}]
+        )
+        out = connected_components(pairs).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int),
+                       out["cluster_id"].astype(int)))
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_representatives(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.dedup import connected_components
+
+        pairs = ray.data.from_items([{"doc_a": 5, "doc_b": 7},
+                                     {"doc_a": 7, "doc_b": 6}])
+        out = connected_components(pairs).to_pandas()
+        reps = out[out["doc_id"] == out["cluster_id"]]["doc_id"].tolist()
+        assert reps == [5]
