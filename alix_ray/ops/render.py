@@ -59,3 +59,22 @@ def to_html(hits, q: str = "", urls=None, snippets=None) -> str:
         )
     parts.append("</ol>")
     return "\n".join(parts)
+
+
+def order_hits(hits, order: str = "score"):
+    """Explicit /results sort modes (OpResults.java three walks):
+
+    - ``score``: relevance — score desc, doc asc (TopArray rule; the
+      input order from the engine, re-asserted here);
+    - ``doc``: docId order — the reference's "date" walk (ingestion
+      order IS chronological order in its corpora; here doc ids are
+      url-rank, so this is the deterministic corpus walk);
+    - ``doc_desc``: reverse docId walk.
+    """
+    if order == "score":
+        return sorted(hits, key=lambda h: (-h[1], h[0]))
+    if order == "doc":
+        return sorted(hits, key=lambda h: h[0])
+    if order == "doc_desc":
+        return sorted(hits, key=lambda h: -h[0])
+    raise ValueError(f"unknown order {order!r}")

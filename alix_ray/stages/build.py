@@ -200,28 +200,53 @@ class IndexBuilder:
         self.hunspell_resources = hunspell_resources
         self.manifest = Manifest(out_dir)
 
+    # Above this row count the broadcast url dictionary (driver memory
+    # ∝ distinct urls, ~100 B/url) flips to the fully distributed
+    # sort-based path — both produce IDENTICAL ids (rank in url order).
+    BROADCAST_DICT_MAX_ROWS = 20_000_000
+
     # -- stage 1: docs -------------------------------------------------
     def build_docs_from_pages(self, pages: ray.data.Dataset, fingerprint: str):
-        """pages(url,warc_ts,html,text,lang) → docs with dense doc_id."""
+        """pages(url,warc_ts,html,text,lang) → docs with dense doc_id.
+
+        Dedup/id strategy auto-selects on input size: the broadcast
+        url-dictionary (fast: payload never shuffles) up to
+        ``BROADCAST_DICT_MAX_ROWS``, the distributed sort-based
+        assignment beyond it (``docids.dedup_assign_ids`` — the
+        10^12-doc path; ids identical by construction)."""
         fp = _fingerprint("docs", fingerprint)
         if self.manifest.stage_done("docs", fp):
             return
         t0 = time.time()
-        # phase 1: tiny (url, ts) projection shuffle → broadcast dict
-        from .docids import build_url_dictionary, stamp_ids_batch
-
-        urls, ts = build_url_dictionary(pages)
-        dict_ref = ray.put((urls, ts))
-        # phase 2: extract + map-side dedup/stamp — payload never shuffles
         import functools
 
-        extracted = pages.map_batches(
-            extract_batch, batch_format="pyarrow", zero_copy_batch=True
+        from .docids import (
+            build_url_dictionary,
+            dedup_assign_ids,
+            stamp_ids_batch,
         )
-        deduped = extracted.map_batches(
-            functools.partial(stamp_ids_batch, urls_ts_ref=dict_ref),
-            batch_format="pyarrow",
-        )
+
+        n_rows = pages.count()  # parquet metadata — no scan
+        if n_rows > self.BROADCAST_DICT_MAX_ROWS:
+            # distributed path: sort moves (url, ts, text …) — html is
+            # dropped first so the wide exchange never carries it
+            extracted = pages.map_batches(
+                extract_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            deduped, _n = dedup_assign_ids(extracted)
+        else:
+            # phase 1: tiny (url, ts) projection shuffle → broadcast dict
+            urls, ts = build_url_dictionary(pages)
+            dict_ref = ray.put((urls, ts))
+            # phase 2: extract + map-side dedup/stamp — payload never
+            # shuffles
+            extracted = pages.map_batches(
+                extract_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            deduped = extracted.map_batches(
+                functools.partial(stamp_ids_batch, urls_ts_ref=dict_ref),
+                batch_format="pyarrow",
+            )
         # bounded rows per file → the analyze stage reads balanced
         # blocks.  Small bound (default 250 rows) also disperses
         # doc-LENGTH skew: web corpora cluster giant pages under few

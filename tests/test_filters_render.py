@@ -86,3 +86,16 @@ class TestRender:
 
         h = to_html(self.hits, q="needle", urls=self.urls, snippets=self.snips)
         assert "<mark>needle</mark>" in h and "https://a/1" in h
+
+
+def test_order_hits_modes():
+    import pytest
+
+    from alix_ray.ops.render import order_hits
+
+    hits = [(5, 2.0), (3, 2.0), (9, 7.5)]
+    assert order_hits(hits) == [(9, 7.5), (3, 2.0), (5, 2.0)]
+    assert order_hits(hits, "doc") == [(3, 2.0), (5, 2.0), (9, 7.5)]
+    assert order_hits(hits, "doc_desc") == [(9, 7.5), (5, 2.0), (3, 2.0)]
+    with pytest.raises(ValueError):
+        order_hits(hits, "date?")

@@ -191,3 +191,39 @@ def test_block_window_rank_identical(built_index):
         qs = [terms[i] for i in rng.choice(len(terms), rng.integers(2, 5))]
         k = int(rng.choice([3, 10, 50]))
         assert ix.search_exact(qs, k) == ix.search_block_window(qs, k, window=64)
+
+
+def test_docid_paths_identical(ray_session):
+    """Broadcast-dictionary and sort-based docid assignment produce the
+    SAME (url -> doc_id) mapping — the auto-selection threshold in
+    build_docs_from_pages must never change ids."""
+    import functools
+
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.corpus import pages_dataset
+    from alix_ray.stages.analyze import extract_batch
+    from alix_ray.stages.docids import (
+        build_url_dictionary,
+        dedup_assign_ids,
+        stamp_ids_batch,
+    )
+
+    pages = pages_dataset(180)
+    urls, ts = build_url_dictionary(pages)
+    dict_ref = ray.put((urls, ts))
+    bc = (
+        pages.map_batches(extract_batch, batch_format="pyarrow")
+        .map_batches(functools.partial(stamp_ids_batch, urls_ts_ref=dict_ref),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    extracted = pages_dataset(180).map_batches(
+        extract_batch, batch_format="pyarrow"
+    )
+    srt, n = dedup_assign_ids(extracted)
+    sp = srt.to_pandas()
+    m_bc = dict(zip(bc["url"], bc["doc_id"]))
+    m_s = dict(zip(sp["url"], sp["doc_id"]))
+    assert m_bc == m_s and n == len(m_s)
