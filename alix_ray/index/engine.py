@@ -70,6 +70,32 @@ class PostingShard:
             self._decoded = decode_posting(self.docs_buf, self.tfs_buf)
         return self._decoded
 
+    def contains(self, cand: np.ndarray) -> np.ndarray:
+        """Membership mask for sorted candidate doc ids, decoding ONLY
+        the blocks the candidates land in (block_last skip list) — the
+        skip-list intersection path; never the full posting list."""
+        out = np.zeros(len(cand), bool)
+        if self._decoded is not None:  # already paid for — use it
+            d = self._decoded[0]
+            idx = np.searchsorted(d, cand)
+            ok = idx < len(d)
+            out[ok] = d[idx[ok]] == cand[ok]
+            return out
+        bi = np.searchsorted(self.block_last, cand, side="left")
+        valid = bi < len(self.block_last)
+        for b in np.unique(bi[valid]):
+            bdocs, _ = decode_block(
+                self.docs_buf, self.tfs_buf, int(b), self.n,
+                self.off_docs, self.off_tfs,
+            )
+            sel = valid & (bi == b)
+            idx = np.searchsorted(bdocs, cand[sel])
+            ok = idx < len(bdocs)
+            hit = np.zeros(sel.sum(), bool)
+            hit[ok] = bdocs[idx[ok]] == cand[sel][ok]
+            out[np.flatnonzero(sel)] = hit
+        return out
+
     def first_doc(self) -> int:
         head = vb_decode(bytes(self.docs_buf[:10]))
         return int(head[0]) if len(head) else 0
@@ -634,15 +660,19 @@ class BM25Index:
         qs = self._query_terms(terms)
         if not qs:
             return []
-        # conjunctive candidates: intersect posting doc sets, rarest
-        # term first so the working set shrinks as fast as possible
+        # conjunctive candidates: decode ONLY the rarest term's list,
+        # then shrink it through the other terms' block skip lists
+        # (PostingShard.contains decodes just the touched blocks)
         by_df = sorted(qs, key=lambda t: int(self.df.get(t, 0)))
-        cand = None
-        for t in by_df:
-            d = np.concatenate([s.decode()[0] for s in self.postings[t]])
-            cand = d if cand is None else np.intersect1d(
-                cand, d, assume_unique=True
-            )
+        cand = np.concatenate(
+            [s.decode()[0] for s in self.postings[by_df[0]]]
+        )
+        cand.sort()
+        for t in by_df[1:]:
+            mask = np.zeros(len(cand), bool)
+            for s in self.postings[t]:
+                mask |= s.contains(cand)
+            cand = cand[mask]
             if cand.size == 0:
                 return []
         rail = self.rail()
