@@ -106,10 +106,71 @@ class AudioFrames:
         )
 
 
+def _probe_video(payload: bytes, strict: bool) -> tuple[int, float]:
+    """(frame count, fps) from the container header — STUB: derives a
+    deterministic fake from the payload digest."""
+    if strict:
+        raise NotImplementedError(
+            "video demux requires ffmpeg/pyav — not shipped in this container"
+        )
+    d = hashlib.blake2b(payload or b"", digest_size=8).digest()
+    n_frames = 32 + int.from_bytes(d[:2], "little") % 480
+    fps = 24.0
+    return n_frames, fps
+
+
+class VideoFrameSample:
+    """Actor-pool stage: demux → stride frame sampling → per-frame
+    feature vector.  Only the SELECTED frames are decoded (stride
+    sampling is the 100-TB discipline: decoding every frame of web
+    video is ~30× the useful work); output rows are
+    ``(media_id, frame_index, ts_sec, features)`` — one row per
+    sampled frame, so downstream stages (dedup, ANN) treat frames as
+    ordinary embedding rows."""
+
+    def __init__(self, strict: bool = False, every_sec: float = 2.0,
+                 out_dim: int = 16, max_frames: int = 16):
+        self.strict = strict
+        self.every_sec = every_sec
+        self.out_dim = out_dim
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, ts, feats = [], [], [], []
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            n_frames, fps = _probe_video(payload, self.strict)
+            stride = max(1, int(round(self.every_sec * fps)))
+            sel = list(range(0, n_frames, stride))[: self.max_frames]
+            for j in sel:
+                # decode ONLY frame j (stub: digest over payload+index)
+                d = hashlib.blake2b(
+                    (payload or b"") + j.to_bytes(4, "little"),
+                    digest_size=self.out_dim,
+                ).digest()
+                mids.append(media_id)
+                fidx.append(j)
+                ts.append(j / fps)
+                feats.append(
+                    (np.frombuffer(d, np.uint8).astype(np.float32) / 255.0)
+                    .tolist()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "ts_sec": pa.array(ts, pa.float32()),
+                "features": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
 def media_pipeline(ds: ray.data.Dataset, kind: str, concurrency: int = 2,
                    batch_size: int = 16, strict: bool = False):
     """Wire the right actor-pool stage for a media kind."""
-    cls = {"image": ImageFeatures, "audio": AudioFrames}[kind]
+    cls = {"image": ImageFeatures, "audio": AudioFrames,
+           "video": VideoFrameSample}[kind]
     return ds.map_batches(
         cls,
         fn_constructor_kwargs={"strict": strict},

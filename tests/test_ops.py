@@ -317,3 +317,45 @@ class TestConnectedComponents:
         out = connected_components(pairs).to_pandas()
         reps = out[out["doc_id"] == out["cluster_id"]]["doc_id"].tolist()
         assert reps == [5]
+
+
+class TestVideoFrames:
+    def test_stride_sampling_plumbing(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.multimodal import media_pipeline
+
+        rows = [{"media_id": i, "kind": "video",
+                 "payload": bytes([i]) * 64, "mime": "video/mp4",
+                 "meta": "{}"} for i in range(4)]
+        out = media_pipeline(
+            ray.data.from_items(rows), "video", concurrency=2, batch_size=2
+        ).to_pandas()
+        # one row per SAMPLED frame; stride = every_sec * fps = 48
+        assert set(out["media_id"]) == {0, 1, 2, 3}
+        one = out[out["media_id"] == 0].sort_values("frame_index")
+        assert one["frame_index"].iloc[0] == 0
+        if len(one) > 1:
+            assert one["frame_index"].iloc[1] == 48
+        assert (one["ts_sec"] == one["frame_index"] / 24.0).all()
+        assert all(len(f) == 16 for f in out["features"])
+        # deterministic across runs
+        out2 = media_pipeline(
+            ray.data.from_items(rows), "video", concurrency=1, batch_size=4
+        ).to_pandas()
+        a = out.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+        b = out2.sort_values(["media_id", "frame_index"]).reset_index(drop=True)
+        assert a["features"].map(tuple).equals(b["features"].map(tuple))
+
+    def test_strict_raises(self):
+        import pytest
+
+        from alix_ray.ops.multimodal import VideoFrameSample
+
+        import pyarrow as pa
+
+        with pytest.raises(NotImplementedError):
+            VideoFrameSample(strict=True)(
+                pa.table({"media_id": pa.array([1], pa.int64()),
+                          "payload": pa.array([b"x"], pa.binary())})
+            )
