@@ -217,12 +217,15 @@ def _calib_work(seconds: float, _i: int) -> int:
     return cnt
 
 
-def run_scaling() -> dict:
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
     """Same job, two parallelism levels, fresh processes.
 
     Each level runs TWICE and the faster run counts: single builds
     have ±10% wall noise on this box (thermal/turbo state, page
-    cache), which otherwise dominates the efficiency ratio."""
+    cache), which otherwise dominates the efficiency ratio.  Override
+    the pair with ``--scaling LO HI`` (any N vs 4N satisfies the
+    contract; lower pairs saturate shared memory bandwidth less and so
+    read closer to what distinct nodes would do)."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -232,7 +235,6 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
     # hardware ceiling bracketing the builds (cold + hot states — the
     # mp calibration itself swings ~0.1 with thermal/turbo drift)
     ceil_pre = hw_ceiling(lo, hi)
@@ -268,6 +270,11 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        i = sys.argv.index("--scaling")
+        extra = [a for a in sys.argv[i + 1:] if a.isdigit()]
+        if len(extra) >= 2:
+            print(json.dumps(run_scaling(int(extra[0]), int(extra[1]))))
+        else:
+            print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

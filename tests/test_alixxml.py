@@ -93,3 +93,35 @@ def test_ray_operator(ray_session):
     assert ch["text"] == "hello world" and ch["bookid"] == "bk"
     bk = out[out["doc_type"] == "book"].iloc[0]
     assert '"title": "T"' in bk["meta_json"]
+
+
+def test_alixxml_to_index_end_to_end(ray_session, tmp_path):
+    """Book/chapter ingest feeds the flagship build: chapters become
+    searchable documents, the book row keeps its metadata."""
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.stages.alixxml import alix_documents
+    from alix_ray.stages.build import IndexBuilder
+
+    xml = f"""<alix:book {NS} xml:id="bk1">
+      <alix:field name="title">Corpus One</alix:field>
+      <alix:chapter><alix:field name="text">alpha beta gamma</alix:field></alix:chapter>
+      <alix:chapter><alix:field name="text">delta alpha</alix:field></alix:chapter>
+    </alix:book>"""
+    docs = alix_documents(
+        ray.data.from_items([{"xml": xml, "filestem": "f"}])
+    )
+    # chapters only; dense doc ids by (bookid, ord)
+    chapters = docs.filter(expr="doc_type == 'chapter'").to_pandas()
+    chapters = chapters.sort_values(["bookid", "ord"]).reset_index(drop=True)
+    rows = [{"doc_id": i, "text": t}
+            for i, t in enumerate(chapters["text"])]
+    b = IndexBuilder(str(tmp_path / "ix"), analyzer="simple")
+    b.build(ray.data.from_items(rows), input_kind="documents",
+            fingerprint="axml")
+    ix = BM25Index(str(tmp_path / "ix"))
+    res = ix.search("delta", 5)
+    assert res and res[0][0] == 1  # second chapter
+    res2 = ix.search("alpha", 5)
+    assert {d for d, _ in res2} == {0, 1}
