@@ -452,6 +452,155 @@ def suggest(term_stats, prefix: str, k: int = 10):
     return m.reset_index(drop=True)
 
 
+def theme_terms_ds(ds: ray.data.Dataset, focus_col: str, focus_value,
+                   mode: str = "BM25", k: int = 20, text_col: str = "text",
+                   k1: float = 1.2, b: float = 0.75, idf_exp: float = 1.0,
+                   min_focus_df: int = 1):
+    """Distributed theme terms — the Ray-job form of
+    ``BM25Index.theme_terms`` for corpora whose postings don't fit one
+    process (the engine version streams its local postings; this one
+    is a groupby-term job over the raw text table, same formulas —
+    ``IdfTermScorer.termScore``, IdfTermScorer.java:268-520).
+
+    Shape: one pass computes per-(doc, term) tf with doc length and
+    focus flag attached batch-locally (dl is per-doc, so it never
+    shuffles); per-term part aggregates reduce through a partial
+    in-batch Arrow group_by then one small ``groupby(term)``; mode
+    scoring is vectorized over the final term table.  Global scalars
+    (N, avgdl, focus sizes) come from tiny per-batch partials.
+    """
+    import pandas as pd
+
+    # pass 0: global scalars from per-batch partials (tiny)
+    def globals_partial(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        isf = pc.equal(batch[focus_col], focus_value).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            "n": pa.array([len(lens)], pa.int64()),
+            "tok": pa.array([int(lens.sum())], pa.int64()),
+            "fdocs": pa.array([int(isf.sum())], pa.int64()),
+            "ftok": pa.array([int(lens[isf].sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(globals_partial, batch_format="pyarrow").take_all()
+    n_docs = float(sum(p["n"] for p in parts))
+    total_tokens = float(sum(p["tok"] for p in parts))
+    focus_docs = float(sum(p["fdocs"] for p in parts))
+    focus_tokens = float(sum(p["ftok"] for p in parts))
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+
+    # pass 1: per-(doc, term) tf + batch-local dl → per-term partials
+    def term_partial(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(lens)), lens)
+        isf_doc = pc.equal(batch[focus_col], focus_value).to_numpy(
+            zero_copy_only=False
+        )
+        if len(flat) == 0:
+            return pa.table({c: pa.array([], t) for c, t in [
+                ("term", pa.string()), ("df", pa.float64()),
+                ("fdf", pa.float64()), ("cf", pa.float64()),
+                ("acc", pa.float64()), ("oacc", pa.float64()),
+                ("ftf", pa.float64()), ("otf", pa.float64()),
+                ("f_tlogt", pa.float64()), ("f_tlogdl", pa.float64()),
+                ("o_tlogt", pa.float64()), ("o_tlogdl", pa.float64()),
+            ]})
+        uniq, inv = np.unique(flat, return_inverse=True)
+        key = owner.astype(np.int64) * len(uniq) + inv
+        uk, tf = np.unique(key, return_counts=True)
+        doc = uk // len(uniq)
+        tid = uk % len(uniq)
+        tf = tf.astype(np.float64)
+        dl = lens[doc].astype(np.float64)
+        m = isf_doc[doc]
+        tfpart = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        logtf = np.log(tf)
+        logdl = np.log(dl)
+        g = pd.DataFrame({
+            "tid": tid,
+            "df": 1.0, "fdf": m.astype(np.float64), "cf": tf,
+            "acc": np.where(m, tfpart, 0.0),
+            "oacc": np.where(m, 0.0, tfpart),
+            "ftf": np.where(m, tf, 0.0),
+            "otf": np.where(m, 0.0, tf),
+            "f_tlogt": np.where(m, tf * logtf, 0.0),
+            "f_tlogdl": np.where(m, tf * logdl, 0.0),
+            "o_tlogt": np.where(m, 0.0, tf * logtf),
+            "o_tlogdl": np.where(m, 0.0, tf * logdl),
+        }).groupby("tid", as_index=False).sum()
+        out = {"term": pa.array(uniq[g["tid"].to_numpy()].tolist(),
+                                pa.string())}
+        for c in g.columns:
+            if c != "tid":
+                out[c] = pa.array(g[c].to_numpy(np.float64))
+        return pa.table(out)
+
+    aggs = [Sum(c, alias_name=c) for c in (
+        "df", "fdf", "cf", "acc", "oacc", "ftf", "otf",
+        "f_tlogt", "f_tlogdl", "o_tlogt", "o_tlogdl")]
+    stats = (
+        ds.map_batches(term_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(*aggs).to_pandas()
+    )
+    # vectorized mode scoring — identical formulas to the engine
+    N = n_docs
+    df_, fdf = stats["df"].to_numpy(), stats["fdf"].to_numpy()
+    acc, oacc = stats["acc"].to_numpy(), stats["oacc"].to_numpy()
+    idf = np.log(1.0 + (N - df_ + 0.5) / (df_ + 0.5)) ** idf_exp
+    keep = fdf >= min_focus_df
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if mode == "BM25":
+            score = idf * acc
+        elif mode == "MINUS":
+            score = idf * (acc - oacc)
+        elif mode == "WEIGHTED":
+            score = idf * (acc - 2.0 * oacc)
+        elif mode == "IRDF":
+            od, odf = N - focus_docs, df_ - fdf
+            score = np.log(1.0 + (od - odf + 0.5) / (odf + 0.5)) ** idf_exp * acc
+        elif mode == "RSJ":
+            od, odf = N - focus_docs, df_ - fdf
+            fnon, onon = focus_docs - fdf, od - odf
+            rsj = np.log(((fdf + 0.5) * (onon + 0.5))
+                         / ((odf + 0.5) * (fnon + 0.5)))
+            score = np.copysign(np.abs(rsj) ** idf_exp, rsj) * acc
+            score = np.where(np.minimum(np.minimum(od, odf),
+                                        np.minimum(fnon, onon)) < 0,
+                             0.0, score)
+        elif mode == "FACTOR":
+            ftf = stats["ftf"].to_numpy()
+            rel_f = ftf / max(focus_tokens, 1e-300)
+            rel_c = stats["cf"].to_numpy() / total_tokens
+            score = idf * acc * np.log(rel_f / rel_c) * np.log(ftf)
+            score = np.where((ftf == 0) | (focus_tokens <= 0) | (rel_c <= 0),
+                             0.0, score)
+        elif mode == "DKL":
+            ftf, otf = stats["ftf"].to_numpy(), stats["otf"].to_numpy()
+            rest_tokens = total_tokens - focus_tokens
+            d_f = (stats["f_tlogt"].to_numpy() - ftf * np.log(ftf)
+                   - stats["f_tlogdl"].to_numpy()
+                   + ftf * np.log(max(focus_tokens, 1e-300))) / ftf
+            d_r = (stats["o_tlogt"].to_numpy() - otf * np.log(otf)
+                   - stats["o_tlogdl"].to_numpy()
+                   + otf * np.log(max(rest_tokens, 1e-300))) / otf
+            score = d_r - d_f
+            keep = keep & (ftf > 0) & (otf > 0) & (focus_tokens > 0) & (
+                rest_tokens > 0)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+    terms = stats["term"].to_numpy()[keep]
+    score = np.asarray(score, np.float64)[keep]
+    order = sorted(range(len(terms)),
+                   key=lambda i: (-score[i], terms[i]))[:k]
+    return pd.DataFrame({"term": [str(terms[i]) for i in order],
+                         "score": [float(score[i]) for i in order]})
+
+
 # ---------------------------------------------------------------------
 # Windowed co-occurrence (TopCoocSnippets.java:58 counting model)
 # ---------------------------------------------------------------------

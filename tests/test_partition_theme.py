@@ -110,3 +110,42 @@ class TestCooc:
         got = {(r.row, r.col): r.n for r in df.itertuples()}
         assert got[("x", "y")] == 2
         assert got[("x", "z")] == 1
+
+class TestThemeTermsDs:
+    def test_matches_engine_all_modes(self, ray_session, tmp_path):
+        """The distributed theme-terms job agrees with the engine's
+        streaming version on every mode (same formulas, different
+        execution shape)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from alix_ray.index.engine import BM25Index
+        from alix_ray.ops.analytics import theme_terms_ds
+        from alix_ray.stages.build import IndexBuilder
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        for i in range(60):
+            lang = "en" if i % 3 == 0 else "fr"
+            k = int(rng.integers(5, 40))
+            words = [vocab[int(x)] for x in rng.integers(0, 40, k)]
+            if lang == "en":
+                words += ["special"] * int(rng.integers(1, 4))
+            rows.append({"doc_id": i, "lang": lang, "text": " ".join(words)})
+        ds = ray.data.from_items(rows)
+        b = IndexBuilder(str(tmp_path / "ix"), analyzer="simple")
+        b.build(ray.data.from_items(
+            [{"doc_id": r["doc_id"], "text": r["text"]} for r in rows]
+        ), input_kind="documents", fingerprint="tt")
+        ix = BM25Index(str(tmp_path / "ix"))
+        mask = np.zeros(60, bool)
+        mask[[r["doc_id"] for r in rows if r["lang"] == "en"]] = True
+        for mode in ("BM25", "MINUS", "WEIGHTED", "IRDF", "RSJ",
+                     "FACTOR", "DKL"):
+            eng = ix.theme_terms(mask, k=10, mode=mode)
+            dist = theme_terms_ds(ds, "lang", "en", mode=mode, k=10)
+            assert [t for t, _ in eng] == dist["term"].tolist(), mode
+            for (_, se), sd in zip(eng, dist["score"]):
+                assert abs(se - sd) < 1e-9, mode
