@@ -78,3 +78,59 @@ def order_hits(hits, order: str = "score"):
     if order == "doc_desc":
         return sorted(hits, key=lambda h: -h[0])
     raise ValueError(f"unknown order {order!r}")
+
+
+def to_docx(hits, q: str = "", urls=None, snippets=None) -> bytes:
+    """Minimal valid .docx (OOXML) of the hit list — stdlib zipfile
+    only, no python-docx (completes the reference's renderer set;
+    ResultsRenderer.java:1-18).  One heading paragraph + one paragraph
+    per hit; snippet text is embedded plain (``<mark>`` stripped)."""
+    import io
+    import re as _re
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+    def para(text, bold=False):
+        rpr = "<w:rPr><w:b/></w:rPr>" if bold else ""
+        return (f"<w:p><w:r>{rpr}<w:t xml:space=\"preserve\">"
+                f"{escape(text)}</w:t></w:r></w:p>")
+
+    body = [para(f"Results: {q}" if q else "Results", bold=True)]
+    for r in _rows(hits, urls, snippets):
+        label = str(r.get("url", r["doc_id"]))
+        line = f"{r['rank'] + 1}. {label}  (score {r['score']:.4f})"
+        body.append(para(line))
+        if "snippet" in r:
+            body.append(para(_re.sub(r"</?mark>", "", r["snippet"])))
+    document = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}"><w:body>{"".join(body)}'
+        f"</w:body></w:document>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.wordprocessingml.document.'
+        'main+xml"/></Types>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="word/document.xml"/></Relationships>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("word/document.xml", document)
+    return buf.getvalue()

@@ -99,3 +99,24 @@ def test_order_hits_modes():
     assert order_hits(hits, "doc_desc") == [(9, 7.5), (5, 2.0), (3, 2.0)]
     with pytest.raises(ValueError):
         order_hits(hits, "date?")
+
+
+def test_to_docx_valid_package():
+    import io
+    import zipfile
+
+    from alix_ray.ops.render import to_docx
+
+    blob = to_docx([(3, 1.5), (7, 0.25)], q="test",
+                   snippets={3: "a <mark>hit</mark> here"})
+    z = zipfile.ZipFile(io.BytesIO(blob))
+    names = set(z.namelist())
+    assert {"[Content_Types].xml", "_rels/.rels",
+            "word/document.xml"} <= names
+    doc = z.read("word/document.xml").decode()
+    assert "Results: test" in doc and "score 1.5000" in doc
+    assert "<mark>" not in doc and "a hit here" in doc
+    # well-formed XML
+    import xml.etree.ElementTree as ET
+
+    ET.fromstring(doc)
