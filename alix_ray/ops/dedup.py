@@ -400,8 +400,17 @@ def minhash_lsh_pairs(
 
 
 def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
-                         b_col="doc_b", max_iter: int = 30):
+                         b_col="doc_b", max_iter: int = 30,
+                         num_parts: int = 32,
+                         driver_max_pairs: int = 5_000_000):
     """Cluster near-dup pairs into components; cluster id = min doc id.
+
+    Strategy auto-selects on pair count (the docids precedent): the
+    pair set is tiny relative to the corpus by LSH construction, so up
+    to ``driver_max_pairs`` a path-compressed union-find on the driver
+    labels everything in milliseconds (this is what production dedup
+    pipelines do); past it, the fully distributed min-label
+    propagation below takes over — identical labels by construction.
 
     Distributed min-label propagation: labels start as each node's own
     id and flow along (symmetrized) edges — two coarse-partitioned
@@ -415,7 +424,50 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
 
     Returns a Dataset of ``(doc_id, cluster_id)`` for every doc that
     appears in some pair.
+
+    ``num_parts`` bounds the shuffle partitions (and so the per-round
+    block count — Ray's map_groups emits a block per group); size it
+    to ~cluster cores.  The label set is O(docs-in-pairs), far smaller
+    than the corpus, so modest partition counts suffice.
     """
+
+    def pk(x: np.ndarray) -> np.ndarray:
+        return (_mix64(x) % np.uint64(num_parts)).astype(np.int64)
+
+    n_pairs = pairs.count()
+    if n_pairs <= driver_max_pairs:
+        # blocks may have heterogeneous schemas (empty map_groups
+        # outputs) — take just the two pair columns from non-empty ones
+        blocks = [
+            t.select([a_col, b_col])
+            for t in ray.get(pairs.materialize().to_arrow_refs())
+            if t.num_rows and a_col in t.column_names
+        ]
+        if not blocks:
+            return ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}))
+        tbl = pa.concat_tables(blocks)
+        a = tbl[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        nodes = np.array(sorted(parent), np.int64)
+        roots = np.array([find(int(n)) for n in nodes], np.int64)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(nodes),
+                      "cluster_id": pa.array(roots)})
+        )
 
     def sym(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch[a_col].to_pylist(), np.int64)
@@ -424,7 +476,7 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
         v = np.concatenate([b, a])
         return pa.table(
             {"u": pa.array(u), "v": pa.array(v),
-             "pkey": pa.array(_partition_key(v.astype(np.uint64)))}
+             "pkey": pa.array(pk(v.astype(np.uint64)))}
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
@@ -435,7 +487,7 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
         nodes = np.unique(g["v"].to_numpy(np.int64))
         return pd.DataFrame(
             {"node": nodes, "label": nodes,
-             "pkey": _partition_key(nodes.astype(np.uint64))}
+             "pkey": pk(nodes.astype(np.uint64))}
         )
 
     labels = edges.groupby("pkey").map_groups(
@@ -475,7 +527,7 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
                         np.int64)
         return pd.DataFrame(
             {"node": u, "cand": cand,
-             "pkey2": _partition_key(u.astype(np.uint64))}
+             "pkey2": pk(u.astype(np.uint64))}
         )
 
     def reduce_min(g):
@@ -484,10 +536,23 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
         out = g.groupby("node", as_index=False)["cand"].min()
         return out.rename(columns={"cand": "label"})
 
+    def label_edges(batch: pa.Table) -> pa.Table:
+        # pointer-doubling edges u -> label(u): candidates then include
+        # L(L(u)) (path halving), so long chains converge in O(log n)
+        # rounds instead of O(chain length)
+        node = np.asarray(batch["node"].to_pylist(), np.int64)
+        lab = np.asarray(batch["label"].to_pylist(), np.int64)
+        return pa.table(
+            {"u": pa.array(node), "v": pa.array(lab),
+             "pkey": pa.array(pk(lab.astype(np.uint64))),
+             "label": pa.array(np.full(len(node), -1, np.int64))}
+        )
+
     prev_sum = None
     for _ in range(max_iter):
         cands = (
             edges.map_batches(tag_edges, batch_format="pyarrow")
+            .union(labels.map_batches(label_edges, batch_format="pyarrow"))
             .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
             .groupby("pkey")
             .map_groups(attach, batch_format="pandas")
@@ -499,7 +564,7 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
             # pandas output to match the map_groups blocks it unions with
             return pd.DataFrame(
                 {"node": node, "cand": b["label"].to_numpy(np.int64),
-                 "pkey2": _partition_key(node.astype(np.uint64))}
+                 "pkey2": pk(node.astype(np.uint64))}
             )
 
         own = labels.map_batches(own_rows, batch_format="pandas")
@@ -509,12 +574,16 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
             .map_batches(
                 lambda b: pa.table(
                     {"node": b["node"], "label": b["label"],
-                     "pkey": pa.array(_partition_key(
+                     "pkey": pa.array(pk(
                          np.asarray(b["node"].to_pylist(), np.int64)
                          .astype(np.uint64)))}
                 ),
                 batch_format="pyarrow",
             )
+            # bound block count: without this, each round's unions and
+            # groupbys COMPOUND the label dataset's tiny blocks and
+            # per-round scheduling overhead grows superlinearly
+            .repartition(16)
             .materialize()
         )
         cur_sum = new_labels.sum("label")

@@ -105,3 +105,37 @@ def test_kill_and_resume_identical(tmp_path):
         assert not redone, "completed partitions were re-analyzed"
 
     assert logical_artifacts(clean) == logical_artifacts(resumed)
+
+
+def test_changed_analyzer_rebuilds_downstream(ray_session, tmp_path):
+    """ADVICE round-1 (medium): rebuilding into an existing out_dir
+    with a DIFFERENT analyzer must re-run doc_stats/postings/
+    term_stats, not skip them as 'done' against the old analyzer."""
+    import json
+    import os
+
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.stages.build import IndexBuilder
+
+    out = str(tmp_path / "ix")
+    rows = [{"doc_id": i, "text": f"Le chat w{i} dort ici"} for i in range(6)]
+
+    b1 = IndexBuilder(out, analyzer="simple")
+    b1.build(ray.data.from_items(rows), input_kind="documents",
+             fingerprint="same-input")
+    terms_simple = set(BM25Index(out).lexicon)
+
+    # same out_dir, same input fingerprint, DIFFERENT analyzer
+    b2 = IndexBuilder(out, analyzer="french")
+    b2.build(ray.data.from_items(rows), input_kind="documents",
+             fingerprint="same-input")
+    terms_french = set(BM25Index(out).lexicon)
+
+    # the french chain lemmatizes/stops differently — if postings had
+    # been skipped as 'done', the lexicon would still be the simple one
+    assert terms_simple != terms_french
+    # and the config records the new analyzer
+    cfg = json.load(open(os.path.join(out, "config.json")))
+    assert cfg["analyzer"] == "french"
