@@ -247,3 +247,45 @@ table/S
 beau/S
 petit/SF
 """
+
+
+def _edit_distance_capped(a: str, b: str, cap: int = 2) -> int:
+    """Levenshtein with early exit past ``cap`` (banded DP)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            if cur[j] < best:
+                best = cur[j]
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
+def spell_suggest(word: str, term_cf: dict, k: int = 10,
+                  max_distance: int = 2) -> list[tuple[str, int, int]]:
+    """Spelling suggestions against the INDEXED vocabulary (the
+    SpellSugg CLI analog, SURVEY §3.3): vocabulary terms within
+    ``max_distance`` diacritic-folded edits, ranked by (distance asc,
+    frequency desc, term asc).  Returns (term, distance, cf) rows.
+
+    Restricting candidates to the corpus vocabulary (not a canonical
+    dictionary) is the vocabulary-restricted principle of the Hunspell
+    sidecar: never suggest a word the index cannot find."""
+    from ..ops.analytics import fold_ascii
+
+    fw = fold_ascii(word)
+    out = []
+    for t, cf in term_cf.items():
+        d = _edit_distance_capped(fw, fold_ascii(t), max_distance)
+        if d <= max_distance:
+            out.append((t, d, int(cf)))
+    out.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return out[:k]

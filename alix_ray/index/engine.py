@@ -235,6 +235,48 @@ class Rail:
         raise KeyError(doc)
 
 
+class _DocStore:
+    """Row-group-pruned single-document reads over the docs artifact."""
+
+    _RG_CACHE_MAX = 16
+
+    def __init__(self, docs_dir: str):
+        self._pf = [pq.ParquetFile(f) for f in sorted(_walk_parquet(docs_dir))]
+        self._spans: list[tuple[int, int, int, int]] = []
+        for fi, pf in enumerate(self._pf):
+            md = pf.metadata
+            ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    self._spans.append((int(st.min), int(st.max), fi, rg))
+                else:
+                    self._spans.append((-1, 1 << 62, fi, rg))
+        self._spans.sort()
+        self._cache: dict[tuple[int, int], dict] = {}
+
+    def get(self, doc_id: int) -> dict:
+        for mn, mx, fi, rg in self._spans:
+            if mn > doc_id:
+                break
+            if doc_id <= mx:
+                key = (fi, rg)
+                rows = self._cache.get(key)
+                if rows is None:
+                    t = self._pf[fi].read_row_group(rg)
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                    rows = {int(d): i for i, d in enumerate(ids)}
+                    rows["_table"] = t
+                    if len(self._cache) >= self._RG_CACHE_MAX:
+                        self._cache.pop(next(iter(self._cache)))
+                    self._cache[key] = rows
+                if doc_id in rows:
+                    t = rows["_table"]
+                    i = rows[doc_id]
+                    return {c: t[c][i].as_py() for c in t.column_names}
+        raise KeyError(doc_id)
+
+
 def _walk_parquet(dir_: str):
     for root, _dirs, names in os.walk(dir_):
         for n in names:
@@ -889,6 +931,14 @@ class BM25Index:
         if self.n_docs >= self.WAND_MIN_DOCS:
             return self.search_block_window(terms, k)
         return self.search_exact(terms, k)
+
+    def document(self, doc_id: int) -> dict:
+        """Stored-document fetch (the ``/doc`` op, SURVEY §3.2): the
+        docs artifact row for one id, via Parquet row-group doc_id
+        statistics — same pruned-read discipline as the rail."""
+        if not hasattr(self, "_docs_store"):
+            self._docs_store = _DocStore(os.path.join(self.dir, "docs"))
+        return self._docs_store.get(doc_id)
 
     def root_dict(self):
         """Vocabulary-restricted root dictionary from the ``hunspell/``

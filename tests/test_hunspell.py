@@ -128,3 +128,25 @@ class TestFoldedSuggest:
         # infix, folded both sides
         got2 = suggest(ts, "éta")["term"].tolist()
         assert got2 == ["etage"]
+
+
+class TestSpellSuggest:
+    def test_ranked_by_distance_then_freq(self):
+        from alix_ray.analysis.hunspell import spell_suggest
+
+        cf = {"chat": 50, "chats": 10, "char": 99, "chose": 7, "xylo": 3}
+        got = spell_suggest("chat", cf, k=4)
+        # exact match first, then distance-1 by frequency desc
+        assert got[0] == ("chat", 0, 50)
+        assert [t for t, d, _ in got if d == 1] == ["char", "chats"]
+
+    def test_diacritic_folding(self):
+        from alix_ray.analysis.hunspell import spell_suggest
+
+        got = spell_suggest("ete", {"été": 20, "state": 5}, k=2)
+        assert got[0] == ("été", 0, 20)
+
+    def test_distance_cap(self):
+        from alix_ray.analysis.hunspell import spell_suggest
+
+        assert spell_suggest("zzzzzz", {"chat": 5}, k=3) == []

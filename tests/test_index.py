@@ -227,3 +227,22 @@ def test_docid_paths_identical(ray_session):
     m_bc = dict(zip(bc["url"], bc["doc_id"]))
     m_s = dict(zip(sp["url"], sp["doc_id"]))
     assert m_bc == m_s and n == len(m_s)
+
+
+def test_document_fetch(ray_session, tmp_path):
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.stages.build import IndexBuilder
+
+    rows = [{"doc_id": i, "text": f"doc number {i}"} for i in range(30)]
+    b = IndexBuilder(str(tmp_path / "ix"), analyzer="simple")
+    b.build(ray.data.from_items(rows), input_kind="documents",
+            fingerprint="docfetch")
+    ix = BM25Index(str(tmp_path / "ix"))
+    d = ix.document(17)
+    assert d["doc_id"] == 17 and d["text"] == "doc number 17"
+    import pytest
+
+    with pytest.raises(KeyError):
+        ix.document(999)
