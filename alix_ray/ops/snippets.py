@@ -84,20 +84,25 @@ def snippets_pipeline(ds: ray.data.Dataset, query_terms: list[str],
 
     def per_batch(batch: pa.Table) -> pa.Table:
         ids, ranks, scores, htmls = [], [], [], []
+        starts, ends = [], []
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
             snips = doc_snippets(text or "", terms, merge_gap, ctx, idf)
             snips.sort(key=lambda s: (-s[2], s[0]))
-            for rank, (_, _, score, html) in enumerate(snips[:top_per_doc]):
+            for rank, (st, en, score, html) in enumerate(snips[:top_per_doc]):
                 ids.append(doc_id)
                 ranks.append(rank)
                 scores.append(round(score, 6))
                 htmls.append(html)
+                starts.append(st)
+                ends.append(en)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "snippet_rank": pa.array(ranks, pa.int32()),
                 "score": pa.array(scores, pa.float64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "end_tok": pa.array(ends, pa.int64()),
                 "html": pa.array(htmls, pa.string()),
             }
         )

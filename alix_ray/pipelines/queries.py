@@ -878,8 +878,11 @@ FROM g ORDER BY g2 DESC, term LIMIT {KEYNESS_TOP}
 
 
 def q_snippets(sf_dir: str) -> pd.DataFrame:
-    """Merged+highlighted snippets for the BM25 query terms (rows-only:
-    span merge/hilite is not SQL-expressible)."""
+    """Merged snippets for the BM25 query terms — oracle-checked on
+    the structural projection (doc, rank, score, token span): the
+    DocSnippets merge rule is a gaps-and-islands SQL, the ThemeWords
+    score a distinct-term idf sum.  The html hilite stays in the op
+    output (renderers use it) but is not SQL-expressible."""
     from ..ops.snippets import snippets_pipeline
 
     ix = _index(sf_dir)
@@ -887,7 +890,63 @@ def q_snippets(sf_dir: str) -> pd.DataFrame:
     df = snippets_pipeline(
         _docs_text(sf_dir), list(BM25_QUERY_TERMS), idf=idf
     ).to_pandas()
+    df = df[["doc_id", "snippet_rank", "score", "start_tok", "end_tok"]]
+    df["snippet_rank"] = df["snippet_rank"].astype("int64")
     return df.sort_values(["doc_id", "snippet_rank"]).reset_index(drop=True)
+
+
+# DocSnippets online merge = islands of match positions with gaps > 6;
+# ThemeWords score = Σ idf over DISTINCT matched terms per island;
+# top-2 per doc by (score desc, start asc) — TopSnippetCollector.
+SQL_SNIPPETS = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM base),
+corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+idfs AS (
+  SELECT term,
+    ln(1 + (corpus.n - count(DISTINCT doc_id) + 0.5)
+         / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM toks CROSS JOIN corpus
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+  GROUP BY term, corpus.n),
+matches AS (
+  SELECT t.doc_id, t.pos, t.term
+  FROM toks t WHERE t.term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})),
+flagged AS (
+  SELECT doc_id, pos, term,
+    CASE WHEN lag(pos) OVER w IS NULL
+           OR pos > lag(pos) OVER w + 6 THEN 1 ELSE 0 END AS brk
+  FROM matches WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+islands AS (
+  SELECT doc_id, pos, term,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged),
+spans AS (
+  SELECT doc_id, g,
+    (min(pos) - 1)::BIGINT AS start_tok,
+    (max(pos) - 1)::BIGINT AS end_tok
+  FROM islands GROUP BY doc_id, g),
+span_scores AS (
+  SELECT d.doc_id, d.g, sum(i.idf) AS score
+  FROM (SELECT DISTINCT doc_id, g, term FROM islands) d
+  JOIN idfs i USING (term) GROUP BY d.doc_id, d.g),
+ranked AS (
+  SELECT s.doc_id,
+    (row_number() OVER (PARTITION BY s.doc_id
+                        ORDER BY sc.score DESC, s.start_tok)) - 1
+      AS snippet_rank,
+    round(sc.score, 6) AS score, s.start_tok, s.end_tok
+  FROM spans s JOIN span_scores sc ON s.doc_id = sc.doc_id AND s.g = sc.g)
+SELECT doc_id, snippet_rank, score, start_tok, end_tok
+FROM ranked WHERE snippet_rank < 2 ORDER BY doc_id, snippet_rank
+"""
 
 
 def q_w2v_corpus(sf_dir: str) -> pd.DataFrame:
@@ -1220,4 +1279,5 @@ ORACLES.update({
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "contrastive_terms": SQL_CONTRASTIVE_TERMS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "snippets": SQL_SNIPPETS,
 })
