@@ -555,6 +555,9 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
+    """Function-word language ID counts — oracle-checked: the heuristic
+    is per-language hit counts + argmax with first-alphabetical ties,
+    a closed-form SQL CASE."""
     from ..ops.textstats import LangId
 
     ds = _docs_text(sf_dir).map_batches(
@@ -565,6 +568,37 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     df = ds.groupby("lang_guess").aggregate(Count(alias_name="n")).to_pandas()
     df["n"] = df["n"].astype("int64")
     return df.sort_values("lang_guess").reset_index(drop=True)
+
+
+def _sql_langid() -> str:
+    from ..ops.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hit_cols = ",\n    ".join(
+        f"count(*) FILTER (WHERE term IN ("
+        + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lg]))
+        + f")) AS {lg}"
+        for lg in langs
+    )
+    gmax = "greatest(" + ", ".join(langs) + ")"
+    case = f"CASE WHEN {gmax} = 0 THEN 'und' " + " ".join(
+        f"WHEN {lg} = {gmax} THEN '{lg}'" for lg in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS ({TOKS}),
+hits AS (SELECT doc_id,
+    {hit_cols}
+  FROM toks GROUP BY doc_id),
+guesses AS (
+  SELECT d.doc_id,
+    CASE WHEN h.doc_id IS NULL THEN 'und' ELSE {case} END AS lang_guess
+  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+SELECT lang_guess, count(*)::BIGINT AS n
+FROM guesses GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+
+SQL_LANGID = _sql_langid()
 
 
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
@@ -1280,4 +1314,5 @@ ORACLES.update({
     "contrastive_terms": SQL_CONTRASTIVE_TERMS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "snippets": SQL_SNIPPETS,
+    "langid": SQL_LANGID,
 })
