@@ -932,6 +932,20 @@ class BM25Index:
             return self.search_block_window(terms, k)
         return self.search_exact(terms, k)
 
+    def warm(self, top_n: int = 512) -> int:
+        """Preload the postings of the ``top_n`` highest-cf terms (the
+        Zipf head that dominates real query mixes) into the lazy store
+        — bounds cold-read tail latency after open for a serving
+        replica without materializing the index.  Returns the number
+        of terms loaded."""
+        hot = sorted(self.cf, key=lambda t: -self.cf[t])[:top_n]
+        n = 0
+        for t in hot:
+            if t in self.postings:
+                self.postings[t]
+                n += 1
+        return n
+
     def document(self, doc_id: int) -> dict:
         """Stored-document fetch (the ``/doc`` op, SURVEY §3.2): the
         docs artifact row for one id, via Parquet row-group doc_id

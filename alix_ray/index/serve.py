@@ -21,10 +21,14 @@ import ray
 class QueryActor:
     """One serving replica holding the frozen index."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, warm_top_n: int = 512):
         from .engine import BM25Index
 
         self.ix = BM25Index(index_dir)
+        if warm_top_n:
+            # preload the Zipf head so a fresh replica doesn't pay
+            # cold row-group reads on its first hot-term queries
+            self.ix.warm(warm_top_n)
 
     def search(self, query: str, k: int = 10):
         return self.ix.search(query, k)
