@@ -11,7 +11,6 @@ byte-identical between :class:`alix_ray.analysis.SimpleAnalyzer` and
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 
 import numpy as np

@@ -32,13 +32,12 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from .. import B, IDF_EXP, K1
-from .analyze import AnalyzeDocs, AnalyzeSimple, extract_batch
+from .analyze import extract_batch
 from .docids import assign_ranks
 from .postings import (
     DEFAULT_NUM_BUCKETS,
     DEFAULT_SHARD_RANGE,
     SegmentEncode,
-    doc_norms,
     make_merge_fn,
 )
 
