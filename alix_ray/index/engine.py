@@ -919,18 +919,17 @@ class BM25Index:
                 self._analyzer = FrenchAnalyzer()
         return self._analyzer
 
-    # serving strategy: the dense-accumulator TAAT path is fastest up
-    # to tens of millions of docs (vectorized numpy, accumulator fits
-    # in memory); beyond that the block-max WINDOWED scorer keeps
-    # memory O(window) while staying vectorized.  The cursor WAND
-    # remains the canonical per-posting algorithm (all three are
-    # rank-identical by test).
-    WAND_MIN_DOCS = 20_000_000
-
+    # serving strategy: the block-max WINDOWED scorer is the default —
+    # measured better p95 than the dense-accumulator TAAT at both 235k
+    # and 940k docs (block-max pruning trims hot-term tails) AND its
+    # memory is O(window), so the same path serves at any corpus size.
+    # Single-term queries use the vectorized posting scan inside
+    # search_wand (O(df), no windows needed).  search_exact remains
+    # the oracle; all paths are rank-identical by test.
     def search_terms(self, terms, k: int = 10):
-        if self.n_docs >= self.WAND_MIN_DOCS:
-            return self.search_block_window(terms, k)
-        return self.search_exact(terms, k)
+        if len(set(terms)) <= 1:
+            return self.search_wand(terms, k)
+        return self.search_block_window(terms, k)
 
     def warm(self, top_n: int = 512) -> int:
         """Preload the postings of the ``top_n`` highest-cf terms (the
