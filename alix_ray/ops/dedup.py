@@ -434,13 +434,14 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
     def pk(x: np.ndarray) -> np.ndarray:
         return (_mix64(x) % np.uint64(num_parts)).astype(np.int64)
 
+    pairs = pairs.materialize()  # count + reuse without re-executing
     n_pairs = pairs.count()
     if n_pairs <= driver_max_pairs:
         # blocks may have heterogeneous schemas (empty map_groups
         # outputs) — take just the two pair columns from non-empty ones
         blocks = [
             t.select([a_col, b_col])
-            for t in ray.get(pairs.materialize().to_arrow_refs())
+            for t in ray.get(pairs.to_arrow_refs())
             if t.num_rows and a_col in t.column_names
         ]
         if not blocks:
