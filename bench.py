@@ -120,7 +120,10 @@ def run_bench() -> dict:
 
     t0 = time.time()
     b = IndexBuilder(out_dir, analyzer="french")
-    pages = ray.data.read_parquet(pages_dir)
+    # bounded block count: per-file read tasks over ~200 small corpus
+    # files cost ~1.6s of pure task launch; 128 blocks keeps the
+    # extract stage parallel while reads stay cheap
+    pages = ray.data.read_parquet(pages_dir, override_num_blocks=128)
     b.build(pages, input_kind="pages", fingerprint=f"bench{n_pages}")
     build_sec = time.time() - t0
 
