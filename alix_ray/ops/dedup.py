@@ -118,7 +118,12 @@ def _batch_token_hashes(texts: list, analyzer) -> tuple[np.ndarray, np.ndarray]:
 
 
 def exact_dedup(ds: ray.data.Dataset, key_col="text", id_col="doc_id"):
-    """Keep the min-id row per distinct key value (hash-partitioned)."""
+    """Keep the min-id row per distinct key value (hash-partitioned).
+
+    Groups by a coarse partition of the content hash (not the raw
+    hash — per-group dispatch over millions of mostly-singleton hash
+    groups is the expensive shape); the per-partition reduction is one
+    vectorized pandas groupby-idxmin."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib
@@ -129,14 +134,20 @@ def exact_dedup(ds: ray.data.Dataset, key_col="text", id_col="doc_id"):
             ).hexdigest()
             for v in batch[key_col].to_pylist()
         ]
-        return batch.append_column("content_hash", pa.array(hs))
+        pk = _partition_key(
+            np.array([int(h[:15], 16) for h in hs], np.uint64)
+        )
+        return batch.append_column(
+            "content_hash", pa.array(hs)
+        ).append_column("pkey", pa.array(pk))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
     def keep_first(g):
-        return g.sort_values(id_col).head(1)
+        idx = g.groupby("content_hash")[id_col].idxmin()
+        return g.loc[idx.to_numpy()].drop(columns="pkey")
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return hashed.groupby("pkey").map_groups(keep_first, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------
