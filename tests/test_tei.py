@@ -1,0 +1,90 @@
+"""TEI → alix-XML → documents (the TeiIngester two-stage design)."""
+
+import pytest
+
+from alix_ray.stages.tei import tei_to_alix_xml
+from alix_ray.stages.alixxml import parse_alix_xml
+
+TEI = """<TEI xmlns="http://www.tei-c.org/ns/1.0" xml:id="voyage1878">
+  <teiHeader>
+    <fileDesc>
+      <titleStmt>
+        <title>Le Voyage</title>
+        <author>A. Dupont</author>
+      </titleStmt>
+      <publicationStmt><date when="1878"/></publicationStmt>
+    </fileDesc>
+  </teiHeader>
+  <text><body>
+    <div xml:id="ch1"><head>Départ</head><p>Nous partons à l'aube.</p></div>
+    <div><p>Deuxième chapitre sans titre.</p></div>
+  </body></text>
+</TEI>"""
+
+
+def test_tei_header_and_chapters():
+    docs = parse_alix_xml(tei_to_alix_xml(TEI, "voyage"), "voyage")
+    book = docs[0]
+    assert book["doc_type"] == "book" and book["id"] == "voyage1878"
+    assert book["fields"]["title"] == "Le Voyage"
+    assert book["fields"]["author"] == "A. Dupont"
+    assert book["fields"]["date"] == "1878"
+    chapters = [d for d in docs if d["doc_type"] == "chapter"]
+    assert len(chapters) == 2
+    # explicit xml:id kept; synthetic id for the second
+    assert chapters[0]["id"] == "ch1"
+    assert chapters[0]["fields"]["title"] == "Départ"
+    assert "aube" in chapters[0]["fields"]["text"]
+    assert chapters[1]["id"] == "voyage1878-02" and chapters[1]["ord"] == 2
+
+
+def test_tei_without_divs_single_doc():
+    tei = """<TEI xmlns="http://www.tei-c.org/ns/1.0">
+      <text><body><p>Just one flat text.</p></body></text></TEI>"""
+    docs = parse_alix_xml(tei_to_alix_xml(tei, "flat"), "flat")
+    assert len(docs) == 1
+    assert docs[0]["doc_type"] == "book" and docs[0]["id"] == "flat"
+    assert docs[0]["fields"]["text"] == "Just one flat text."
+
+
+def test_tei_escaping():
+    tei = """<TEI><teiHeader><fileDesc><titleStmt>
+      <title>Tom &amp; Jerry &lt;3</title>
+    </titleStmt></fileDesc></teiHeader>
+    <text><body><p>AT&amp;T says 1 &lt; 2</p></body></text></TEI>"""
+    docs = parse_alix_xml(tei_to_alix_xml(tei, "esc"), "esc")
+    assert docs[0]["fields"]["title"] == "Tom & Jerry <3"
+    assert "AT&T says 1 < 2" in docs[0]["fields"]["text"]
+
+
+def test_tei_ray_operator_and_quarantine(ray_session):
+    import ray.data
+
+    from alix_ray.stages.tei import tei_documents
+
+    rows = [{"xml": TEI, "filestem": "good"},
+            {"xml": "<TEI><unclosed", "filestem": "bad"}]
+    out = tei_documents(ray.data.from_items(rows)).to_pandas()
+    assert (out["doc_type"] == "error").sum() == 1
+    assert (out["doc_type"] == "chapter").sum() == 2
+    ch = out[out["doc_type"] == "chapter"].sort_values("ord").iloc[0]
+    assert ch["bookid"] == "voyage1878" and "aube" in ch["text"]
+
+
+def test_tei_to_index_end_to_end(ray_session, tmp_path):
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.stages.build import IndexBuilder
+    from alix_ray.stages.tei import tei_documents
+
+    docs = tei_documents(ray.data.from_items([{"xml": TEI, "filestem": "v"}]))
+    ch = docs.filter(expr="doc_type == 'chapter'").to_pandas()
+    ch = ch.sort_values(["bookid", "ord"]).reset_index(drop=True)
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(ch["text"])]
+    b = IndexBuilder(str(tmp_path / "ix"), analyzer="french")
+    b.build(ray.data.from_items(rows), input_kind="documents",
+            fingerprint="tei")
+    ix = BM25Index(str(tmp_path / "ix"))
+    res = ix.search("aube", 5)
+    assert res and res[0][0] == 0
