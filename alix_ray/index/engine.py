@@ -186,10 +186,9 @@ class Rail:
     _RG_CACHE_MAX = 64
 
     def __init__(self, analyzed_dir: str):
-        self.files = sorted(
-            os.path.join(analyzed_dir, f)
-            for f in _walk_parquet(analyzed_dir)
-        )
+        # _walk_parquet already yields full paths — joining again would
+        # double the prefix for relative index dirs
+        self.files = sorted(_walk_parquet(analyzed_dir))
         self._pf = [pq.ParquetFile(f) for f in self.files]
         self._spans: list[tuple[int, int, int, int]] = []  # (min,max,fi,rg)
         for fi, pf in enumerate(self._pf):

@@ -595,7 +595,7 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
             # bound block count: without this, each round's unions and
             # groupbys COMPOUND the label dataset's tiny blocks and
             # per-round scheduling overhead grows superlinearly
-            .repartition(16)
+            .repartition(num_parts)
             .materialize()
         )
         cur_sum = new_labels.sum("label")
@@ -603,6 +603,16 @@ def connected_components(pairs: ray.data.Dataset, a_col="doc_a",
         if prev_sum is not None and cur_sum == prev_sum:
             break  # labels only decrease; equal sum = fixpoint
         prev_sum = cur_sum
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no label fixpoint after "
+            f"{max_iter} rounds — returned labels may be UNCONVERGED "
+            f"(some clusters split across ids); raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     return labels.map_batches(
         lambda b: pa.table(

@@ -644,8 +644,11 @@ def q_pages_extract(sf_dir: str) -> pd.DataFrame:
         check_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     # driver concat is bounded: fail fast rather than OOM if someone
-    # raises n past the small audit size
-    assert n <= 50_000, "pages_extract audit is driver-side; keep n small"
+    # raises n past the small audit size (not an assert — those strip
+    # under python -O)
+    if n > 50_000:
+        raise ValueError(
+            f"pages_extract audit is driver-side; n={n} > 50000")
     tbl = pa.concat_tables(ray.get(ds.materialize().to_arrow_refs()))
     df = tbl.select(["url", "text", "error"]).to_pandas()
     df["n_chars"] = df["text"].str.len().astype("int64")

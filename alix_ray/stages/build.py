@@ -408,26 +408,51 @@ class IndexBuilder:
             wall_ms=int((time.time() - t0) * 1000),
         )
         t0 = time.time()  # config wall measures ONLY the aggregate
-        # global sums via per-batch partials + driver merge over the
-        # written artifact — rows never materialize on the driver, and
-        # the partial table is O(#blocks) (a Ray global aggregate costs
-        # ~1s fixed; this is ~0.2s, same distributed shape)
-        def _partial(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "n": pa.array([t.num_rows], pa.int64()),
-                "tok": pa.array([int(pa.compute.sum(t["tokens"]).as_py() or 0)]),
-                "maxd": pa.array([
-                    int(pa.compute.max(t["doc_id"]).as_py())
-                    if t.num_rows else -1
-                ]),
-            })
+        # global sums (N, Σtokens, max doc_id).  Auto-select (the
+        # docids precedent): below the size cap a thread pool of
+        # column-pruned driver reads over the artifact files avoids a
+        # whole Ray pipeline launch (~0.5 s fixed cost); beyond it the
+        # per-batch-partials pass keeps everything distributed.
+        stat_files = [
+            os.path.join(r, n)
+            for r, _d, ns in os.walk(final)
+            for n in ns if n.endswith(".parquet")
+        ]
+        total_bytes = sum(os.path.getsize(f) for f in stat_files)
+        if total_bytes <= 256 * 1024 * 1024:
+            from concurrent.futures import ThreadPoolExecutor
 
-        parts = ray.data.read_parquet(
-            final, columns=["doc_id", "tokens"]
-        ).map_batches(_partial, batch_format="pyarrow").take_all()
-        n_docs = int(sum(p["n"] for p in parts))
-        total_tokens = int(sum(p["tok"] for p in parts))
-        max_doc = int(max((p["maxd"] for p in parts), default=-1))
+            def fpart(path):
+                t = pq.read_table(path, columns=["doc_id", "tokens"])
+                return (
+                    t.num_rows,
+                    int(pa.compute.sum(t["tokens"]).as_py() or 0),
+                    int(pa.compute.max(t["doc_id"]).as_py())
+                    if t.num_rows else -1,
+                )
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                parts = list(ex.map(fpart, stat_files))
+            n_docs = int(sum(p[0] for p in parts))
+            total_tokens = int(sum(p[1] for p in parts))
+            max_doc = int(max((p[2] for p in parts), default=-1))
+        else:
+            def _partial(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "tok": pa.array([int(pa.compute.sum(t["tokens"]).as_py() or 0)]),
+                    "maxd": pa.array([
+                        int(pa.compute.max(t["doc_id"]).as_py())
+                        if t.num_rows else -1
+                    ]),
+                })
+
+            parts = ray.data.read_parquet(
+                final, columns=["doc_id", "tokens"]
+            ).map_batches(_partial, batch_format="pyarrow").take_all()
+            n_docs = int(sum(p["n"] for p in parts))
+            total_tokens = int(sum(p["tok"] for p in parts))
+            max_doc = int(max((p["maxd"] for p in parts), default=-1))
         avgdl = total_tokens / n_docs if n_docs else 1.0
         cfg = {
             "n_docs": n_docs,

@@ -152,17 +152,23 @@ def _empty_postings_table() -> pa.Table:
 # Per-worker cache of per-shard norm slices (shard files are read once
 # per worker, not once per merge group).  Bounded: a worker only ever
 # caches shards of the groups it merges; cap guards pathological reuse.
+# The cache key includes the doc_stats publish mtime: rebuilding into
+# the same out_dir within one Ray session republishes doc_stats at the
+# same path, and reused worker processes must not serve the previous
+# build's norm slices (stale block_max would under-bound WAND skips).
 _NORM_CACHE: dict = {}
-_NORM_CACHE_MAX = 8
+_NORM_CACHE_MAX = 64
 
 
 def _shard_norms(stats_dir: str, shard: int, shard_range: int,
                  avgdl: float) -> tuple[int, np.ndarray]:
     """(base_doc_id, dense norm slice) for one shard, from the
     shard-partitioned doc_stats artifact (partition-pruned read)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    key = (stats_dir, shard)
+    key = (stats_dir, os.path.getmtime(stats_dir), shard)
     hit = _NORM_CACHE.get(key)
     if hit is not None:
         return hit

@@ -139,6 +139,20 @@ def run_bench() -> dict:
     load_sec = time.time() - t0
 
     queries = query_battery(ix, N_QUERIES)
+    # cold-open sample: first touch of each query's postings pays the
+    # lazy row-group read — measured on a small slice BEFORE warming
+    lat_cold = []
+    for qs in queries[: max(20, N_QUERIES // 10)]:
+        t0 = time.perf_counter()
+        ix.search_terms(qs, 10)
+        lat_cold.append(time.perf_counter() - t0)
+    lat_cold.sort()
+    cold_p95 = lat_cold[int(len(lat_cold) * 0.95)] * 1000
+    # serving protocol: replicas warm the Zipf head at open
+    # (index/serve.py) — the battery measures the warm steady state
+    t0 = time.time()
+    ix.warm()
+    warm_sec = time.time() - t0
     lat, lat_wand = [], []
     for qs in queries:
         t0 = time.perf_counter()
@@ -175,8 +189,10 @@ def run_bench() -> dict:
         "n_pages": n_pages,
         "docs_per_sec": round(n_pages / build_sec, 1),
         "index_load_sec": round(load_sec, 3),
+        "index_warm_sec": round(warm_sec, 3),
         "query_p50_ms": round(p50, 3),
         "query_p95_ms": round(p95, 3),
+        "query_p95_ms_cold": round(cold_p95, 3),
         "scale_path_p95_ms": round(wand_p95, 3),
     }
     ray.shutdown()
