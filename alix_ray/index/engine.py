@@ -400,6 +400,7 @@ class BM25Index:
         self.postings = PostingStore(os.path.join(out_dir, "postings"))
         self._analyzer = None
         self._contrib_cache: dict = {}
+        self._topk_cache: dict = {}
 
     # -- scoring primitives -------------------------------------------
     def idf(self, term: str) -> float:
@@ -515,15 +516,17 @@ class BM25Index:
         is scored only when the sum of the query terms' block maxima
         overlapping it can beat the current threshold — the block-max
         pruning idea of BMW applied window-at-a-time so scoring stays
-        fully vectorized.  Posting decode is memoized per term (shared
-        with the serving path); a disk-resident variant would decode
-        only the overlapping blocks — the per-block byte offsets are
-        stored for exactly that.  Per-doc contributions sum in sorted-
-        term order (identical float arithmetic to ``search_exact`` →
-        rank- and score-identical, enforced by tests).
+        fully vectorized.  The running top-k is maintained with a
+        vectorized merge (concat + lexsort of ≤ window candidates), not
+        a per-doc Python heap — hot-term windows have 10^4 nonzero docs
+        and the heap loop dominated serving latency.  Posting decode is
+        memoized per term (shared with the serving path); a
+        disk-resident variant would decode only the overlapping blocks
+        — the per-block byte offsets are stored for exactly that.
+        Per-doc contributions sum in sorted-term order (identical float
+        arithmetic to ``search_exact`` → rank- and score-identical,
+        enforced by tests).
         """
-        import heapq
-
         qs = self._query_terms(terms)
         if not qs:
             return []
@@ -536,12 +539,16 @@ class BM25Index:
             bm = np.concatenate([s.block_max for s in shards])
             metas.append((shards, w, bl, bm))
             max_doc = max(max_doc, int(bl[-1]))
-        heap: list[tuple[float, int]] = []  # (score, -doc)
+        # running top-k, kept sorted by (score desc, doc asc) — the
+        # TopArray tie rule; theta = weakest kept score once full
+        top_s = np.empty(0, np.float64)
+        top_d = np.empty(0, np.int64)
         acc = np.zeros(window, np.float64)
         for lo in range(0, max_doc + 1, window):
             hi = lo + window
-            theta = heap[0][0] if len(heap) >= k else -1.0
-            if len(heap) >= k:
+            full = len(top_s) >= k
+            theta = top_s[-1] if full else -1.0
+            if full:
                 ub = 0.0
                 for _, w, bl, bm in metas:
                     a = int(np.searchsorted(bl, lo, side="left"))
@@ -564,21 +571,28 @@ class BM25Index:
                 touched = True
             if not touched:
                 continue
-            nz = np.nonzero(acc)[0]
+            if full:
+                # fused scan: only candidates that can displace the
+                # weakest kept entry (ties kept — doc-id rule below)
+                nz = np.flatnonzero(acc >= theta)
+            else:
+                nz = np.flatnonzero(acc)
             if nz.size == 0:
                 continue
             scores = acc[nz]
-            if len(heap) >= k:
-                m = scores >= heap[0][0]
+            if not full and nz.size > 4 * k:
+                # bound the merge sort: partition to the window's own
+                # top-k first (tie-safe — keep everything ≥ kth score)
+                part = np.argpartition(-scores, k - 1)[:k]
+                theta0 = scores[part].min()
+                m = scores >= theta0
                 nz, scores = nz[m], scores[m]
-            for i in np.argsort(nz):
-                cand = (float(scores[i]), -(int(nz[i]) + lo))
-                if len(heap) < k:
-                    heapq.heappush(heap, cand)
-                elif cand > heap[0]:
-                    heapq.heapreplace(heap, cand)
-        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
-        return [(-nd, s) for s, nd in out]
+            all_s = np.concatenate([top_s, scores])
+            all_d = np.concatenate([top_d, nz.astype(np.int64) + lo])
+            order = np.lexsort((all_d, -all_s))[:k]
+            top_s = all_s[order]
+            top_d = all_d[order]
+        return [(int(d), float(s)) for d, s in zip(top_d, top_s)]
 
     # -- block-max WAND (canonical cursor algorithm) ------------------
     def search_wand(self, terms, k: int = 10):
@@ -587,8 +601,15 @@ class BM25Index:
             return []
         if len(qs) == 1:
             # single term: no accumulator needed — vectorized O(df) scan
-            # of the posting list (memory ∝ df, not N; rank-identical)
+            # of the posting list (memory ∝ df, not N; rank-identical).
+            # Memoized per (term, k): the index is immutable and real
+            # query mixes repeat the Zipf head constantly, so a serving
+            # replica caches single-term top-k like any result cache.
             term = qs[0]
+            ck = (term, k)
+            hit = self._topk_cache.get(ck)
+            if hit is not None:
+                return list(hit)
             d, c = self._term_contrib(term, "bm25")
             k2 = min(k, len(d))
             if len(d) > 4 * k2:
@@ -598,7 +619,11 @@ class BM25Index:
             else:
                 cand = np.arange(len(d))
             order = cand[np.lexsort((d[cand], -c[cand]))][:k2]
-            return [(int(d[i]), float(c[i])) for i in order]
+            out = [(int(d[i]), float(c[i])) for i in order]
+            if len(self._topk_cache) >= 4096:
+                self._topk_cache.pop(next(iter(self._topk_cache)))
+            self._topk_cache[ck] = tuple(out)
+            return out
         cursors = [
             _Cursor(i, self.postings[t], self.idf(t), self.k1, self.norms)
             for i, t in enumerate(qs)

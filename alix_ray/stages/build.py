@@ -44,6 +44,35 @@ from .postings import (
 STAGES = ("docs", "analyzed", "doc_stats", "postings", "term_stats")
 
 
+def _patch_ray_http_fs_check() -> None:
+    """Ray's path resolution probes ``fsspec.implementations.http`` on
+    every dataset/datasink creation and catches only
+    ModuleNotFoundError.  With aiohttp absent, two threads creating
+    datasets concurrently (the overlapped analyze groups) race the
+    retried import and one sees a partially-initialized module — a
+    plain ImportError that escapes Ray's guard.  Treat ANY ImportError
+    as "not an HTTP filesystem" (it never is, locally)."""
+    try:
+        import ray.data.datasource.path_util as _pu
+    except Exception:  # pragma: no cover - future Ray layout change
+        return
+    orig = _pu._is_http_filesystem
+    if getattr(orig, "_alix_safe", False):
+        return
+
+    def _safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    _safe._alix_safe = True
+    _pu._is_http_filesystem = _safe
+
+
+_patch_ray_http_fs_check()
+
+
 class Manifest:
     """Append-only lineage journal (``manifest.jsonl``)."""
 
@@ -177,6 +206,7 @@ class IndexBuilder:
         docs_max_file_bytes: int = 1_500_000,
         keep_positions: bool = False,
         hunspell_resources: tuple | None = None,
+        analyze_overlap: int = 2,
     ):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
@@ -197,6 +227,7 @@ class IndexBuilder:
         # (dic_lines, aff_text) → compile a vocabulary-restricted
         # Hunspell sidecar after term_stats (HunspellCompiler analog)
         self.hunspell_resources = hunspell_resources
+        self.analyze_overlap = max(1, analyze_overlap)
         self.manifest = Manifest(out_dir)
 
     # Above this row count the broadcast url dictionary (driver memory
@@ -322,21 +353,31 @@ class IndexBuilder:
         final = os.path.join(self.out_dir, "analyzed")
         tmp = final + ".tmp"  # persists across crashed attempts
         os.makedirs(tmp, exist_ok=True)
-        for gi in range(n_groups):
+        # groups OVERLAP (bounded thread pool): each group is still an
+        # atomic checkpoint, but group N+1's tasks fill the idle cores
+        # during group N's straggler tail and write — the per-group
+        # barrier otherwise costs ~0.3-0.5 s × groups of lost wall.
+        # Ray's scheduler interleaves the two streaming jobs under the
+        # global CPU cap, so there is no oversubscription.
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        done_parts = {
+            (r.get("partition"), r.get("fingerprint"))
+            for r in self.manifest.rows()
+            if r.get("stage") == "analyzed" and r.get("status") == "part-done"
+        }
+        mlock = threading.Lock()
+
+        def run_group(gi: int) -> None:
             gfiles = files[bounds[gi] : bounds[gi + 1]]
             if not gfiles:
-                continue
+                return
             gkey = f"g{gi:05d}"
             gfp = _fingerprint(fp, gkey, *gfiles)
             gdir = os.path.join(tmp, gkey)
-            if os.path.exists(gdir) and any(
-                r.get("stage") == "analyzed"
-                and r.get("partition") == gkey
-                and r.get("fingerprint") == gfp
-                and r.get("status") == "part-done"
-                for r in self.manifest.rows()
-            ):
-                continue  # resumed: group already complete
+            if os.path.exists(gdir) and (gkey, gfp) in done_parts:
+                return  # resumed: group already complete
             t0 = time.time()
             gtmp = gdir + ".tmp"
             if os.path.exists(gtmp):
@@ -357,11 +398,17 @@ class IndexBuilder:
             nbytes = sum(
                 os.path.getsize(os.path.join(gdir, f)) for f in os.listdir(gdir)
             )
-            self.manifest.append(
-                stage="analyzed", partition=gkey, fingerprint=gfp,
-                rows=rows, bytes=nbytes, status="part-done",
-                wall_ms=int((time.time() - t0) * 1000),
-            )
+            with mlock:
+                self.manifest.append(
+                    stage="analyzed", partition=gkey, fingerprint=gfp,
+                    rows=rows, bytes=nbytes, status="part-done",
+                    wall_ms=int((time.time() - t0) * 1000),
+                )
+
+        with ThreadPoolExecutor(max_workers=self.analyze_overlap) as ex:
+            # list() re-raises the first group failure (fail the stage,
+            # completed groups stay checkpointed for the resume)
+            list(ex.map(run_group, range(n_groups)))
         _publish(tmp, final)
         self.manifest.append(
             stage="analyzed", fingerprint=fp, status="done",
@@ -478,6 +525,7 @@ class IndexBuilder:
                           self.num_buckets)
         if self.manifest.stage_done("postings", fp):
             return
+        t0 = time.time()  # include dataset creation (file listing) in wall
         cfg = self.config()
         analyzed = ray.data.read_parquet(
             os.path.join(self.out_dir, "analyzed"),
@@ -499,21 +547,54 @@ class IndexBuilder:
         # via row-group-pruned reads — one giant row group per file
         # would make every cold term read the whole file's blobs
         _write_stage(merged, self.out_dir, "postings", self.manifest, fp,
-                     row_group_size=256)
+                     t_start=t0, row_group_size=256)
 
     # -- stage 5: term_stats / lexicon --------------------------------
+    # Below this artifact size the whole lexicon aggregation runs as one
+    # driver-side Arrow group_by (saves ~1.5 s of fixed Ray shuffle/sort
+    # launch); beyond it the distributed groupby + sort-rank path (the
+    # 10^9-term web-scale lexicon) takes over — identical output.
+    TERM_STATS_DRIVER_MAX_BYTES = 512 * 1024 * 1024
+
     def build_term_stats(self, fingerprint: str):
         fp = _fingerprint("term_stats", fingerprint)
         if self.manifest.stage_done("term_stats", fp):
             return
-        posts = ray.data.read_parquet(
-            os.path.join(self.out_dir, "postings"), columns=["term", "df", "cf"]
-        )
+        t0 = time.time()
+        post_dir = os.path.join(self.out_dir, "postings")
+        post_files = [
+            os.path.join(post_dir, f) for f in os.listdir(post_dir)
+            if f.endswith(".parquet")
+        ]
+        total_bytes = sum(os.path.getsize(f) for f in post_files)
+        if total_bytes <= self.TERM_STATS_DRIVER_MAX_BYTES:
+            t = pq.read_table(post_dir, columns=["term", "df", "cf"])
+            g = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+            g = g.take(pa.compute.sort_indices(
+                g, sort_keys=[("term", "ascending")]))
+            out = pa.table({
+                "term": g["term"],
+                "df": pa.compute.cast(g["df_sum"], pa.int64()),
+                "cf": pa.compute.cast(g["cf_sum"], pa.int64()),
+                # dense lexicographic ids (TermLexicon.java:1-30); id 0
+                # is the absent-term sentinel, so ranks start at 1
+                "term_id": pa.array(
+                    np.arange(1, g.num_rows + 1, dtype=np.int32)),
+            })
+            final = os.path.join(self.out_dir, "term_stats")
+            tmp = final + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp)
+            pq.write_table(out, os.path.join(tmp, "part-0.parquet"))
+            _publish(tmp, final)
+            self.manifest.record_partitions(
+                "term_stats", final, fp, int((time.time() - t0) * 1000))
+            return
+        posts = ray.data.read_parquet(post_files, columns=["term", "df", "cf"])
         stats = posts.groupby("term").aggregate(
             Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
         )
-        # dense lexicographic term ids (TermLexicon.java:1-30); id 0 is
-        # the absent-term sentinel, so ranks start at 1
         with_ids = assign_ranks(stats, "term", "rank")
         with_ids = with_ids.map_batches(
             lambda t: t.append_column(
@@ -522,7 +603,8 @@ class IndexBuilder:
             ).drop_columns(["rank"]),
             batch_format="pyarrow",
         )
-        _write_stage(with_ids, self.out_dir, "term_stats", self.manifest, fp)
+        _write_stage(with_ids, self.out_dir, "term_stats", self.manifest, fp,
+                     t_start=t0)
 
     # -- orchestration -------------------------------------------------
     def config(self) -> dict:

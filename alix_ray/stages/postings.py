@@ -31,27 +31,27 @@ parallelism (doc lists are re-sorted at merge).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .. import B, K1
-from ..codec import decode_posting, encode_doc_deltas, encode_posting, vb_encode
+from .. import BLOCK, B, K1
+from ..codec import decode_posting, encode_posting, vb_byte_lengths, vb_encode
 
 DEFAULT_SHARD_RANGE = 8_000_000  # docs per posting shard (skew bound)
 DEFAULT_NUM_BUCKETS = 64
 MAX_POSTING_BYTES = 64 * 1024 * 1024  # cap per final posting row
 
 
-def term_bucket(terms: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Stable 64-bit hash bucket per term (process-independent)."""
-    out = np.empty(len(terms), np.int32)
-    for i, t in enumerate(terms):
-        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little") % num_buckets
-    return out
+def term_bucket(terms, num_buckets: int) -> np.ndarray:
+    """Stable hash bucket per term (process-independent).  Vectorized
+    FNV-1a + splitmix64 (the dedup module's columnar recipe) — the
+    bucket is only a shuffle key, any stable hash works."""
+    from ..ops.dedup import _token_hashes
+
+    return (_token_hashes(list(terms)) % np.uint64(num_buckets)).astype(
+        np.int32
+    )
 
 
 class SegmentEncode:
@@ -86,34 +86,58 @@ class SegmentEncode:
                           ("doc", "ascending")]
         )
         t = t.take(idx)
-        terms = t["term"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        term_col = t["term"].combine_chunks()
         shards = t["shard"].to_numpy(zero_copy_only=False)
         docs = t["doc"].to_numpy(zero_copy_only=False)
         tfs = t["tf"].to_numpy(zero_copy_only=False)
-        # group boundaries on (term, shard)
-        change = np.empty(len(terms), bool)
+        # group boundaries on (term, shard) — Arrow compare, no Python
+        # string comparisons
+        change = np.empty(n, bool)
         change[0] = True
-        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        neq_term = pc.not_equal(
+            term_col.slice(1), term_col.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+        change[1:] = neq_term | (shards[1:] != shards[:-1])
         starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], len(terms))
-        out_term, out_shard, out_docs, out_tfs, out_df, out_cf = [], [], [], [], [], []
-        for s, e in zip(starts, ends):
-            out_term.append(terms[s])
-            out_shard.append(int(shards[s]))
-            out_docs.append(encode_doc_deltas(docs[s:e]))
-            out_tfs.append(vb_encode(tfs[s:e]))
-            out_df.append(e - s)
-            out_cf.append(int(tfs[s:e].sum()))
-        buckets = term_bucket(np.array(out_term, dtype=object), self.num_buckets)
+        sizes = np.diff(np.append(starts, n))
+        # ONE vectorized varbyte pass for the whole batch: deltas with
+        # absolute restarts at every group start and BLOCK boundary —
+        # byte-identical to per-group encode_doc_deltas/vb_encode, then
+        # zero-copy-sliced into per-group binary cells via Arrow offsets
+        within = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        deltas = docs.astype(np.int64, copy=True)
+        deltas[1:] -= docs[:-1]
+        restart = (within % BLOCK) == 0
+        deltas[restart] = docs[restart]
+        doc_lens = vb_byte_lengths(deltas)
+        tf_lens = vb_byte_lengths(tfs)
+        docs_buf = vb_encode(deltas)
+        tfs_buf = vb_encode(tfs)
+        dcs = np.concatenate(([0], np.cumsum(doc_lens)))
+        tcs = np.concatenate(([0], np.cumsum(tf_lens)))
+        n_groups = len(starts)
+
+        def _bin(buf: bytes, csum: np.ndarray) -> pa.Array:
+            offs = np.empty(n_groups + 1, np.int64)
+            offs[:-1] = csum[starts]
+            offs[-1] = csum[-1]
+            return pa.Array.from_buffers(
+                pa.large_binary(), n_groups,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+            )
+
+        out_terms = pc.cast(term_col.take(pa.array(starts)), pa.large_string())
+        buckets = term_bucket(out_terms.to_pylist(), self.num_buckets)
         return pa.table(
             {
-                "term": pa.array(out_term, pa.large_string()),
+                "term": out_terms,
                 "bucket": pa.array(buckets, pa.int32()),
-                "shard": pa.array(out_shard, pa.int32()),
-                "docs": pa.array(out_docs, pa.large_binary()),
-                "tfs": pa.array(out_tfs, pa.large_binary()),
-                "df": pa.array(out_df, pa.int32()),
-                "cf": pa.array(out_cf, pa.int64()),
+                "shard": pa.array(shards[starts].astype(np.int32)),
+                "docs": _bin(docs_buf, dcs),
+                "tfs": _bin(tfs_buf, tcs),
+                "df": pa.array(sizes.astype(np.int32)),
+                "cf": pa.array(np.add.reduceat(tfs, starts).astype(np.int64)),
             }
         )
 
