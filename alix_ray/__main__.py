@@ -76,8 +76,8 @@ def cmd_suggest(args) -> int:
     from .ops.analytics import suggest
 
     ix = BM25Index(args.index)
-    ts = pd.DataFrame({"term": ix.lexicon,
-                       "cf": [int(ix.cf[t]) for t in ix.lexicon]})
+    ts = pd.DataFrame({"term": list(ix.lexicon),
+                       "cf": list(ix.cf.values())})
     out = suggest(ts, args.prefix, args.k)
     print(out.to_csv(index=False))
     return 0

@@ -283,6 +283,177 @@ def _walk_parquet(dir_: str):
                 yield os.path.join(root, n)
 
 
+class DocStatsStore:
+    """Lazy shard-sliced per-doc stats: exact dl (``tokens``) and the
+    BM25 length norm ``k1*(1-b+b*dl/avgdl)``.
+
+    Slices load on first touch from the shard-partitioned ``doc_stats``
+    artifact (partition-pruned Parquet read) and are LRU-capped, so a
+    serving replica's resident per-doc state is ∝ touched shards
+    (``shard_range`` docs each), never O(max_doc_id) — a dense global
+    array would be ~8 TB at 10^12 docs.  (Reference: Lucene reads
+    norms per segment, ``SURVEY.md §1.3``; this is the doc-range-shard
+    equivalent.)"""
+
+    _MAX_SLICES = 8
+
+    def __init__(self, stats_dir: str, shard_range: int, k1: float,
+                 b: float, avgdl: float):
+        self.stats_dir = stats_dir
+        self.shard_range = int(shard_range)
+        self.k1 = k1
+        self.b = b
+        self.avgdl = avgdl
+        self._slices: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _slice(self, shard: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._slices.get(shard)
+        if hit is not None:
+            return hit
+        t = pq.read_table(
+            self.stats_dir, columns=["doc_id", "tokens"],
+            filters=[("shard", "=", int(shard))],
+        )
+        base = shard * self.shard_range
+        local = t["doc_id"].to_numpy() - base
+        size = int(local.max()) + 1 if len(local) else 1
+        toks = np.zeros(size, np.int64)
+        toks[local] = t["tokens"].to_numpy()
+        norms = self.k1 * (
+            1.0 - self.b + self.b * toks.astype(np.float64) / self.avgdl
+        )
+        if len(self._slices) >= self._MAX_SLICES:
+            self._slices.pop(next(iter(self._slices)))
+        self._slices[shard] = (toks, norms)
+        return toks, norms
+
+    def gather(self, idx, kind: int):
+        """kind 0 → tokens (int64), kind 1 → norms (float64).  Accepts
+        a scalar doc id, an int array, or a boolean corpus mask."""
+        if isinstance(idx, (int, np.integer)):
+            sh, off = divmod(int(idx), self.shard_range)
+            arr = self._slice(sh)[kind]
+            return arr[off]
+        idx = np.asarray(idx)
+        if idx.dtype == bool:
+            idx = np.flatnonzero(idx)
+        sh = idx // self.shard_range
+        first = int(sh[0]) if len(sh) else 0
+        if len(sh) == 0 or int(sh[-1]) == first and (sh == first).all():
+            # single-shard fast path (also the whole-corpus case when
+            # max_doc_id < shard_range)
+            arr = self._slice(first)[kind] if len(sh) else \
+                np.empty(0, np.int64 if kind == 0 else np.float64)
+            return arr[idx - first * self.shard_range]
+        out = np.empty(len(idx), np.int64 if kind == 0 else np.float64)
+        for s in np.unique(sh):
+            arr = self._slice(int(s))[kind]
+            m = sh == s
+            out[m] = arr[idx[m] - int(s) * self.shard_range]
+        return out
+
+
+class _DocField:
+    """Array-like view over one DocStatsStore field (``doc[ids]``)."""
+
+    __slots__ = ("store", "kind")
+
+    def __init__(self, store: DocStatsStore, kind: int):
+        self.store = store
+        self.kind = kind
+
+    def __getitem__(self, idx):
+        return self.store.gather(idx, self.kind)
+
+
+class TermLexicon:
+    """Sorted term dictionary over an Arrow ``large_string`` column —
+    binary-search lookups against the Arrow buffers, no per-term Python
+    string objects (``TermLexicon.java:98`` layout: sorted blob +
+    offsets).  Memory is the two Arrow buffers; strings materialize
+    one at a time only when compared or yielded."""
+
+    __slots__ = ("terms", "_n")
+
+    def __init__(self, terms):
+        self.terms = terms
+        self._n = len(terms)
+
+    def index(self, term: str) -> int:
+        lo, hi = 0, self._n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.terms[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < self._n and self.terms[lo].as_py() == term:
+            return lo
+        return -1
+
+    def __contains__(self, term) -> bool:
+        return self.index(term) >= 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i: int) -> str:
+        return self.terms[i].as_py()
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self.terms[i].as_py()
+
+
+class TermStatsMap:
+    """Mapping-like term → int stat view (df/cf) over the sorted
+    lexicon + a numpy value column.  Lookup is one binary search; no
+    per-term dict entries."""
+
+    __slots__ = ("lex", "vals")
+
+    def __init__(self, lex: TermLexicon, vals: np.ndarray):
+        self.lex = lex
+        self.vals = vals
+
+    def get(self, term, default=0):
+        i = self.lex.index(term)
+        return default if i < 0 else int(self.vals[i])
+
+    def __getitem__(self, term):
+        i = self.lex.index(term)
+        if i < 0:
+            raise KeyError(term)
+        return int(self.vals[i])
+
+    def __contains__(self, term) -> bool:
+        return self.lex.index(term) >= 0
+
+    def __iter__(self):
+        return iter(self.lex)
+
+    def __len__(self) -> int:
+        return len(self.lex)
+
+    def keys(self):
+        return iter(self.lex)
+
+    def values(self):
+        return (int(v) for v in self.vals)
+
+    def items(self):
+        return ((self.lex[i], int(self.vals[i])) for i in range(len(self.lex)))
+
+    def top(self, n: int) -> list[str]:
+        """Terms of the ``n`` largest values (vectorized argpartition)."""
+        n = min(n, len(self.vals))
+        if n == 0:
+            return []
+        idx = np.argpartition(-self.vals, n - 1)[:n]
+        idx = idx[np.argsort(-self.vals[idx], kind="stable")]
+        return [self.lex[int(i)] for i in idx]
+
+
 class _Cursor:
     """Posting cursor over one term's shard list, one block at a time."""
 
@@ -384,17 +555,28 @@ class BM25Index:
         self.idf_exp = self.cfg["idf_exp"]
         self.n_docs = self.cfg["n_docs"]
         self.avgdl = self.cfg["avgdl"]
-        stats = pq.read_table(os.path.join(out_dir, "doc_stats"))
-        n_slots = self.cfg["max_doc_id"] + 1
-        self.doc_tokens = np.zeros(max(n_slots, 1), np.int64)
-        self.doc_tokens[stats["doc_id"].to_numpy()] = stats["tokens"].to_numpy()
-        self.norms = self.k1 * (
-            1.0 - self.b + self.b * self.doc_tokens.astype(np.float64) / self.avgdl
+        self.n_slots = max(self.cfg["max_doc_id"] + 1, 1)
+        # per-doc state is shard-sliced + lazy — replica memory ∝
+        # touched shards, never O(max_doc_id) (dense arrays were the
+        # r2 scale blocker)
+        self.docstats = DocStatsStore(
+            os.path.join(out_dir, "doc_stats"),
+            self.cfg.get("shard_range", 8_000_000),
+            self.k1, self.b, self.avgdl,
         )
-        ts = pq.read_table(os.path.join(out_dir, "term_stats"))
-        self.lexicon = ts["term"].to_pylist()
-        self.df = dict(zip(self.lexicon, ts["df"].to_numpy()))
-        self.cf = dict(zip(self.lexicon, ts["cf"].to_numpy()))
+        self.doc_tokens = _DocField(self.docstats, 0)
+        self.norms = _DocField(self.docstats, 1)
+        # lexicon: sorted Arrow column + binary search, df/cf as numpy
+        # value columns — no O(vocab) Python dict/list objects
+        ts = pq.read_table(
+            os.path.join(out_dir, "term_stats"), columns=["term", "df", "cf"]
+        )
+        import pyarrow.compute as _pc
+
+        ts = ts.take(_pc.sort_indices(ts["term"]))
+        self.lexicon = TermLexicon(ts["term"].combine_chunks())
+        self.df = TermStatsMap(self.lexicon, ts["df"].to_numpy())
+        self.cf = TermStatsMap(self.lexicon, ts["cf"].to_numpy())
         # lazy: open scans only the term column (O(lexicon)); posting
         # blobs are row-group-read on first use
         self.postings = PostingStore(os.path.join(out_dir, "postings"))
@@ -480,8 +662,10 @@ class BM25Index:
         qs = self._query_terms(terms)
         if not qs:
             return []
-        acc = np.zeros(len(self.norms), np.float64)
-        seen = np.zeros(len(self.norms), np.int32) if mode == "and" else None
+        # corpus-sized accumulator: ORACLE path only — serving uses the
+        # O(window) block-max paths
+        acc = np.zeros(self.n_slots, np.float64)
+        seen = np.zeros(self.n_slots, np.int32) if mode == "and" else None
         for term in qs:
             d, contrib = self._term_contrib(term, scorer)
             acc[d] += contrib
@@ -741,10 +925,25 @@ class BM25Index:
             cand = cand[mask]
             if cand.size == 0:
                 return []
+        # score EVERY candidate first (vectorized per term — candidates
+        # are in every term's postings by construction), then verify
+        # spans against the rail in RANK order and stop at k matches:
+        # any unverified candidate scores ≤ the kth match (equal scores
+        # rank by doc asc, which the iteration order preserves), so the
+        # rail — the expensive per-doc step — is touched O(k + span
+        # misses) times, not O(|candidates|).  Two Zipf-head terms give
+        # ~N candidates; the old full-verification loop was the r2
+        # hot-term scale risk.
+        scores = np.zeros(len(cand), np.float64)
+        for t in qs:  # sorted term order = fixed float64 sum order
+            d, c = self._term_contrib(t, "bm25")
+            scores += c[np.searchsorted(d, cand)]
+        order = np.lexsort((cand, -scores))
         rail = self.rail()
         width_limit = len(qs) + slop
-        matched = []
-        for doc in cand.tolist():
+        out: list[tuple[int, float]] = []
+        for i in order:
+            doc = int(cand[i])
             rterms, rpos = rail.get(doc)
             pls = []
             ok = True
@@ -755,21 +954,10 @@ class BM25Index:
                     break
                 pls.append(pl)
             if ok and (len(qs) == 1 or self._min_window(pls) <= width_limit):
-                matched.append(doc)
-        if not matched:
-            return []
-        # BM25 score over the span-filtered set, fixed term order
-        scores = []
-        for doc in matched:
-            s = 0.0
-            for t in qs:
-                d, c = self._term_contrib(t, "bm25")
-                j = int(np.searchsorted(d, doc))
-                s += float(c[j])
-            scores.append(s)
-        order = sorted(range(len(matched)),
-                       key=lambda i: (-scores[i], matched[i]))[:k]
-        return [(matched[i], scores[i]) for i in order]
+                out.append((doc, float(scores[i])))
+                if len(out) >= k:
+                    break
+        return out
 
     # -- theme terms: rank TERMS for a doc subset (OpTerms main mode) --
     def _theme_stats(self, focus_mask: np.ndarray) -> dict:
@@ -961,7 +1149,7 @@ class BM25Index:
         — bounds cold-read tail latency after open for a serving
         replica without materializing the index.  Returns the number
         of terms loaded."""
-        hot = sorted(self.cf, key=lambda t: -self.cf[t])[:top_n]
+        hot = self.cf.top(top_n)
         n = 0
         for t in hot:
             if t in self.postings:

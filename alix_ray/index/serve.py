@@ -44,8 +44,8 @@ class QueryActor:
         import pandas as pd
 
         df = pd.DataFrame(
-            {"term": self.ix.lexicon,
-             "cf": [int(self.ix.cf[t]) for t in self.ix.lexicon]}
+            {"term": list(self.ix.lexicon),
+             "cf": list(self.ix.cf.values())}
         )
         out = suggest(df, prefix, k)
         return list(zip(out["term"], out["cf"]))
