@@ -98,6 +98,37 @@ def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     return _shingles_from(_token_hashes(tokens), k)
 
 
+def md5_lower64(strings: list[str]) -> np.ndarray:
+    """Per-string 64-bit hash = LOWER half of the MD5 digest,
+    little-endian — bit-identical to DuckDB's ``md5_number_lower``, so
+    operators hashed this way get an exact SQL oracle.  Each distinct
+    string is hashed once (md5 itself is not vectorizable; the cost is
+    bounded by distinct strings per batch)."""
+    import hashlib
+
+    out = np.empty(len(strings), np.uint64)
+    memo: dict[str, int] = {}
+    for i, s in enumerate(strings):
+        h = memo.get(s)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.md5(s.encode("utf-8")).digest()[8:16], "little"
+            )
+            memo[s] = h
+        out[i] = h
+    return out
+
+
+def _batch_md5_token_hashes(texts: list, analyzer) -> tuple[np.ndarray, np.ndarray]:
+    """Like :func:`_batch_token_hashes` but with the SQL-mirrorable
+    md5_number_lower hash (see :func:`md5_lower64`)."""
+    tok_lists = [analyzer.terms(t or "") for t in texts]
+    counts = np.fromiter(map(len, tok_lists), np.int64, len(tok_lists))
+    flat = [t for lst in tok_lists for t in lst]
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    return md5_lower64(flat), offs
+
+
 def _batch_token_hashes(texts: list, analyzer) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize + hash a whole batch in one vectorized pass.
 
@@ -128,17 +159,21 @@ def exact_dedup(ds: ray.data.Dataset, key_col="text", id_col="doc_id"):
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib
 
+        texts = batch[key_col].to_pylist()
         hs = [
-            hashlib.blake2b(
-                (v or "").encode("utf-8"), digest_size=16
-            ).hexdigest()
-            for v in batch[key_col].to_pylist()
+            hashlib.blake2b((v or "").encode("utf-8"), digest_size=16)
+            .digest()
+            for v in texts
         ]
+        # partition key straight from the first 8 digest bytes — no
+        # hex round-trip (blake2b itself is C-speed; the digest list
+        # is the only per-row Python left and is I/O-bound)
         pk = _partition_key(
-            np.array([int(h[:15], 16) for h in hs], np.uint64)
+            np.frombuffer(b"".join(h[:8] for h in hs), np.uint64)
+            if hs else np.empty(0, np.uint64)
         )
         return batch.append_column(
-            "content_hash", pa.array(hs)
+            "content_hash", pa.array(hs, pa.binary(16))
         ).append_column("pkey", pa.array(pk))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
@@ -647,13 +682,18 @@ def simhash64(tokens: list[str]) -> int:
 def simhash_pairs(ds: ray.data.Dataset, text_col="text", id_col="doc_id",
                   max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4-block
-    banding (a pair within distance 3 shares at least one of 4 blocks).
-    Band rows are slim: (doc_id, block, key, 8-byte sig)."""
+    banding (a pair within distance 3 shares at least one of 4 blocks
+    — pigeonhole, so the band pass is COMPLETE at the default 3).
+    Band rows are slim: (doc_id, block, key, 8-byte sig).
+
+    Token hash is md5_number_lower (:func:`md5_lower64`), so the pair
+    set has an exact DuckDB oracle (recompute signatures in SQL, keep
+    ``bit_count(xor()) <= max_hamming`` over all pairs)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
         sa = SimpleAnalyzer()
         ids = batch[id_col].to_pylist()
-        th, offs = _batch_token_hashes(batch[text_col].to_pylist(), sa)
+        th, offs = _batch_md5_token_hashes(batch[text_col].to_pylist(), sa)
         hs = np.fromiter(
             (_simhash_from(th[offs[i] : offs[i + 1]]) for i in range(len(ids))),
             np.uint64,

@@ -30,30 +30,46 @@ LANG_PROFILES = {
 
 
 class LangId:
-    """Per-doc language guess = argmax function-word hit rate.
+    """Per-doc language guess = argmax function-word hit count.
 
-    Stateful actor stage: profiles built once per actor.  Ties or no
-    hits → "und".
-    """
+    Stateful actor stage: profiles compile once per actor into Arrow
+    value sets; the batch path is fully vectorized (``pc.is_in`` per
+    language + one bincount scatter per language — no Python loop over
+    rows or tokens).  Ties go to the alphabetically-first language; no
+    hits → "und"."""
 
     def __init__(self, profiles=LANG_PROFILES):
-        self.profiles = {k: frozenset(v) for k, v in profiles.items()}
+        self.langs = sorted(profiles)
+        self.value_sets = [
+            pa.array(sorted(profiles[lang])) for lang in self.langs
+        ]
         self.sa = SimpleAnalyzer()
 
     def guess(self, text: str) -> str:
-        toks = self.sa.terms(text or "")
-        if not toks:
-            return "und"
-        best, best_hits = "und", 0
-        for lang in sorted(self.profiles):
-            hits = sum(1 for t in toks if t in self.profiles[lang])
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best
+        """Single-doc convenience wrapper over the batch kernel."""
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array([text or ""], pa.string())})
+        return self(t)["lang_guess"][0].as_py()
+
+    def _guess_batch(self, texts) -> pa.Array:
+        lists = SimpleAnalyzer.tokens_arrays(texts)
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        owner = np.repeat(np.arange(len(n_tok)), n_tok)
+        hits = np.zeros((len(n_tok), len(self.langs)), np.int64)
+        for j, vs in enumerate(self.value_sets):
+            m = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+            hits[:, j] = np.bincount(owner[m], minlength=len(n_tok))
+        best = np.argmax(hits, axis=1)  # first max = alphabetical tie rule
+        none = hits.max(axis=1) == 0
+        out = np.array(self.langs, dtype=object)[best]
+        out[none] = "und"
+        return pa.array(out, pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        guesses = [self.guess(t) for t in batch["text"].to_pylist()]
-        return batch.append_column("lang_guess", pa.array(guesses, pa.string()))
+        return batch.append_column(
+            "lang_guess", self._guess_batch(batch["text"])
+        )
 
 
 def quality_metrics(ds: ray.data.Dataset, text_col="text") -> ray.data.Dataset:
@@ -93,30 +109,46 @@ def quality_metrics(ds: ray.data.Dataset, text_col="text") -> ray.data.Dataset:
     return ds.map_batches(feats, batch_format="pyarrow")
 
 
-def fingerprint(ds: ray.data.Dataset, text_col="text", window: int = 4):
-    """Winnowing-style document fingerprint: polynomial rolling hash of
-    token 3-grams, min-sampled per window → stable content signature."""
-    from .dedup import _shingle_hashes
+def fingerprint(ds: ray.data.Dataset, text_col="text", window: int = 4,
+                k: int = 3):
+    """Winnowing document fingerprints (Schleimer et al. 2003 shape):
+    token ``k``-grams → md5_number_lower hash of the space-joined gram
+    → min over every full sliding ``window`` → DISTINCT selected
+    hashes per doc, emitted as rows ``(doc_id, fp)`` (16-hex-char).
+
+    Docs with fewer than ``k`` tokens fall back to their single-token
+    hashes (the minhash-shingle convention); empty docs emit no rows.
+    The md5 gram hash and the exploded row shape make the whole
+    operator an exact DuckDB window-min oracle; the window min is
+    vectorized (sliding_window_view) — per-doc Python is only the gram
+    join."""
+    from .dedup import md5_lower64
 
     def fp(batch: pa.Table) -> pa.Table:
         sa = SimpleAnalyzer()
-        out = []
-        for t in batch[text_col].to_pylist():
-            sh = _shingle_hashes(sa.terms(t or ""))
-            if len(sh) == 0:
-                out.append("0" * 16)
+        ids = batch["doc_id"].to_pylist()
+        out_id, out_fp = [], []
+        for did, t in zip(ids, batch[text_col].to_pylist()):
+            toks = sa.terms(t or "")
+            if not toks:
                 continue
+            if len(toks) < k:
+                grams = toks
+            else:
+                grams = [
+                    " ".join(toks[i : i + k])
+                    for i in range(len(toks) - k + 1)
+                ]
+            sh = md5_lower64(grams)
             if len(sh) >= window:
                 view = np.lib.stride_tricks.sliding_window_view(sh, window)
                 sel = np.unique(view.min(axis=1))
             else:
-                sel = sh
-            acc = np.uint64(0)
-            for v in np.sort(sel):
-                acc = acc * np.uint64(1099511628211) + np.uint64(v)
-            out.append(f"{int(acc):016x}")
-        return pa.table({"doc_id": batch["doc_id"],
-                         "fingerprint": pa.array(out, pa.string())})
+                sel = np.unique(sh)
+            out_id.extend([did] * len(sel))
+            out_fp.extend(f"{int(v):016x}" for v in sel)
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "fp": pa.array(out_fp, pa.string())})
 
     return ds.map_batches(fp, batch_format="pyarrow")
 

@@ -547,10 +547,41 @@ FROM reach GROUP BY u ORDER BY doc_id
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs — oracle-checked: token hash is
+    md5_number_lower, so DuckDB recomputes the 64-bit signatures
+    bit-identically and the 4-block banding is COMPLETE at hamming ≤ 3
+    (pigeonhole), making the all-pairs SQL set exactly the op's set."""
     from ..ops.dedup import simhash_pairs
 
     df = simhash_pairs(_docs_text(sf_dir)).to_pandas()
+    df["hamming"] = df["hamming"].astype("int64")
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH toks AS ({TOKS}),
+tc AS (SELECT doc_id, term, count(*)::HUGEINT AS c
+       FROM toks GROUP BY doc_id, term),
+bits AS (
+  SELECT doc_id, b.bit,
+    sum(CASE WHEN (md5_number_lower(term) >> b.bit) & 1 = 1
+             THEN c ELSE -c END) AS v
+  FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sig0 AS (
+  SELECT doc_id,
+    sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)
+      ::UBIGINT AS s
+  FROM bits GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, coalesce(s.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
@@ -601,10 +632,44 @@ SQL_LANGID = _sql_langid()
 
 
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprints — oracle-checked: md5 gram hashes +
+    exploded (doc_id, fp) rows mirror a DuckDB window-min exactly."""
     from ..ops.textstats import fingerprint
 
     df = fingerprint(_docs_text(sf_dir)).to_pandas()
-    return df.sort_values("doc_id").reset_index(drop=True)
+    return df.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
+SQL_FINGERPRINT = """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM base),
+cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id),
+sh AS (
+  SELECT a.doc_id, a.pos,
+    md5_number_lower(a.term || ' ' || b.term || ' ' || c3.term) AS h
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2
+  UNION ALL
+  SELECT t.doc_id, t.pos, md5_number_lower(t.term)
+  FROM tok t JOIN cnt ON t.doc_id = cnt.doc_id WHERE cnt.c < 3),
+wm AS (
+  SELECT doc_id,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+    count(*) OVER (PARTITION BY doc_id) AS nsh
+  FROM sh)
+SELECT DISTINCT doc_id, lpad(lower(to_hex(m)), 16, '0') AS fp
+FROM wm WHERE rn >= 4 OR nsh < 4
+ORDER BY doc_id, fp
+"""
 
 
 def q_bm25_french(sf_dir: str) -> pd.DataFrame:
@@ -1317,4 +1382,6 @@ ORACLES.update({
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "snippets": SQL_SNIPPETS,
     "langid": SQL_LANGID,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "fingerprint": SQL_FINGERPRINT,
 })
