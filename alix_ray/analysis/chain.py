@@ -51,6 +51,7 @@ class FrenchAnalyzer:
         ocr_garbage: bool = False,
         sentence_start_lower: bool = False,
         pers_initial: bool = False,
+        tagger=None,
     ):
         self.tokenizer = MarkupTokenizer(brevidots=brevidots)
         self.stopwords = frozenset(stopwords)
@@ -61,6 +62,13 @@ class FrenchAnalyzer:
         self.ocr_garbage = ocr_garbage
         self.sentence_start_lower = sentence_start_lower
         self.pers_initial = pers_initial
+        # pluggable sentence-context POS model (PosTaggingFilter.java:66
+        # slot): ``tagger(toks) -> None`` mutates ``t.pos`` in place
+        # over the full token sequence BEFORE lexicon lookup — its tags
+        # take precedence (lemma_filter only fills pos where unset).
+        # Load the model in the callable's closure / actor ``__init__``
+        # (once per worker); the lexicon tagger remains the default.
+        self.tagger = tagger
 
     def _chain(self, text: str):
         from .filters import (
@@ -78,6 +86,8 @@ class FrenchAnalyzer:
         toks = uppercase_filter(toks, self.ucwords)
         if self.sentence_start_lower:
             toks = sentence_start_lowercase_filter(toks, self.lexicon)
+        if self.tagger is not None:
+            self.tagger(toks)
         toks = lemma_filter(toks, self.lexicon)
         toks = mwe_filter(toks, self.automaton)
         toks = stop_filter(toks, self.stopwords)

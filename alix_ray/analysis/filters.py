@@ -274,7 +274,8 @@ def lemma_filter(toks: list[Tok], lexicon: dict[str, tuple[str, str]]) -> list[T
         if hit is None:
             continue
         pos, lemma = hit
-        t.pos = pos
+        if t.pos is None:  # a context tagger's POS (if any) wins
+            t.pos = pos
         if lemma != t.text:
             t.lemma = lemma
     return toks

@@ -26,8 +26,16 @@ _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
 def doc_snippets(text: str, terms: set[str], merge_gap: int = 6,
-                 ctx: int = 3, idf: dict | None = None):
-    """One doc → list of (start_tok, end_tok, score, html) snippets."""
+                 ctx: int = 3, idf: dict | None = None,
+                 milestones=None):
+    """One doc → list of (start_tok, end_tok, score, html) snippets.
+
+    ``milestones``: optional ``[(char_offset, unit), ...]`` structural
+    events (page/section breaks); events falling inside a fragment are
+    emitted as ``<milestone unit="..."/>`` markers at their position —
+    the reference's milestone events inside hilite fragments
+    (``HiliteSnippets.java:60``).  An event landing inside a ``<mark>``
+    is emitted immediately after it (marks are never split)."""
     matches = []  # (token_index, char_start, char_end, term)
     tokens = []
     for m in _WORD_RE.finditer(text.lower()):
@@ -63,12 +71,36 @@ def doc_snippets(text: str, terms: set[str], merge_gap: int = 6,
             for ti, cs, ce, _ in matches
             if start <= ti <= end
         ]
+        rel_ms = sorted(
+            (off - char_lo, unit)
+            for off, unit in (milestones or [])
+            if char_lo <= off < char_hi
+        )
         html = []
         prev = 0
+        mi = 0
         for cs, ce in marks:
+            while mi < len(rel_ms) and rel_ms[mi][0] <= cs:
+                p, unit = rel_ms[mi]
+                mi += 1
+                if p < prev:  # inside the previous mark — emit after it
+                    html.append(f'<milestone unit="{unit}"/>')
+                    continue
+                html.append(frag[prev:p])
+                html.append(f'<milestone unit="{unit}"/>')
+                prev = p
             html.append(frag[prev:cs])
             html.append(f"<mark>{frag[cs:ce]}</mark>")
             prev = ce
+        while mi < len(rel_ms):
+            p, unit = rel_ms[mi]
+            mi += 1
+            if p < prev:  # inside the last mark — emit right after it
+                html.append(f'<milestone unit="{unit}"/>')
+                continue
+            html.append(frag[prev:p])
+            html.append(f'<milestone unit="{unit}"/>')
+            prev = p
         html.append(frag[prev:])
         out.append((start, end, score, "".join(html)))
     return out

@@ -52,10 +52,19 @@ def _text_of(elems) -> str:
     ).strip()
 
 
-def tei_to_alix_xml(tei_xml: str, filestem: str = "doc") -> str:
+def tei_to_alix_xml(tei_xml: str, filestem: str = "doc",
+                    pre_transform=None) -> str:
     """One TEI file → the alix-XML protocol string (the alix.xsl
     stage).  Malformed TEI raises ``ET.ParseError`` — callers decide
-    per-file skip (TeiIngester's per-file error policy)."""
+    per-file skip (TeiIngester's per-file error policy).
+
+    ``pre_transform``: per-corpus callable ``xml_str -> xml_str``
+    applied to the RAW TEI before the alix mapping — the reference's
+    user-stylesheet slot (``TeiIngester.java:127-128,239-246``: each
+    corpus may inject its own XSLT ahead of ``alix.xsl``).  Build it
+    once per worker (closure / actor ``__init__``)."""
+    if pre_transform is not None:
+        tei_xml = pre_transform(tei_xml)
     root = ET.fromstring(tei_xml)
     book_id = _xml_id(root.attrib) or filestem
 
@@ -108,7 +117,7 @@ def tei_to_alix_xml(tei_xml: str, filestem: str = "doc") -> str:
 
 
 def tei_documents(ds, xml_col: str = "xml", stem_col: str | None = "filestem",
-                  text_field: str = "text"):
+                  text_field: str = "text", pre_transform=None):
     """Ray operator: rows of TEI files → logical document rows (same
     output schema as :func:`alix_ray.stages.alixxml.alix_documents`).
     Per-file parse errors quarantine the file (error row, doc_type
@@ -126,7 +135,8 @@ def tei_documents(ds, xml_col: str = "xml", stem_col: str | None = "filestem",
         rows = []
         for tei, stem in zip(xmls, stems):
             try:
-                alix = tei_to_alix_xml(tei or "", stem or "doc")
+                alix = tei_to_alix_xml(tei or "", stem or "doc",
+                                       pre_transform=pre_transform)
                 rows.extend(parse_alix_xml(alix, stem or ""))
             except ET.ParseError as e:
                 rows.append({

@@ -297,3 +297,50 @@ class TestLineTokenizer:
         assert toks[0].start == 0 and toks[0].end == 10
         assert toks[1].start == 12
         assert lt.terms("a\nb") == ["a", "b"]
+
+
+class TestPosTaggerHook:
+    """Pluggable sentence-context POS model (PosTaggingFilter.java:66
+    slot): a context tagger disambiguates what the context-free lexicon
+    cannot — 'ferme' after a determiner (noun) vs after a pronoun
+    (verb)."""
+
+    LEX = {"ferme": ("NOUN", "ferme"), "il": ("PRON", "il"),
+           "la": ("DET", "le")}
+
+    @staticmethod
+    def _toy_tagger(toks):
+        prev = None
+        for t in toks:
+            if t.cls != "WORD" or not t.text:
+                continue
+            low = t.text.lower()
+            if low == "ferme" and prev in ("il", "elle"):
+                t.pos = "VERB"
+            elif low == "ferme" and prev in ("la", "une"):
+                t.pos = "NOUN"
+            prev = low
+
+    def _poses(self, analyzer, text):
+        toks = analyzer._chain(text)
+        return {t.text.lower(): t.pos for t in toks
+                if t.cls == "WORD" and t.text.lower() == "ferme"}
+
+    def test_lexicon_alone_cannot_disambiguate(self):
+        from alix_ray.analysis import FrenchAnalyzer
+
+        fa = FrenchAnalyzer(stopwords=(), lexicon=self.LEX, normalization={},
+                            ucwords=(), mwe_form={}, mwe_lemma={})
+        assert self._poses(fa, "il ferme") == {"ferme": "NOUN"}
+        assert self._poses(fa, "la ferme") == {"ferme": "NOUN"}
+
+    def test_context_tagger_wins_over_lexicon(self):
+        from alix_ray.analysis import FrenchAnalyzer
+
+        fa = FrenchAnalyzer(stopwords=(), lexicon=self.LEX, normalization={},
+                            ucwords=(), mwe_form={}, mwe_lemma={},
+                            tagger=self._toy_tagger)
+        assert self._poses(fa, "il ferme") == {"ferme": "VERB"}
+        assert self._poses(fa, "la ferme") == {"ferme": "NOUN"}
+        # untagged contexts still fall back to the lexicon POS
+        assert self._poses(fa, "ferme") == {"ferme": "NOUN"}

@@ -86,3 +86,39 @@ class TestExports:
         df = snippets_pipeline(ds, ["target"]).to_pandas()
         assert len(df) == 1
         assert "<mark>target</mark>" in df["html"].iloc[0]
+
+
+class TestMilestones:
+    def test_milestone_markers_in_fragment(self):
+        """HiliteSnippets.java:60 milestone events: structural markers
+        land inside the fragment at their character offset."""
+        from alix_ray.ops.snippets import doc_snippets
+
+        text = "alpha beta target gamma delta"
+        # page break between 'beta' and 'target' (offset 11)
+        out = doc_snippets(text, {"target"}, merge_gap=2, ctx=2,
+                           milestones=[(11, "pb")])
+        assert len(out) == 1
+        html = out[0][3]
+        assert '<milestone unit="pb"/>' in html
+        assert html.index("milestone") < html.index("<mark>")
+        # marker must not duplicate or drop fragment text
+        stripped = html.replace('<milestone unit="pb"/>', "").replace(
+            "<mark>", "").replace("</mark>", "")
+        assert stripped == text
+
+    def test_milestone_inside_mark_emitted_after(self):
+        from alix_ray.ops.snippets import doc_snippets
+
+        text = "aa target bb"
+        out = doc_snippets(text, {"target"}, ctx=1,
+                           milestones=[(5, "pb")])  # inside 'target'
+        html = out[0][3]
+        assert html.index("</mark>") < html.index("<milestone")
+
+    def test_milestones_outside_fragment_ignored(self):
+        from alix_ray.ops.snippets import doc_snippets
+
+        text = "x " * 50 + "target" + " y" * 50
+        out = doc_snippets(text, {"target"}, ctx=1, milestones=[(0, "pb")])
+        assert "<milestone" not in out[0][3]

@@ -88,3 +88,25 @@ def test_tei_to_index_end_to_end(ray_session, tmp_path):
     ix = BM25Index(str(tmp_path / "ix"))
     res = ix.search("aube", 5)
     assert res and res[0][0] == 0
+
+
+def test_tei_pre_transform_hook():
+    """Per-corpus pre-transform (TeiIngester.java:127-128 user-XSLT
+    slot): runs on the raw TEI before the alix mapping."""
+    from alix_ray.stages.tei import tei_to_alix_xml
+
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0">'
+        "<teiHeader><fileDesc><titleStmt><title>RAW</title></titleStmt>"
+        "</fileDesc></teiHeader>"
+        "<text><body><p>corps</p></body></text></TEI>"
+    )
+    out_plain = tei_to_alix_xml(tei, "f1")
+    assert 'name="title">RAW<' in out_plain
+
+    def corpus_fixup(xml: str) -> str:
+        return xml.replace(">RAW<", ">FIXED<")
+
+    out_hooked = tei_to_alix_xml(tei, "f1", pre_transform=corpus_fixup)
+    assert 'name="title">FIXED<' in out_hooked
+    assert "RAW" not in out_hooked
