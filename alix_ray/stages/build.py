@@ -143,6 +143,53 @@ def _publish(tmp_dir: str, final_dir: str) -> None:
     os.rename(tmp_dir, final_dir)
 
 
+_SHARED_FS_VERIFIED: set[str] = set()
+
+
+@ray.remote(num_cpus=0)
+def _probe_visible(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def verify_shared_fs(out_dir: str) -> None:
+    """Guard the manifest/publish protocol's HARD precondition: the
+    artifact dir must be one shared POSIX filesystem visible to every
+    node (stage publish is a driver-side atomic dir rename;
+    ``Manifest.record_partitions`` lists it with ``os.listdir``).
+
+    - URI-style paths (``s3://…``) fail fast: object stores have no
+      atomic rename — they need an ArtifactStore port with a
+      manifest-pointer publish (documented in SCALING.md §artifacts).
+    - On a live Ray session, a probe file written by the driver must be
+      visible from a worker task; a node-local path on a real cluster
+      fails here instead of silently splitting the build across disks.
+    """
+    if out_dir in _SHARED_FS_VERIFIED:
+        return
+    if "://" in out_dir:
+        raise ValueError(
+            f"artifact dir {out_dir!r} is a URI, not a shared-filesystem "
+            "path. The staged publish protocol (atomic dir rename + "
+            "driver-side manifest) requires a POSIX shared FS "
+            "(NFS/Lustre); object-store backends need an ArtifactStore "
+            "implementation with a manifest-pointer publish instead."
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    probe = os.path.join(out_dir, ".shared_fs_probe")
+    with open(probe, "w") as f:
+        f.write("probe")
+    try:
+        if ray.is_initialized() and not ray.get(_probe_visible.remote(probe)):
+            raise RuntimeError(
+                f"artifact dir {out_dir!r} written by the driver is NOT "
+                "visible from Ray workers — the index build requires a "
+                "shared filesystem mounted on every node."
+            )
+        _SHARED_FS_VERIFIED.add(out_dir)
+    finally:
+        os.remove(probe)
+
+
 @ray.remote
 def _split_file(path: str, n_parts: int) -> None:
     tbl = pq.read_table(path)
@@ -613,6 +660,7 @@ class IndexBuilder:
 
     def build(self, input_ds: ray.data.Dataset, input_kind: str = "pages",
               fingerprint: str = "input") -> str:
+        verify_shared_fs(self.out_dir)
         # fingerprints CHAIN: each stage's fp folds in its upstream
         # stage's fp (which already folds in analyzer/keep_positions/
         # shard params), so resuming into an out_dir after changing any

@@ -1,7 +1,9 @@
 """CLI entry points (python -m alix_ray …, SURVEY §3.3 tool set)."""
 
 import json
+import os
 
+import pytest
 import ray.data
 
 
@@ -38,3 +40,46 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     t = ray.data.read_parquet(toks).to_pandas()
     assert {"doc_id", "pos", "term"} <= set(t.columns)
     assert len(t) == 20 * 4
+
+
+@pytest.mark.slow
+def test_build_job_submit_and_resume(tmp_path):
+    """ray-job entrypoint smoke (north rule deploy path): the job runs
+    in its OWN process/session (as `ray job submit` would), produces
+    artifacts + one JSON line, and a re-submission against the same
+    --out resumes (all stages skipped, much faster)."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    import ray.data
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pages_dir = str(tmp_path / "pages")
+    from alix_ray.corpus import pages_dataset
+
+    pages_dataset(300).write_parquet(pages_dir)
+    out = str(tmp_path / "idx")
+
+    def submit():
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "build_job.py"),
+             "--input", pages_dir, "--out", out, "--kind", "pages",
+             "--analyzer", "simple"],
+            capture_output=True, text=True, timeout=600,
+            env={k: v for k, v in os.environ.items()
+                 if k != "RAY_ADDRESS"},
+        )
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1]), time.time() - t0
+
+    first, t_first = submit()
+    assert os.path.exists(os.path.join(out, "postings"))
+    assert os.path.exists(os.path.join(out, "manifest.jsonl"))
+    second, t_second = submit()
+    # resumed run does no stage work (fingerprints all match)
+    stage_walls = [v for k, v in second.items()
+                   if k.startswith("stage_") and isinstance(v, (int, float))]
+    assert second.get("resumed") or t_second < t_first

@@ -139,3 +139,18 @@ def test_changed_analyzer_rebuilds_downstream(ray_session, tmp_path):
     # and the config records the new analyzer
     cfg = json.load(open(os.path.join(out, "config.json")))
     assert cfg["analyzer"] == "french"
+
+
+def test_shared_fs_guard(tmp_path, ray_session):
+    """Artifact-store precondition guard: URI dirs fail fast; a local
+    shared dir passes the driver->worker visibility probe."""
+    import pytest
+
+    from alix_ray.stages.build import verify_shared_fs
+
+    with pytest.raises(ValueError, match="shared-filesystem"):
+        verify_shared_fs("s3://bucket/index")
+    # local dir: probe file must be visible from a Ray worker task
+    verify_shared_fs(str(tmp_path / "idx"))
+    # memoized second call is a no-op
+    verify_shared_fs(str(tmp_path / "idx"))
