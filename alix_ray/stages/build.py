@@ -249,7 +249,7 @@ class IndexBuilder:
         segment_batch_size: int = 8192,
         idf_exp: float = IDF_EXP,
         analyze_groups: int | None = None,
-        docs_rows_per_file: int = 250,
+        docs_rows_per_file: int = 500,
         docs_max_file_bytes: int = 1_500_000,
         keep_positions: bool = False,
         hunspell_resources: tuple | None = None,
