@@ -70,15 +70,11 @@ def cmd_doc(args) -> int:
 
 
 def cmd_suggest(args) -> int:
-    import pandas as pd
-
     from .index.engine import BM25Index
     from .ops.analytics import suggest
 
     ix = BM25Index(args.index)
-    ts = pd.DataFrame({"term": list(ix.lexicon),
-                       "cf": list(ix.cf.values())})
-    out = suggest(ts, args.prefix, args.k)
+    out = suggest(ix.suggest_frame(), args.prefix, args.k)
     print(out.to_csv(index=False))
     return 0
 

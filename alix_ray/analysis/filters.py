@@ -274,6 +274,7 @@ def lemma_filter(toks: list[Tok], lexicon: dict[str, tuple[str, str]]) -> list[T
         if hit is None:
             continue
         pos, lemma = hit
+        t.lex = True  # resolved against the lexicon (KeywordAttribute)
         if t.pos is None:  # a context tagger's POS (if any) wins
             t.pos = pos
         if lemma != t.text:
@@ -364,8 +365,10 @@ _VOWELS = frozenset("aàâäæeéèêëiîïoôöœuùûüyAÀÂÄÆEÉÈÊËIÎ
 def _ocr_accept(t: Tok) -> bool:
     """OCRGarbageFilter.accept (OCRGarbageFilter.java:18): structurally
     word-unlikely unresolved tokens are dropped.  Resolved tokens
-    (lexicon POS assigned — the KeywordAttribute analog) always pass."""
-    if t.pos is not None:
+    (LEXICON hit — the KeywordAttribute analog) always pass; a context
+    tagger's POS alone does not count as resolution (it may tag OCR
+    noise)."""
+    if t.lex:
         return True
     text = t.text
     if not text:

@@ -100,15 +100,20 @@ def _norm_char(c: str) -> str:
 class Tok:
     """One token: surface text, class, source span, sparse lemma/POS."""
 
-    __slots__ = ("text", "cls", "start", "end", "pos", "lemma")
+    __slots__ = ("text", "cls", "start", "end", "pos", "lemma", "lex")
 
     def __init__(self, text, cls, start, end, pos=None, lemma=None):
         self.text = text
         self.cls = cls
         self.start = start
         self.end = end
-        self.pos = pos  # lexical POS from the lexicon (ADP/AUX/PRON/…)
+        self.pos = pos  # POS (lexicon lookup or context tagger)
         self.lemma = lemma
+        # True iff the surface resolved against the lemma LEXICON —
+        # the KeywordAttribute analog.  Distinct from ``pos`` since a
+        # context tagger may tag tokens the lexicon does not know
+        # (those must NOT count as resolved for OCR-garbage gating).
+        self.lex = False
 
     def __repr__(self):  # pragma: no cover
         return f"Tok({self.text!r},{self.cls},{self.start}:{self.end})"

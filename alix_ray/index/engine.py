@@ -1157,6 +1157,24 @@ class BM25Index:
                 n += 1
         return n
 
+    def suggest_frame(self):
+        """Folded (term, cf) frame for prefix/infix suggestion — built
+        ONCE per handle (the index is immutable) including the ASCII
+        fold, so serving replicas never pay the O(vocab) string
+        materialization per request."""
+        if not hasattr(self, "_suggest_frame"):
+            import pandas as pd
+
+            from ..ops.analytics import fold_ascii
+
+            terms = list(self.lexicon)
+            self._suggest_frame = pd.DataFrame({
+                "term": terms,
+                "cf": list(self.cf.values()),
+                "folded": [fold_ascii(t) for t in terms],
+            })
+        return self._suggest_frame
+
     def document(self, doc_id: int) -> dict:
         """Stored-document fetch (the ``/doc`` op, SURVEY §3.2): the
         docs artifact row for one id, via Parquet row-group doc_id

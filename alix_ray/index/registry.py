@@ -46,6 +46,7 @@ class IndexRegistry:
 
     def __init__(self):
         self._open: dict[str, BM25Index] = {}
+        self._dirs: dict[str, str] = {}
 
     def get(self, name: str, index_dir: str | None = None) -> BM25Index:
         ix = self._open.get(name)
@@ -54,6 +55,14 @@ class IndexRegistry:
                 raise KeyError(f"index {name!r} not registered")
             ix = BM25Index(index_dir)
             self._open[name] = ix
+            self._dirs[name] = index_dir
+        elif index_dir is not None and index_dir != self._dirs[name]:
+            # silently serving the old handle would query stale data
+            raise ValueError(
+                f"index {name!r} already registered at "
+                f"{self._dirs[name]!r}; refusing to rebind to "
+                f"{index_dir!r} — use a new name or a new registry"
+            )
         return ix
 
 
@@ -94,14 +103,12 @@ def op_doc(ix: BM25Index, pars: dict):
 
 @op("suggest")
 def op_suggest(ix: BM25Index, pars: dict):
-    """Diacritic-folded prefix/infix suggestion (TermSuggest)."""
-    import pandas as pd
-
+    """Diacritic-folded prefix/infix suggestion (TermSuggest); the
+    folded vocabulary frame is cached on the handle."""
     from ..ops.analytics import suggest
 
-    df = pd.DataFrame({"term": list(ix.lexicon),
-                       "cf": list(ix.cf.values())})
-    out = suggest(df, pars.get("q", ""), int(pars.get("k", 10)))
+    out = suggest(ix.suggest_frame(), pars.get("q", ""),
+                  int(pars.get("k", 10)))
     return list(zip(out["term"], (int(c) for c in out["cf"])))
 
 

@@ -41,13 +41,10 @@ class QueryActor:
 
     def suggest_prefix(self, prefix: str, k: int = 10):
         from ..ops.analytics import suggest
-        import pandas as pd
 
-        df = pd.DataFrame(
-            {"term": list(self.ix.lexicon),
-             "cf": list(self.ix.cf.values())}
-        )
-        out = suggest(df, prefix, k)
+        # folded vocab frame cached on the handle — no per-request
+        # O(vocab) materialization
+        out = suggest(self.ix.suggest_frame(), prefix, k)
         return list(zip(out["term"], out["cf"]))
 
 

@@ -443,7 +443,9 @@ def suggest(term_stats, prefix: str, k: int = 10):
 
     df = term_stats if isinstance(term_stats, pd.DataFrame) else term_stats.to_pandas()
     q = fold_ascii(prefix)
-    folded = df["term"].map(fold_ascii)
+    # a precomputed "folded" column (BM25Index.suggest_frame) skips the
+    # per-request O(vocab) fold
+    folded = df["folded"] if "folded" in df.columns else df["term"].map(fold_ascii)
     if len(q) < 3:
         m = df[folded.str.startswith(q)]
     else:

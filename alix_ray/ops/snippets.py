@@ -25,6 +25,13 @@ import ray.data
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
+def _attr(v) -> str:
+    """XML-attribute-escape a milestone unit (document-controlled)."""
+    from xml.sax.saxutils import escape
+
+    return escape(str(v), {'"': "&quot;"})
+
+
 def doc_snippets(text: str, terms: set[str], merge_gap: int = 6,
                  ctx: int = 3, idf: dict | None = None,
                  milestones=None):
@@ -84,10 +91,10 @@ def doc_snippets(text: str, terms: set[str], merge_gap: int = 6,
                 p, unit = rel_ms[mi]
                 mi += 1
                 if p < prev:  # inside the previous mark — emit after it
-                    html.append(f'<milestone unit="{unit}"/>')
+                    html.append(f'<milestone unit="{_attr(unit)}"/>')
                     continue
                 html.append(frag[prev:p])
-                html.append(f'<milestone unit="{unit}"/>')
+                html.append(f'<milestone unit="{_attr(unit)}"/>')
                 prev = p
             html.append(frag[prev:cs])
             html.append(f"<mark>{frag[cs:ce]}</mark>")
@@ -96,10 +103,10 @@ def doc_snippets(text: str, terms: set[str], merge_gap: int = 6,
             p, unit = rel_ms[mi]
             mi += 1
             if p < prev:  # inside the last mark — emit right after it
-                html.append(f'<milestone unit="{unit}"/>')
+                html.append(f'<milestone unit="{_attr(unit)}"/>')
                 continue
             html.append(frag[prev:p])
-            html.append(f'<milestone unit="{unit}"/>')
+            html.append(f'<milestone unit="{_attr(unit)}"/>')
             prev = p
         html.append(frag[prev:])
         out.append((start, end, score, "".join(html)))

@@ -52,6 +52,9 @@ class LangId:
         return self(t)["lang_guess"][0].as_py()
 
     def _guess_batch(self, texts) -> pa.Array:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")  # null text → "und", not a crash
         lists = SimpleAnalyzer.tokens_arrays(texts)
         n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
         flat = lists.flatten()

@@ -660,13 +660,14 @@ sh AS (
   SELECT t.doc_id, t.pos, md5_number_lower(t.term)
   FROM tok t JOIN cnt ON t.doc_id = cnt.doc_id WHERE cnt.c < 3),
 wm AS (
-  SELECT doc_id,
+  SELECT doc_id, h,
     min(h) OVER (PARTITION BY doc_id ORDER BY pos
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
     count(*) OVER (PARTITION BY doc_id) AS nsh
   FROM sh)
-SELECT DISTINCT doc_id, lpad(lower(to_hex(m)), 16, '0') AS fp
+SELECT DISTINCT doc_id,
+  lpad(lower(to_hex(CASE WHEN nsh < 4 THEN h ELSE m END)), 16, '0') AS fp
 FROM wm WHERE rn >= 4 OR nsh < 4
 ORDER BY doc_id, fp
 """

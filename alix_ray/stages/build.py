@@ -179,12 +179,31 @@ def verify_shared_fs(out_dir: str) -> None:
     with open(probe, "w") as f:
         f.write("probe")
     try:
-        if ray.is_initialized() and not ray.get(_probe_visible.remote(probe)):
-            raise RuntimeError(
-                f"artifact dir {out_dir!r} written by the driver is NOT "
-                "visible from Ray workers — the index build requires a "
-                "shared filesystem mounted on every node."
-            )
+        if ray.is_initialized():
+            # target a NON-driver node when the cluster has one —
+            # locality scheduling would otherwise run the probe on this
+            # node and prove nothing about remote visibility
+            task = _probe_visible
+            try:
+                my_node = ray.get_runtime_context().get_node_id()
+                others = [n for n in ray.nodes()
+                          if n.get("Alive") and n.get("NodeID") != my_node]
+            except Exception:
+                others = []
+            if others:
+                from ray.util.scheduling_strategies import (
+                    NodeAffinitySchedulingStrategy,
+                )
+
+                task = _probe_visible.options(
+                    scheduling_strategy=NodeAffinitySchedulingStrategy(
+                        node_id=others[0]["NodeID"], soft=False))
+            if not ray.get(task.remote(probe)):
+                raise RuntimeError(
+                    f"artifact dir {out_dir!r} written by the driver is "
+                    "NOT visible from Ray workers — the index build "
+                    "requires a shared filesystem mounted on every node."
+                )
         _SHARED_FS_VERIFIED.add(out_dir)
     finally:
         os.remove(probe)

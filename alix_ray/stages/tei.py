@@ -138,11 +138,14 @@ def tei_documents(ds, xml_col: str = "xml", stem_col: str | None = "filestem",
                 alix = tei_to_alix_xml(tei or "", stem or "doc",
                                        pre_transform=pre_transform)
                 rows.extend(parse_alix_xml(alix, stem or ""))
-            except ET.ParseError as e:
+            except Exception as e:  # per-FILE quarantine: parse errors
+                # AND whatever a corpus pre_transform raises
+                # (TeiIngester.java:143-150 — one bad file must not
+                # fail the ingestion task)
                 rows.append({
                     "id": stem or "?", "doc_type": "error",
                     "filestem": stem or "", "bookid": None, "ord": None,
-                    "fields": {"error": f"tei:{e}"},
+                    "fields": {"error": f"tei:{type(e).__name__}:{e}"},
                 })
         return pa.table(
             {
