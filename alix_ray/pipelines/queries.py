@@ -673,6 +673,70 @@ ORDER BY doc_id, fp
 """
 
 
+def q_multimodal(sf_dir: str) -> pd.DataFrame:
+    """Multimodal actor-pool plumbing end-to-end (rows-only: decoders
+    are container-stubbed with deterministic fakes — the schema, small
+    batch sizing, actor-pool shapes and per-frame output layout are the
+    real pipeline).  A synthetic media table is derived
+    deterministically from ``documents`` (kind cycles image/audio/video
+    by doc id); each kind runs its stage and reports one summary row
+    per media: (media_id, kind, n_out, val)."""
+    import hashlib
+
+    from ..ops.multimodal import media_pipeline
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        kinds = [("image", "audio", "video")[i % 3] for i in ids]
+        payloads = [
+            hashlib.blake2b(f"{i}:{t}".encode(), digest_size=32).digest() * 4
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(
+                [f"{k}/x-synthetic" for k in kinds], pa.string()),
+            "meta": pa.array(["{}"] * len(ids), pa.string()),
+        })
+
+    media = _docs_text(sf_dir).map_batches(to_media, batch_format="pyarrow")
+    media = media.materialize()  # reused by three consumers
+    frames = []
+    for kind in ("image", "audio", "video"):
+        sub = media.filter(expr=f"kind == '{kind}'")
+        out = media_pipeline(sub, kind, concurrency=2,
+                             batch_size=16).to_pandas()
+        if kind == "image":
+            s = pd.DataFrame({
+                "media_id": out["media_id"],
+                "n_out": out["features"].map(len),
+                "val": out["features"].map(
+                    lambda v: float(np.sum(np.asarray(v, np.float64)))),
+            })
+        elif kind == "audio":
+            s = pd.DataFrame({
+                "media_id": out["media_id"],
+                "n_out": out["frame_rms"].map(len),
+                "val": out["frame_rms"].map(
+                    lambda v: float(np.sum(np.asarray(v, np.float64)))),
+            })
+        else:  # video: one row per sampled frame → aggregate per media
+            out["fsum"] = out["features"].map(
+                lambda v: float(np.sum(np.asarray(v, np.float64))))
+            g = out.groupby("media_id", as_index=False).agg(
+                n_out=("frame_index", "count"), val=("fsum", "sum"))
+            s = g
+        s.insert(1, "kind", kind)
+        frames.append(s)
+    df = pd.concat(frames, ignore_index=True)
+    df["n_out"] = df["n_out"].astype("int64")
+    df["val"] = df["val"].round(6)
+    return df.sort_values("media_id").reset_index(drop=True)
+
+
 def q_bm25_french(sf_dir: str) -> pd.DataFrame:
     """French-chain index over documents (rows-only: lemmatization is
     not SQL-expressible)."""
@@ -875,6 +939,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
+    "multimodal": q_multimodal,
     "bm25_french": q_bm25_french,
     "pages_extract": q_pages_extract,
     "wand_consistency": q_wand_consistency,
