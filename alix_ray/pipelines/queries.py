@@ -46,13 +46,16 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
 
 
 def _docs_text(sf_dir: str) -> ray.data.Dataset:
-    # documents.parquet is a single file/row-group at test scale, which
-    # Ray reads as ONE block — pin enough blocks that per-doc stages
-    # (tokenize/hash) parallelize instead of running single-task.
+    # documents.parquet is a single file with ONE row group at test
+    # scale — override_num_blocks cannot split below row-group
+    # granularity, so every per-doc stage (tokenize/hash/minhash) would
+    # run as a single task.  The explicit repartition is an all-to-all
+    # of a few MB here; production inputs arrive as many files and
+    # never need it.
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
         override_num_blocks=64,
-    )
+    ).repartition(64)
 
 
 # ---------------------------------------------------------------------
