@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import BLOCK, B, K1
-from ..codec import decode_posting, encode_posting, vb_byte_lengths, vb_encode
+from ..codec import vb_byte_lengths, vb_decode, vb_encode
 
 DEFAULT_SHARD_RANGE = 8_000_000  # docs per posting shard (skew bound)
 DEFAULT_NUM_BUCKETS = 64
@@ -213,7 +213,16 @@ def _shard_norms(stats_dir: str, shard: int, shard_range: int,
 def make_merge_fn(stats_dir: str, avgdl: float, shard_range: int):
     """Merge-group function.  Per-doc BM25 length norms
     ``k1*(1-b+b*dl/avgdl)`` are looked up from the merge group's OWN
-    shard slice of doc_stats — never a global dense array."""
+    shard slice of doc_stats — never a global dense array.
+
+    Fully vectorized (no per-term Python loop): all segment blobs of
+    the group decode in ONE varbyte pass (streams concatenate cleanly —
+    terminator bytes delimit values), merge-sort is one lexsort over
+    (term_id, doc), re-encode is one varbyte pass with restarts at
+    every term start and BLOCK boundary (byte-identical to per-term
+    ``encode_posting``), and all block metadata (skip list, byte
+    offsets, block-max) falls out of ``reduceat`` over the restart
+    positions."""
 
     def merge_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -222,65 +231,101 @@ def make_merge_fn(stats_dir: str, avgdl: float, shard_range: int):
         base, norms = _shard_norms(stats_dir, shard0, shard_range, avgdl)
         idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
         group = group.take(idx)
-        terms = group["term"].to_numpy(zero_copy_only=False)
-        shards = group["shard"].to_numpy(zero_copy_only=False)
+        nrows = group.num_rows
+        term_col = group["term"].combine_chunks()
+        dfs = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         docs_bufs = group["docs"].to_pylist()
         tfs_bufs = group["tfs"].to_pylist()
-        change = np.empty(len(terms), bool)
-        change[0] = True
-        change[1:] = terms[1:] != terms[:-1]
-        starts = np.nonzero(change)[0]
-        ends = np.append(starts[1:], len(terms))
-        rows = {k: [] for k in (
-            "term", "shard", "df", "cf", "docs", "tfs",
-            "block_last", "block_off_docs", "block_off_tfs", "block_max")}
-        for s, e in zip(starts, ends):
-            term = terms[s]
-            shard = int(shards[s])  # all rows in group share one shard key
-            ds_list, tf_list = [], []
-            for i in range(s, e):
-                d, t = decode_posting(docs_bufs[i], tfs_bufs[i])
-                ds_list.append(d)
-                tf_list.append(t)
-            d = np.concatenate(ds_list)
-            t = np.concatenate(tf_list)
-            order = np.argsort(d, kind="stable")
-            d = d[order]
-            t = t[order]
-            docs_b, tfs_b, blast, boffd, bofft = encode_posting(d, t)
-            # block-max BM25 tf-norm: max over block of tf/(tf+norm[doc])
-            tfn = t / (t + norms[d - base])
-            bmax64 = np.maximum.reduceat(tfn, np.arange(0, len(tfn), 128))
-            bmax = bmax64.astype(np.float32)
-            # the engine treats block_max as a SAFE upper bound with
-            # strict skips — round the float32 cast upward where
-            # round-to-nearest landed below the float64 max, or a 1-ulp
-            # underestimate could skip a block holding a tied doc
-            under = bmax.astype(np.float64) < bmax64
-            if under.any():
-                bmax[under] = np.nextafter(bmax[under], np.float32(np.inf))
-            rows["term"].append(term)
-            rows["shard"].append(shard)
-            rows["df"].append(len(d))
-            rows["cf"].append(int(t.sum()))
-            rows["docs"].append(docs_b)
-            rows["tfs"].append(tfs_b)
-            rows["block_last"].append(blast.tolist())
-            rows["block_off_docs"].append(boffd.tolist())
-            rows["block_off_tfs"].append(bofft.tolist())
-            rows["block_max"].append(bmax.tolist())
+        # ---- decode every row at once -------------------------------
+        deltas_in = vb_decode(b"".join(docs_bufs)).astype(np.int64)
+        tf_flat = vb_decode(b"".join(tfs_bufs)).astype(np.int64)
+        n_total = int(dfs.sum())
+        row_offs = np.concatenate(([0], np.cumsum(dfs)))[:-1]
+        within_row = np.arange(n_total, dtype=np.int64) - np.repeat(
+            row_offs, dfs)
+        # reconstruct absolute doc ids (restarts every BLOCK per row)
+        rr = np.flatnonzero((within_row % BLOCK) == 0)
+        csum = np.cumsum(deltas_in)
+        corr = deltas_in[rr] - csum[rr]
+        reps = np.diff(np.append(rr, n_total))
+        docs_flat = csum + np.repeat(corr, reps)
+        # ---- merge-sort by (term, doc) ------------------------------
+        tchange = np.empty(nrows, bool)
+        tchange[0] = True
+        tchange[1:] = ~pc.equal(
+            term_col.slice(1), term_col.slice(0, nrows - 1)
+        ).to_numpy(zero_copy_only=False)
+        trow_starts = np.flatnonzero(tchange)
+        gid_rows = np.cumsum(tchange) - 1  # term id per input row
+        order = np.lexsort((docs_flat, np.repeat(gid_rows, dfs)))
+        d = docs_flat[order]
+        t = tf_flat[order]
+        # ---- re-encode with per-term BLOCK restarts -----------------
+        out_df = np.add.reduceat(dfs, trow_starts)
+        n_terms = len(trow_starts)
+        tstarts = np.concatenate(([0], np.cumsum(out_df)))[:-1]
+        within = np.arange(n_total, dtype=np.int64) - np.repeat(
+            tstarts, out_df)
+        restart = (within % BLOCK) == 0
+        deltas = d.copy()
+        deltas[1:] -= d[:-1]
+        deltas[restart] = d[restart]
+        doc_lens = vb_byte_lengths(deltas)
+        tf_lens = vb_byte_lengths(t)
+        docs_buf = vb_encode(deltas)
+        tfs_buf = vb_encode(t)
+        dcs = np.concatenate(([0], np.cumsum(doc_lens)))
+        tcs = np.concatenate(([0], np.cumsum(tf_lens)))
+
+        def _bin(buf: bytes, csum_b: np.ndarray) -> pa.Array:
+            offs = np.empty(n_terms + 1, np.int64)
+            offs[:-1] = csum_b[tstarts]
+            offs[-1] = csum_b[-1]
+            return pa.Array.from_buffers(
+                pa.large_binary(), n_terms,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+            )
+
+        # ---- block metadata (blocks never span terms) ---------------
+        R = np.flatnonzero(restart)
+        blk_end = np.append(R[1:], n_total) - 1
+        gid_vals = np.repeat(np.arange(n_terms, dtype=np.int64), out_df)
+        term_of_block = gid_vals[R]
+        blocks_per_term = np.bincount(term_of_block, minlength=n_terms)
+        blk_term_start = tstarts[term_of_block]
+        # block-max BM25 tf-norm: max over block of tf/(tf+norm[doc])
+        tfn = t / (t + norms[d - base])
+        bmax64 = np.maximum.reduceat(tfn, R)
+        bmax = bmax64.astype(np.float32)
+        # the engine treats block_max as a SAFE upper bound with strict
+        # skips — round the float32 cast upward where round-to-nearest
+        # landed below the float64 max, or a 1-ulp underestimate could
+        # skip a block holding a tied doc
+        under = bmax.astype(np.float64) < bmax64
+        if under.any():
+            bmax[under] = np.nextafter(bmax[under], np.float32(np.inf))
+        blk_offs = pa.array(
+            np.concatenate(([0], np.cumsum(blocks_per_term))), pa.int32())
+
+        def _lst(vals: np.ndarray, typ) -> pa.Array:
+            return pa.ListArray.from_arrays(blk_offs, pa.array(vals, typ))
+
         return pa.table(
             {
-                "term": pa.array(rows["term"], pa.large_string()),
-                "shard": pa.array(rows["shard"], pa.int32()),
-                "df": pa.array(rows["df"], pa.int32()),
-                "cf": pa.array(rows["cf"], pa.int64()),
-                "docs": pa.array(rows["docs"], pa.large_binary()),
-                "tfs": pa.array(rows["tfs"], pa.large_binary()),
-                "block_last": pa.array(rows["block_last"], pa.list_(pa.int64())),
-                "block_off_docs": pa.array(rows["block_off_docs"], pa.list_(pa.int64())),
-                "block_off_tfs": pa.array(rows["block_off_tfs"], pa.list_(pa.int64())),
-                "block_max": pa.array(rows["block_max"], pa.list_(pa.float32())),
+                "term": pc.cast(term_col.take(pa.array(trow_starts)),
+                                pa.large_string()),
+                "shard": pa.array(
+                    np.full(n_terms, shard0, np.int32)),
+                "df": pa.array(out_df.astype(np.int32)),
+                "cf": pa.array(np.add.reduceat(t, tstarts).astype(np.int64)),
+                "docs": _bin(docs_buf, dcs),
+                "tfs": _bin(tfs_buf, tcs),
+                "block_last": _lst(d[blk_end], pa.int64()),
+                "block_off_docs": _lst(dcs[R] - dcs[blk_term_start],
+                                       pa.int64()),
+                "block_off_tfs": _lst(tcs[R] - tcs[blk_term_start],
+                                      pa.int64()),
+                "block_max": _lst(bmax, pa.float32()),
             }
         )
 
