@@ -331,14 +331,23 @@ class IndexBuilder:
             )
             deduped, _n = dedup_assign_ids(extracted)
         else:
-            # phase 1: tiny (url, ts) projection shuffle → broadcast dict
-            urls, ts = build_url_dictionary(pages)
+            # the (url, ts) dictionary pass and the html→text extraction
+            # are independent — OVERLAP them (thread + materialize).
+            # Materializing the extracted text is fine exactly on this
+            # path: the broadcast dict is the ≤20M-row regime, where the
+            # text fits the object store (beyond it the distributed
+            # sort path streams end-to-end).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                dict_fut = ex.submit(build_url_dictionary, pages)
+                extracted = pages.map_batches(
+                    extract_batch, batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).materialize()
+                urls, ts = dict_fut.result()
             dict_ref = ray.put((urls, ts))
-            # phase 2: extract + map-side dedup/stamp — payload never
-            # shuffles
-            extracted = pages.map_batches(
-                extract_batch, batch_format="pyarrow", zero_copy_batch=True
-            )
+            # map-side dedup/stamp — payload never shuffles
             deduped = extracted.map_batches(
                 functools.partial(stamp_ids_batch, urls_ts_ref=dict_ref),
                 batch_format="pyarrow",
