@@ -676,6 +676,106 @@ ORDER BY doc_id, fp
 """
 
 
+def _events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+SESSION_GAP_SEC = 1800
+SLIDE_WINDOW_SEC = 3600
+SLIDE_STEP_SEC = 900
+ATTR_HORIZON_SEC = 86400
+
+
+def q_sessions(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization over the event stream (streaming-window
+    operator class) — oracle: lag()/cumsum window SQL."""
+    from ..ops.streams import sessionize
+
+    df = sessionize(_events(sf_dir), gap_sec=SESSION_GAP_SEC).to_pandas()
+    for c in ("user_id", "session_ord", "n_events", "start_us", "end_us"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["user_id", "session_ord"]).reset_index(drop=True)
+
+
+SQL_SESSIONS = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_SEC * 1_000_000}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_ord
+  FROM e)
+SELECT user_id, session_ord::BIGINT AS session_ord,
+  count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value,
+  min(t) AS start_us, max(t) AS end_us
+FROM s GROUP BY user_id, session_ord
+ORDER BY user_id, session_ord
+"""
+
+
+def q_sliding_windows(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate per event type (each event lands in
+    window/slide windows) — oracle: generate_series window expansion."""
+    from ..ops.streams import sliding_window_agg
+
+    df = sliding_window_agg(
+        _events(sf_dir), window_sec=SLIDE_WINDOW_SEC,
+        slide_sec=SLIDE_STEP_SEC).to_pandas()
+    df["window_start_us"] = df["window_start_us"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["event_type", "window_start_us"]).reset_index(
+        drop=True)
+
+
+SQL_SLIDING_WINDOWS = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+x AS (
+  SELECT event_type, value,
+    unnest(generate_series(
+      (t - {SLIDE_WINDOW_SEC * 1_000_000}) // {SLIDE_STEP_SEC * 1_000_000} + 1,
+      t // {SLIDE_STEP_SEC * 1_000_000}))
+      * {SLIDE_STEP_SEC * 1_000_000} AS window_start_us
+  FROM e)
+SELECT event_type, window_start_us, count(*)::BIGINT AS n,
+  round(sum(value), 6) AS total_value
+FROM x GROUP BY event_type, window_start_us
+ORDER BY event_type, window_start_us
+"""
+
+
+def q_attribution(sf_dir: str) -> pd.DataFrame:
+    """As-of join within the stream: each purchase gets its most recent
+    strictly-earlier click by the same user within the horizon —
+    oracle: LEFT JOIN LATERAL ... ORDER BY ts DESC LIMIT 1."""
+    from ..ops.streams import asof_attribution
+
+    df = asof_attribution(
+        _events(sf_dir), target_type="purchase", source_type="click",
+        horizon_sec=ATTR_HORIZON_SEC).to_pandas()
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ATTRIBUTION = f"""
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+            FROM events)
+SELECT tr.event_id, tr.user_id, tr.t AS ts_us,
+  coalesce(s.event_id, -1)::BIGINT AS src_event_id,
+  coalesce(tr.t - s.t, -1)::BIGINT AS lag_us
+FROM ev tr
+LEFT JOIN LATERAL (
+  SELECT event_id, t FROM ev s
+  WHERE s.user_id = tr.user_id AND s.event_type = 'click'
+    AND s.t < tr.t AND tr.t - s.t <= {ATTR_HORIZON_SEC * 1_000_000}
+  ORDER BY s.t DESC, s.event_id DESC LIMIT 1) s ON true
+WHERE tr.event_type = 'purchase'
+ORDER BY tr.event_id
+"""
+
+
 def q_multimodal(sf_dir: str) -> pd.DataFrame:
     """Multimodal actor-pool plumbing end-to-end (rows-only: decoders
     are container-stubbed with deterministic fakes — the schema, small
@@ -943,6 +1043,9 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "multimodal": q_multimodal,
+    "sessions": q_sessions,
+    "sliding_windows": q_sliding_windows,
+    "attribution": q_attribution,
     "bm25_french": q_bm25_french,
     "pages_extract": q_pages_extract,
     "wand_consistency": q_wand_consistency,
@@ -1453,4 +1556,7 @@ ORACLES.update({
     "langid": SQL_LANGID,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "fingerprint": SQL_FINGERPRINT,
+    "sessions": SQL_SESSIONS,
+    "sliding_windows": SQL_SLIDING_WINDOWS,
+    "attribution": SQL_ATTRIBUTION,
 })
