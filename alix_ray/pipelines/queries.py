@@ -776,6 +776,74 @@ ORDER BY tr.event_id
 """
 
 
+PRICING_CUTOFF = "1998-09-02"
+
+
+def q_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-side join pattern: orders stream through map_batches
+    against a ray.put customer→nation dictionary (sorted-key binary
+    search); only per-batch partial sums leave a task."""
+    import pyarrow.parquet as pq_
+
+    from ..ops.relational import broadcast_join_agg
+
+    cust = pq_.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_nationkey"])
+    nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"))
+    ncol = "n_name" if "n_name" in nation.column_names else nation.column_names[1]
+    nkey = "n_nationkey" if "n_nationkey" in nation.column_names else nation.column_names[0]
+    nmap = dict(zip(nation[nkey].to_pylist(), nation[ncol].to_pylist()))
+    keys = cust["c_custkey"].to_numpy()
+    vals = [nmap[k] for k in cust["c_nationkey"].to_pylist()]
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"], override_num_blocks=32)
+    df = broadcast_join_agg(orders, "o_custkey", keys, vals, "o_totalprice")
+    return df.rename(columns={"name": "n_name", "total": "revenue"})
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name, round(sum(o.o_totalprice), 2) AS revenue,
+       count(*)::BIGINT AS n
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape (combine-before-shuffle): per-batch Arrow
+    group_by partials over lineitem, one tiny final merge."""
+    import datetime
+
+    from ..ops.relational import pricing_summary
+
+    cutoff = int(datetime.datetime.fromisoformat(
+        PRICING_CUTOFF + "T23:59:59.999999").replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity", "l_extendedprice",
+                                        "l_discount", "l_shipdate"],
+                               override_num_blocks=32)
+    return pricing_summary(li, cutoff)
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  count(*)::BIGINT AS n
+FROM lineitem
+WHERE epoch_us(l_shipdate) <=
+  epoch_us(TIMESTAMP '{PRICING_CUTOFF} 23:59:59.999999')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_multimodal(sf_dir: str) -> pd.DataFrame:
     """Multimodal actor-pool plumbing end-to-end (rows-only: decoders
     are container-stubbed with deterministic fakes — the schema, small
@@ -1046,6 +1114,8 @@ QUERIES = {
     "sessions": q_sessions,
     "sliding_windows": q_sliding_windows,
     "attribution": q_attribution,
+    "revenue_by_nation": q_revenue_by_nation,
+    "pricing_summary": q_pricing_summary,
     "bm25_french": q_bm25_french,
     "pages_extract": q_pages_extract,
     "wand_consistency": q_wand_consistency,
@@ -1559,4 +1629,6 @@ ORACLES.update({
     "sessions": SQL_SESSIONS,
     "sliding_windows": SQL_SLIDING_WINDOWS,
     "attribution": SQL_ATTRIBUTION,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "pricing_summary": SQL_PRICING_SUMMARY,
 })

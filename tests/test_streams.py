@@ -112,3 +112,37 @@ class TestAsofAttribution:
         out = asof_attribution(_events(rows)).to_pandas().set_index("event_id")
         assert out.loc[3, "src_event_id"] == -1
         assert out.loc[4, "src_event_id"] == 2
+
+
+class TestRelational:
+    def test_broadcast_join_agg_inner_semantics(self, ray_session):
+        from alix_ray.ops.relational import broadcast_join_agg
+
+        large = ray.data.from_items([
+            {"k": 1, "v": 10.0}, {"k": 1, "v": 5.0},
+            {"k": 2, "v": 7.0}, {"k": 99, "v": 100.0},  # 99 misses
+        ])
+        df = broadcast_join_agg(
+            large, "k", np.array([2, 1]), ["beta", "alpha"], "v")
+        assert df.values.tolist() == [["alpha", 15.0, 2], ["beta", 7.0, 1]]
+
+    def test_pricing_summary_filters_and_sums(self, ray_session):
+        import pandas as pd
+
+        from alix_ray.ops.relational import pricing_summary
+
+        rows = pd.DataFrame({
+            "l_returnflag": ["A", "A", "N"],
+            "l_linestatus": ["F", "F", "O"],
+            "l_quantity": [1.0, 2.0, 4.0],
+            "l_extendedprice": [10.0, 20.0, 40.0],
+            "l_discount": [0.1, 0.0, 0.5],
+            "l_shipdate": pd.to_datetime(
+                ["1998-01-01", "1998-02-01", "1999-01-01"]),
+        })
+        cutoff = int(pd.Timestamp("1998-12-31", tz="UTC").timestamp() * 1_000_000)
+        df = pricing_summary(ray.data.from_pandas(rows), cutoff)
+        assert len(df) == 1  # the 1999 row is filtered
+        r = df.iloc[0]
+        assert r["sum_qty"] == 3.0 and r["sum_base_price"] == 30.0
+        assert r["sum_disc_price"] == 29.0 and r["n"] == 2
