@@ -148,6 +148,91 @@ def sliding_window_agg(ds: ray.data.Dataset, window_sec: int = 3600,
     ).map_groups(part_agg, batch_format="pandas")
 
 
+def range_join_count(ds: ray.data.Dataset, probe_type: str = "purchase",
+                     match_type: str = "error", radius_sec: int = 900,
+                     ts_col="ts"):
+    """Non-equi RANGE join within the stream: for every ``probe_type``
+    event, count ``match_type`` events (any user) with
+    ``|t_match − t_probe| ≤ radius_sec``.
+
+    Partitioning: time is bucketed at ``2·radius`` so any qualifying
+    pair falls in the probe's own or an adjacent bucket — probes
+    replicate to 3 buckets (slim (bucket, ts) rows), matches land in
+    exactly one, and each partition counts vectorized via two
+    searchsorteds over its sorted match timestamps.  Rows:
+    ``(event_id, ts_us, n_matches)``.
+    """
+    r_us = radius_sec * US
+    bucket_us = 2 * r_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch[ts_col])
+        et = batch["event_type"]
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        is_p = pc.equal(et, probe_type).to_numpy(zero_copy_only=False)
+        is_m = pc.equal(et, match_type).to_numpy(zero_copy_only=False)
+        b = ts // bucket_us
+        # probes → own + adjacent buckets; matches → own bucket only
+        p_ts, p_eid, p_b = ts[is_p], eid[is_p], b[is_p]
+        m_ts, m_b = ts[is_m], b[is_m]
+        pb = np.concatenate([p_b - 1, p_b, p_b + 1])
+        out_ts = np.concatenate([np.tile(p_ts, 3), m_ts])
+        out_eid = np.concatenate([np.tile(p_eid, 3),
+                                  np.full(len(m_ts), -1, np.int64)])
+        out_b = np.concatenate([pb, m_b])
+        return pa.table({
+            "event_id": pa.array(out_eid),
+            "ts_us": pa.array(out_ts),
+            "pkey": pa.array(_partition_key(out_b.astype(np.uint64))),
+            "bucket": pa.array(out_b),
+        })
+
+    def part_count(g):
+        import pandas as pd
+
+        eid = g["event_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        bkt = g["bucket"].to_numpy(np.int64)
+        rows_e, rows_t, rows_n = [], [], []
+        for b in np.unique(bkt):
+            m = bkt == b
+            is_probe = eid[m] >= 0
+            m_ts = np.sort(ts[m][~is_probe])
+            p_ts, p_eid = ts[m][is_probe], eid[m][is_probe]
+            if len(p_ts) == 0:
+                continue
+            lo = np.searchsorted(m_ts, p_ts - r_us, side="left")
+            hi = np.searchsorted(m_ts, p_ts + r_us, side="right")
+            # partial counts: every replica (own + adjacent buckets)
+            # counts only ITS bucket's matches; summed downstream
+            rows_e.extend(p_eid.tolist())
+            rows_t.extend(p_ts.tolist())
+            rows_n.extend((hi - lo).tolist())
+        df = pd.DataFrame({"event_id": pd.Series(rows_e, dtype="int64"),
+                           "ts_us": pd.Series(rows_t, dtype="int64"),
+                           "n_matches": pd.Series(rows_n, dtype="int64")})
+        return df.groupby(["event_id", "ts_us"], as_index=False).sum()
+
+    parts = ds.map_batches(expand, batch_format="pyarrow").groupby(
+        "pkey"
+    ).map_groups(part_count, batch_format="pandas")
+    # final: sum the per-bucket partials per probe (a probe has 3
+    # replicas in up to 3 partitions)
+    def final(g):
+        return g.groupby(["event_id", "ts_us"], as_index=False)[
+            "n_matches"].sum()
+
+    def repkey(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pkey2", pa.array(_partition_key(e.astype(np.uint64))))
+
+    return parts.map_batches(repkey, batch_format="pyarrow").groupby(
+        "pkey2"
+    ).map_groups(
+        lambda g: final(g.drop(columns="pkey2")), batch_format="pandas")
+
+
 def asof_attribution(ds: ray.data.Dataset, target_type: str = "purchase",
                      source_type: str = "click",
                      horizon_sec: int = 86400,

@@ -776,6 +776,33 @@ ORDER BY tr.event_id
 """
 
 
+RANGE_RADIUS_SEC = 900
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Non-equi range join (bucketed time join): errors within ±radius
+    of each purchase — oracle: correlated |Δt| ≤ radius count."""
+    from ..ops.streams import range_join_count
+
+    df = range_join_count(
+        _events(sf_dir), probe_type="purchase", match_type="error",
+        radius_sec=RANGE_RADIUS_SEC).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_RANGE_JOIN = f"""
+WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS t FROM events)
+SELECT p.event_id, p.t AS ts_us,
+  (SELECT count(*) FROM ev m WHERE m.event_type = 'error'
+     AND abs(m.t - p.t) <= {RANGE_RADIUS_SEC * 1_000_000})::BIGINT
+    AS n_matches
+FROM ev p WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
 PRICING_CUTOFF = "1998-09-02"
 
 
@@ -1116,6 +1143,7 @@ QUERIES = {
     "attribution": q_attribution,
     "revenue_by_nation": q_revenue_by_nation,
     "pricing_summary": q_pricing_summary,
+    "range_join": q_range_join,
     "bm25_french": q_bm25_french,
     "pages_extract": q_pages_extract,
     "wand_consistency": q_wand_consistency,
@@ -1631,4 +1659,5 @@ ORACLES.update({
     "attribution": SQL_ATTRIBUTION,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "range_join": SQL_RANGE_JOIN,
 })

@@ -146,3 +146,27 @@ class TestRelational:
         r = df.iloc[0]
         assert r["sum_qty"] == 3.0 and r["sum_base_price"] == 30.0
         assert r["sum_disc_price"] == 29.0 and r["n"] == 2
+
+
+class TestRangeJoin:
+    def test_counts_across_bucket_boundaries(self, ray_session):
+        from alix_ray.ops.streams import range_join_count
+
+        # radius 10s → buckets of 20s; matches straddle the probe's
+        # bucket boundary on both sides
+        rows = [
+            {"event_id": 1, "user_id": 1, "ts_us": 20 * US, "value": 0.0,
+             "event_type": "purchase"},   # bucket 1 start
+            {"event_id": 2, "user_id": 2, "ts_us": 11 * US, "value": 0.0,
+             "event_type": "error"},      # bucket 0, within 10s
+            {"event_id": 3, "user_id": 3, "ts_us": 30 * US, "value": 0.0,
+             "event_type": "error"},      # bucket 1, exactly radius
+            {"event_id": 4, "user_id": 4, "ts_us": 31 * US, "value": 0.0,
+             "event_type": "error"},      # outside radius
+            {"event_id": 5, "user_id": 5, "ts_us": 500 * US, "value": 0.0,
+             "event_type": "purchase"},   # no matches → 0 row
+        ]
+        out = range_join_count(_events(rows), radius_sec=10).to_pandas()
+        out = out.set_index("event_id")
+        assert out.loc[1, "n_matches"] == 2
+        assert out.loc[5, "n_matches"] == 0
