@@ -30,8 +30,9 @@ def broadcast_join_agg(large: ray.data.Dataset, key_col: str,
     (sorted-key) dictionary.  Returns a pandas frame
     ``(name, total, n)`` — name = the joined dimension value.
 
-    ``lookup_keys`` must be sorted; rows whose key misses the
-    dictionary are dropped (inner-join semantics).
+    ``lookup_keys`` may arrive in any order (sorted internally with
+    their values); rows whose key misses the dictionary are dropped
+    (inner-join semantics).
     """
     import pandas as pd
 

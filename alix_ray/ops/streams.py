@@ -121,8 +121,9 @@ def sliding_window_agg(ds: ray.data.Dataset, window_sec: int = 3600,
         reps = (k_hi - k_lo + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(ts)), reps)
         # per-copy window index: k_lo[i] + offset within the run
+        # (length-safe cumsum slicing — robust to empty batches)
         offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+            np.concatenate(([0], np.cumsum(reps)))[:-1], reps)
         ws = (np.repeat(k_lo, reps) + offs) * s_us
         t_rep = types.take(pa.array(idx))
         pk = _partition_key(ws.astype(np.uint64))
@@ -169,6 +170,10 @@ def range_join_count(ds: ray.data.Dataset, probe_type: str = "purchase",
         ts = _ts_us(batch[ts_col])
         et = batch["event_type"]
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        if len(eid) and eid.min() < 0:
+            # -1 is the internal match sentinel in the partition rows
+            raise ValueError(
+                "range_join_count requires non-negative event_id values")
         is_p = pc.equal(et, probe_type).to_numpy(zero_copy_only=False)
         is_m = pc.equal(et, match_type).to_numpy(zero_copy_only=False)
         b = ts // bucket_us

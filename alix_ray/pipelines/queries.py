@@ -54,7 +54,6 @@ def _docs_text(sf_dir: str) -> ray.data.Dataset:
     # never need it.
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
-        override_num_blocks=64,
     ).repartition(64)
 
 
@@ -731,14 +730,26 @@ def q_sliding_windows(sf_dir: str) -> pd.DataFrame:
         drop=True)
 
 
+_W_US = SLIDE_WINDOW_SEC * 1_000_000
+_S_US = SLIDE_STEP_SEC * 1_000_000
+# DuckDB // truncates toward zero; the engine floor-divides.  True
+# floor division (a<0, a%s<>0 → one lower) keeps the oracle correct
+# for events before the epoch window too.
+_FLOOR_LO = (
+    f"((t - {_W_US}) // {_S_US}"
+    f" - CASE WHEN (t - {_W_US}) < 0 AND (t - {_W_US}) % {_S_US} <> 0"
+    f" THEN 1 ELSE 0 END)"
+)
+_FLOOR_HI = (
+    f"(t // {_S_US}"
+    f" - CASE WHEN t < 0 AND t % {_S_US} <> 0 THEN 1 ELSE 0 END)"
+)
 SQL_SLIDING_WINDOWS = f"""
 WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
 x AS (
   SELECT event_type, value,
-    unnest(generate_series(
-      (t - {SLIDE_WINDOW_SEC * 1_000_000}) // {SLIDE_STEP_SEC * 1_000_000} + 1,
-      t // {SLIDE_STEP_SEC * 1_000_000}))
-      * {SLIDE_STEP_SEC * 1_000_000} AS window_start_us
+    unnest(generate_series({_FLOOR_LO} + 1, {_FLOOR_HI}))
+      * {_S_US} AS window_start_us
   FROM e)
 SELECT event_type, window_start_us, count(*)::BIGINT AS n,
   round(sum(value), 6) AS total_value

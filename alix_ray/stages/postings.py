@@ -41,6 +41,10 @@ from ..codec import vb_byte_lengths, vb_decode, vb_encode
 DEFAULT_SHARD_RANGE = 8_000_000  # docs per posting shard (skew bound)
 DEFAULT_NUM_BUCKETS = 64
 MAX_POSTING_BYTES = 64 * 1024 * 1024  # cap per final posting row
+# encoded-payload cap per vectorized merge kernel call (decode blow-up
+# is ~35×, so this bounds transient task memory near ~4.5 GB worst
+# case; a single term larger than the cap still merges alone)
+MERGE_CHUNK_BYTES = 128 * 1024 * 1024
 
 
 def term_bucket(terms, num_buckets: int) -> np.ndarray:
@@ -231,6 +235,39 @@ def make_merge_fn(stats_dir: str, avgdl: float, shard_range: int):
         base, norms = _shard_norms(stats_dir, shard0, shard_range, avgdl)
         idx = pc.sort_indices(group, sort_keys=[("term", "ascending")])
         group = group.take(idx)
+        # transient decode memory is ~56 B/posting entry vs ~1.5 B
+        # encoded — bound it by chunking the group at TERM boundaries
+        # (terms never split, so per-chunk output is identical) when the
+        # encoded payload exceeds the cap
+        enc_bytes = int(
+            pc.sum(pc.binary_length(group["docs"])).as_py() or 0
+        ) + int(pc.sum(pc.binary_length(group["tfs"])).as_py() or 0)
+        if enc_bytes > MERGE_CHUNK_BYTES:
+            term_col = group["term"].combine_chunks()
+            n = group.num_rows
+            neq = pc.not_equal(
+                term_col.slice(1), term_col.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+            bounds = np.concatenate(([0], np.flatnonzero(neq) + 1, [n]))
+            row_bytes = (
+                pc.binary_length(group["docs"]).to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                + pc.binary_length(group["tfs"]).to_numpy(
+                    zero_copy_only=False)
+            )
+            cum = np.concatenate(([0], np.cumsum(row_bytes)))
+            out, start = [], 0
+            for b in bounds[1:]:
+                if cum[b] - cum[start] >= MERGE_CHUNK_BYTES or b == n:
+                    out.append(
+                        _merge_sorted_rows(group.slice(start, b - start),
+                                           shard0, base, norms))
+                    start = b
+            return pa.concat_tables(out)
+        return _merge_sorted_rows(group, shard0, base, norms)
+
+    def _merge_sorted_rows(group: pa.Table, shard0: int, base: int,
+                           norms: np.ndarray) -> pa.Table:
         nrows = group.num_rows
         term_col = group["term"].combine_chunks()
         dfs = group["df"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -76,3 +76,47 @@ def test_encode_deterministic():
     a = encode_posting(docs, tfs)
     b = encode_posting(docs, tfs)
     assert a[0] == b[0] and a[1] == b[1]
+
+
+def test_merge_chunking_byte_identical(tmp_path, monkeypatch):
+    """The memory-bounding term-boundary chunking must produce exactly
+    the same output table as the single-kernel path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import alix_ray.stages.postings as P
+
+    rng = np.random.default_rng(3)
+    n_docs = 400
+    stats = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "tokens": pa.array(rng.integers(5, 60, n_docs)),
+        "shard": pa.array(np.zeros(n_docs, np.int32)),
+    })
+    stats_dir = str(tmp_path / "doc_stats")
+    pq.write_to_dataset(stats, stats_dir, partition_cols=["shard"])
+
+    enc = P.SegmentEncode(shard_range=10**6, num_buckets=1)
+    batches = []
+    for lo in (0, 200):  # two segment batches → interleaved doc ranges
+        docs = np.arange(lo, lo + 200, dtype=np.int64)
+        terms = [[f"t{rng.integers(0, 40)}" for _ in range(6)]
+                 for _ in docs]
+        terms = [sorted(set(t)) for t in terms]
+        batches.append(enc(pa.table({
+            "doc_id": pa.array(docs),
+            "terms": pa.array(terms, pa.large_list(pa.large_string())),
+            "tfs": pa.array([[int(rng.integers(1, 9))] * len(t)
+                             for t in terms],
+                            pa.large_list(pa.int64())),
+        })))
+    group = pa.concat_tables(batches)
+    fn = P.make_merge_fn(stats_dir, avgdl=30.0, shard_range=10**6)
+    P._NORM_CACHE.clear()
+    full = fn(group)
+    monkeypatch.setattr(P, "MERGE_CHUNK_BYTES", 64)  # force many chunks
+    P._NORM_CACHE.clear()
+    chunked = fn(group)
+    assert full.equals(chunked)
+    assert full.num_rows > 1
