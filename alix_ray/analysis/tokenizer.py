@@ -92,6 +92,15 @@ def _is_token_char(c: str) -> bool:
 
 _NORM = {**_APOS_NORM, **_HYPH_NORM}
 
+# plain-letter run for the tokenizer fast path: ASCII + Latin-1 letters
+# + œ/Œ only — every member is .isalpha(), maps through _NORM as
+# itself, and is none of the special chars (&.-'_°, digits), so a
+# maximal run not followed by a continuation char tokenizes exactly as
+# _read_word would
+import re as _re
+
+_PLAIN_RUN = _re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿŒœ]+")
+
 
 def _norm_char(c: str) -> str:
     return _NORM.get(c, c)
@@ -270,6 +279,28 @@ class MarkupTokenizer:
                 yield Tok(s[i:j], "PUNCTsent", i, j)
                 i = j
                 continue
+            # FAST PATH: a maximal run of plain Latin letters followed
+            # by a non-continuation char is exactly one WORD token (no
+            # entity/&, no dot logic, no normalization — the class
+            # excludes every special char), so skip the per-char
+            # scanner.  Equivalence to _read_word is enforced by the
+            # differential test in tests/test_analysis.py.
+            m = _PLAIN_RUN.match(s, i)
+            if m is not None:
+                j = m.end()
+                if j - i < TOKEN_MAX_SIZE:
+                    if j >= n:
+                        yield Tok(s[i:j], "WORD", i, j)
+                        i = j
+                        continue
+                    c2 = s[j]
+                    f2 = _FLAGS.get(c2)
+                    if f2 is None:
+                        f2 = _flags(c2)
+                    if c2 != "." and not f2 & _TOKENC:
+                        yield Tok(s[i:j], "WORD", i, j)
+                        i = j
+                        continue
             f = _FLAGS.get(c)
             if f is None:
                 f = _flags(c)

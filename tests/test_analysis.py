@@ -344,3 +344,66 @@ class TestPosTaggerHook:
         assert self._poses(fa, "la ferme") == {"ferme": "NOUN"}
         # untagged contexts still fall back to the lexicon POS
         assert self._poses(fa, "ferme") == {"ferme": "NOUN"}
+
+
+class TestTokenizerFastPath:
+    """The plain-letter fast path must be byte-equivalent to the
+    per-char scanner on every input."""
+
+    CASES = [
+        "simple plain words only",
+        "mot déjà vu à côté œuvre Ødegård",
+        "dots. at ends. and M. Dupont etc. Art. 12",
+        "l'élision d'accord j'ai J.-J. Rousseau U.S.A. fin",
+        "B&amp;B x&gt;y tags <p>inside</p> &quot;quoted&quot;",
+        "nums 12,5 and -42 and 3.14. end",
+        "trail-",
+        "hyphen-word under_score deg° wei°rd",
+        "ALLCAPS. Next",
+        "abc.def.ghi, lower keeps",
+        "entité&apos;s &lt;frag",
+        "a" * 300 + " overlong",
+        "", "   ", "fin.",
+        "père.\nLa suite",
+    ]
+
+    def _both(self, text):
+        import re
+
+        from alix_ray.analysis import tokenizer as T
+
+        mt = T.MarkupTokenizer()
+        fast = [(t.text, t.cls, t.start, t.end) for t in mt.tokenize(text)]
+        never = re.compile(r"(?!x)x")
+        orig = T._PLAIN_RUN
+        T._PLAIN_RUN = never
+        try:
+            slow = [(t.text, t.cls, t.start, t.end)
+                    for t in mt.tokenize(text)]
+        finally:
+            T._PLAIN_RUN = orig
+        return fast, slow
+
+    def test_differential_fixed_cases(self):
+        for c in self.CASES:
+            fast, slow = self._both(c)
+            assert fast == slow, c
+
+    def test_differential_corpus_pages(self):
+        from alix_ray.corpus import make_page
+
+        for i in range(0, 200, 7):
+            text = make_page(i)["text"]
+            fast, slow = self._both(text)
+            assert fast == slow, f"page {i}"
+
+    def test_differential_random_soup(self):
+        import random
+
+        random.seed(11)
+        alphabet = list("abcDÉé .&;<>-'’09!?…«_°") + ["&amp;", "etc.", "<p>"]
+        for _ in range(300):
+            text = "".join(random.choice(alphabet)
+                           for _ in range(random.randint(0, 60)))
+            fast, slow = self._both(text)
+            assert fast == slow, repr(text)
