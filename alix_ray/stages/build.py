@@ -465,6 +465,11 @@ class IndexBuilder:
             if os.path.exists(gdir):
                 shutil.rmtree(gdir)
             os.rename(gtmp, gdir)
+            # fold the doc_stats projection in HERE: the group's files
+            # are page-cache-warm, so this read is nearly free — and
+            # build_doc_stats then never re-scans the analyzed
+            # artifact (a 2-column pass over 10^12 rows at full scale)
+            self._write_stats_part(gdir, gkey)
             rows = sum(
                 pq.read_metadata(os.path.join(gdir, f)).num_rows
                 for f in os.listdir(gdir)
@@ -491,40 +496,77 @@ class IndexBuilder:
         )
 
     # -- stage 3: doc_stats -------------------------------------------
+    def _stats_parts_dir(self) -> str:
+        # shard_range keyed: parts from a run with a different sharding
+        # must never assemble into this build's doc_stats
+        return os.path.join(self.out_dir,
+                            f"doc_stats.parts.sr{self.shard_range}")
+
+    def _write_stats_part(self, gdir: str, gkey: str) -> None:
+        """(doc_id, width, tokens) projection of one analyzed group,
+        written hive-partitioned by shard under an atomically-renamed
+        per-group dir — the doc_stats stage assembles these instead of
+        re-scanning `analyzed`."""
+        t = pq.read_table(gdir, columns=["doc_id", "width", "tokens"])
+        shards = (
+            t["doc_id"].to_numpy(zero_copy_only=False) // self.shard_range
+        ).astype(np.int32)
+        pdir = self._stats_parts_dir()
+        gtmp = os.path.join(pdir, gkey + ".tmp")
+        gfinal = os.path.join(pdir, gkey)
+        if os.path.exists(gtmp):
+            shutil.rmtree(gtmp)
+        os.makedirs(gtmp, exist_ok=True)  # empty group → empty part
+        for s in np.unique(shards):
+            sub = t.filter(pa.array(shards == s))
+            sdir = os.path.join(gtmp, f"shard={int(s)}")
+            os.makedirs(sdir, exist_ok=True)
+            pq.write_table(sub, os.path.join(sdir, f"{gkey}.parquet"))
+        if os.path.exists(gfinal):
+            shutil.rmtree(gfinal)
+        os.rename(gtmp, gfinal)
+
     def build_doc_stats(self, fingerprint: str):
         fp = _fingerprint("doc_stats", fingerprint, self.shard_range)
         if self.manifest.stage_done("doc_stats", fp):
             return
         t0 = time.time()
-        # narrow projection of `analyzed`, written as SHARD-partitioned
-        # Parquet (shard = doc_id // shard_range — the same key the
-        # postings merge groups by) so each merge task later reads only
-        # its own shard's norm slice via partition pruning.  Fully
-        # distributed: no driver-side table at any corpus size.
-        shard_range = self.shard_range
-
-        def add_shard(t: pa.Table) -> pa.Table:
-            doc = t["doc_id"].to_numpy(zero_copy_only=False)
-            return t.append_column(
-                "shard", pa.array((doc // shard_range).astype(np.int32))
-            )
-
-        stats_ds = ray.data.read_parquet(
-            os.path.join(self.out_dir, "analyzed"),
-            columns=["doc_id", "width", "tokens"],
-        ).map_batches(add_shard, batch_format="pyarrow")
+        # SHARD-partitioned projection of `analyzed` (shard = doc_id //
+        # shard_range — the key the postings merge groups by, so merge
+        # tasks partition-prune their norm slice).  The projection was
+        # already written per group DURING the analyze stage
+        # (_write_stats_part, page-cache-warm read inside the
+        # overlapped group threads); here we assemble those parts and
+        # only BACKFILL groups whose part is missing (crash between the
+        # group publish and its stats write, or a shard_range change).
+        analyzed_dir = os.path.join(self.out_dir, "analyzed")
+        groups = sorted(
+            d for d in os.listdir(analyzed_dir)
+            if os.path.isdir(os.path.join(analyzed_dir, d))
+        )
+        parts_root = self._stats_parts_dir()
         final = os.path.join(self.out_dir, "doc_stats")
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        # coalesce: without a floor, each upstream block writes its own
-        # tiny file (~#analyzed-files of them) and every later
-        # partition-pruned read pays per-file footer costs
-        stats_ds.write_parquet(
-            tmp, partition_cols=["shard"],
-            min_rows_per_file=250_000, max_rows_per_file=2_000_000,
-        )
+        os.makedirs(tmp)
+        for g in groups:
+            gpart = os.path.join(parts_root, g)
+            if not os.path.isdir(gpart):
+                self._write_stats_part(os.path.join(analyzed_dir, g), g)
+            for sd in os.listdir(gpart):
+                src = os.path.join(gpart, sd)
+                dst = os.path.join(tmp, sd)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    os.rename(os.path.join(src, f), os.path.join(dst, f))
         _publish(tmp, final)
+        # parts consumed — drop every parts dir (incl. stale other-
+        # shard_range ones)
+        for d in os.listdir(self.out_dir):
+            if d.startswith("doc_stats.parts."):
+                shutil.rmtree(os.path.join(self.out_dir, d),
+                              ignore_errors=True)
         self.manifest.append(
             stage="doc_stats", fingerprint=fp, status="done",
             wall_ms=int((time.time() - t0) * 1000),
