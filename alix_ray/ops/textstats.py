@@ -156,6 +156,36 @@ def fingerprint(ds: ray.data.Dataset, text_col="text", window: int = 4,
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer regex, restricted to RE2 syntax (no
+# lookahead) so pyarrow's count_substring_regex and DuckDB's
+# regexp_extract_all — both RE2, default leftmost-first options —
+# count the identical match set.
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts(ds: ray.data.Dataset, text_col="text") -> ray.data.Dataset:
+    """Per-doc token counts two ways: whitespace runs (``\\S+``) and a
+    BPE-ish pre-tokenizer regex (contractions / letter runs / digit
+    runs / punctuation runs, each with optional leading space — the
+    GPT-2 pattern minus the RE2-unsupported lookahead).  The budget
+    metric every training-data pipeline needs before mixing corpora;
+    fully vectorized, no shuffle."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_col], "")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ws_tokens": pc.cast(
+                pc.count_substring_regex(texts, pattern=r"\S+"), pa.int64()
+            ),
+            "bpe_tokens": pc.cast(
+                pc.count_substring_regex(texts, pattern=BPE_RE), pa.int64()
+            ),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
 def token_count_total(ds: ray.data.Dataset, text_col="text") -> int:
     """Corpus token count via per-batch partial sums (no shuffle)."""
 

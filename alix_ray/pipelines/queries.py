@@ -467,6 +467,28 @@ FROM base ORDER BY doc_id
 """
 
 
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-doc whitespace + BPE-ish-regex token counts (training-data
+    budget metric; see ops/textstats.py:token_counts)."""
+    from ..ops.textstats import token_counts
+
+    df = token_counts(_docs_text(sf_dir)).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# Same RE2 patterns as the Ray side — DuckDB's regexp engine is also
+# RE2 with default (leftmost-first) options, so the match sets are
+# identical by construction.
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(coalesce(text, ''),
+      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+  ))::BIGINT AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle)
 # ---------------------------------------------------------------------
@@ -1144,6 +1166,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "embedding_dups": q_embedding_dups,
     "quality": q_quality,
+    "token_counts": q_token_counts,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1178,6 +1201,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "embedding_dups": SQL_EMBEDDING_DUPS,
     "quality": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
 }
 
 def q_token_dump(sf_dir: str) -> pd.DataFrame:

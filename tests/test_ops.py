@@ -156,6 +156,42 @@ class TestRayOps:
         assert li.guess("le chat est sur le tapis et il est content") == "fr"
         assert li.guess("") == "und"
 
+    def test_token_counts(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from alix_ray.ops.textstats import token_counts
+
+        texts = [
+            "Hello, world! It's 2026.",
+            "  multi   space\ttabs\nnewlines  ",
+            "",
+            None,
+            "l'état & Co. #42 café — naïve…",
+            "日本語テキスト test 漢字123",
+        ]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        got = token_counts(ds).to_pandas().sort_values("doc_id")
+        # known values: "Hello, world! It's 2026." → 4 ws runs; BPE-ish
+        # splits Hello|,|world|!|It|'s|2026|. = 8
+        assert got["ws_tokens"].tolist()[0] == 4
+        assert got["bpe_tokens"].tolist()[0] == 8
+        assert got["ws_tokens"].tolist()[2:4] == [0, 0]  # empty + null
+        # cross-check every row against the DuckDB oracle regexes
+        from alix_ray.pipelines.queries import SQL_TOKEN_COUNTS
+
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        want = con.execute(SQL_TOKEN_COUNTS).df()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False
+        )
+
     def test_multimodal_plumbing(self, ray_session):
         import ray.data
 
