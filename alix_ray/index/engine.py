@@ -44,6 +44,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..codec import decode_block, decode_posting, vb_decode
+from ..stages.store import resolve_stage
 
 _DONE = 1 << 62
 BLOCK = 128
@@ -560,7 +561,7 @@ class BM25Index:
         # touched shards, never O(max_doc_id) (dense arrays were the
         # r2 scale blocker)
         self.docstats = DocStatsStore(
-            os.path.join(out_dir, "doc_stats"),
+            resolve_stage(out_dir, "doc_stats"),
             self.cfg.get("shard_range", 8_000_000),
             self.k1, self.b, self.avgdl,
         )
@@ -569,7 +570,7 @@ class BM25Index:
         # lexicon: sorted Arrow column + binary search, df/cf as numpy
         # value columns — no O(vocab) Python dict/list objects
         ts = pq.read_table(
-            os.path.join(out_dir, "term_stats"), columns=["term", "df", "cf"]
+            resolve_stage(out_dir, "term_stats"), columns=["term", "df", "cf"]
         )
         import pyarrow.compute as _pc
 
@@ -579,7 +580,7 @@ class BM25Index:
         self.cf = TermStatsMap(self.lexicon, ts["cf"].to_numpy())
         # lazy: open scans only the term column (O(lexicon)); posting
         # blobs are row-group-read on first use
-        self.postings = PostingStore(os.path.join(out_dir, "postings"))
+        self.postings = PostingStore(resolve_stage(out_dir, "postings"))
         self._analyzer = None
         self._contrib_cache: dict = {}
         self._topk_cache: dict = {}
@@ -873,7 +874,7 @@ class BM25Index:
         words sat are preserved (position holes block span matches,
         CleanupFilter semantics)."""
         if getattr(self, "_rail", None) is None:
-            self._rail = Rail(os.path.join(self.dir, "analyzed"))
+            self._rail = Rail(resolve_stage(self.dir, "analyzed"))
         return self._rail
 
     @staticmethod
@@ -1180,7 +1181,7 @@ class BM25Index:
         docs artifact row for one id, via Parquet row-group doc_id
         statistics — same pruned-read discipline as the rail."""
         if not hasattr(self, "_docs_store"):
-            self._docs_store = _DocStore(os.path.join(self.dir, "docs"))
+            self._docs_store = _DocStore(resolve_stage(self.dir, "docs"))
         return self._docs_store.get(doc_id)
 
     def root_dict(self):

@@ -20,6 +20,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..stages.store import resolve_stage
+
 from .. import IDF_EXP, K1, B
 
 # shared SQL fragment: the token CTE (the analyzer mirror)
@@ -95,7 +97,7 @@ def _index(sf_dir: str, profile: str = "simple"):
 
 def q_term_stats(sf_dir: str) -> pd.DataFrame:
     ix = _index(sf_dir)
-    t = pq.read_table(os.path.join(ix.dir, "term_stats"))
+    t = pq.read_table(resolve_stage(ix.dir, "term_stats"))
     df = t.to_pandas()[["term", "df", "cf"]]
     df["df"] = df["df"].astype("int64")
     df["cf"] = df["cf"].astype("int64")
@@ -111,7 +113,7 @@ FROM toks GROUP BY term ORDER BY term
 
 def q_doc_token_counts(sf_dir: str) -> pd.DataFrame:
     ix = _index(sf_dir)
-    t = pq.read_table(os.path.join(ix.dir, "doc_stats"))
+    t = pq.read_table(resolve_stage(ix.dir, "doc_stats"))
     df = t.to_pandas()[["doc_id", "tokens"]].rename(columns={"tokens": "n_tokens"})
     df["n_tokens"] = df["n_tokens"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -1419,7 +1421,7 @@ def q_theme_terms(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as _pq
 
     ix = _index(sf_dir)
-    docs = _pq.read_table(os.path.join(ix.dir, "docs"),
+    docs = _pq.read_table(resolve_stage(ix.dir, "docs"),
                           columns=["doc_id"]).to_pandas()
     full = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                           columns=["doc_id", "lang"]).to_pandas()

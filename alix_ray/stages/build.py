@@ -1,13 +1,17 @@
 """Index build orchestration: staged, checkpointed, resumable.
 
 Pipeline (SURVEY.md §7.2), each stage a Ray Data pipeline whose output
-is a partitioned Parquet directory published atomically
-(``<stage>.tmp`` → rename — the reference's atomic dir swap,
-``TeiIngester.java:336-356``) with per-partition lineage rows appended
-to ``manifest.jsonl`` (partition file, rows, bytes, wall_ms,
-fingerprint).  A rerun skips stages whose manifest entry matches the
-input fingerprint — "resumable from checkpoint with per-partition
-lineage + metrics" (BASELINE.json north rule).
+is a partitioned Parquet directory published atomically through an
+``ArtifactStore`` (``stages/store.py``): the default ``RenameStore``
+stages ``<stage>.tmp`` → rename (the reference's atomic dir swap,
+``TeiIngester.java:336-356``; requires a shared POSIX FS), the
+``store="pointer"`` mode publishes immutable versioned prefixes with
+an atomic pointer PUT (the object-store protocol — no directory
+renames anywhere).  Per-partition lineage rows go to the store's
+manifest (journal file or PUT-only object journal).  A rerun skips
+stages whose manifest entry matches the input fingerprint —
+"resumable from checkpoint with per-partition lineage + metrics"
+(BASELINE.json north rule).
 
     docs       pages → extract(+quarantine) → dedup(url) → doc_id
     analyzed   docs → actor-pool analyzer → per-doc (terms, tfs, width, tokens)
@@ -40,6 +44,7 @@ from .postings import (
     SegmentEncode,
     make_merge_fn,
 )
+from .store import Manifest, make_store, resolve_stage  # noqa: F401 (Manifest re-exported)
 
 STAGES = ("docs", "analyzed", "doc_stats", "postings", "term_stats")
 
@@ -73,74 +78,12 @@ def _patch_ray_http_fs_check() -> None:
 _patch_ray_http_fs_check()
 
 
-class Manifest:
-    """Append-only lineage journal (``manifest.jsonl``)."""
-
-    def __init__(self, out_dir: str):
-        self.path = os.path.join(out_dir, "manifest.jsonl")
-
-    def rows(self) -> list[dict]:
-        if not os.path.exists(self.path):
-            return []
-        with open(self.path) as f:
-            return [json.loads(line) for line in f if line.strip()]
-
-    def stage_done(self, stage: str, fingerprint: str) -> bool:
-        for r in self.rows():
-            if (
-                r.get("stage") == stage
-                and r.get("status") == "done"
-                and r.get("fingerprint") == fingerprint
-            ):
-                return True
-        return False
-
-    def append(self, **row) -> None:
-        row.setdefault("ts", time.strftime("%Y-%m-%dT%H:%M:%S"))
-        with open(self.path, "a") as f:
-            f.write(json.dumps(row) + "\n")
-
-    def record_partitions(self, stage: str, out_dir: str, fingerprint: str,
-                          wall_ms: int) -> None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        names = sorted(
-            n for n in os.listdir(out_dir) if n.endswith(".parquet")
-        )
-
-        def meta(name):
-            p = os.path.join(out_dir, name)
-            return name, pq.read_metadata(p).num_rows, os.path.getsize(p)
-
-        # footer reads are I/O-bound and independent — a serial loop
-        # over ~1000 partition files costs ~1s of pure driver wall
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            metas = list(ex.map(meta, names))
-        total_rows = 0
-        with open(self.path, "a") as f:
-            for name, rows, nbytes in metas:
-                total_rows += rows
-                row = {"stage": stage, "partition": name,
-                       "fingerprint": fingerprint, "rows": rows,
-                       "bytes": nbytes, "status": "partition",
-                       "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
-                f.write(json.dumps(row) + "\n")
-        self.append(stage=stage, fingerprint=fingerprint, rows=total_rows,
-                    wall_ms=wall_ms, status="done")
-
-
 def _fingerprint(*parts) -> str:
     h = hashlib.blake2b(digest_size=12)
     for p in parts:
         h.update(str(p).encode())
         h.update(b"\0")
     return h.hexdigest()
-
-
-def _publish(tmp_dir: str, final_dir: str) -> None:
-    if os.path.exists(final_dir):
-        shutil.rmtree(final_dir)
-    os.rename(tmp_dir, final_dir)
 
 
 _SHARED_FS_VERIFIED: set[str] = set()
@@ -169,10 +112,12 @@ def verify_shared_fs(out_dir: str) -> None:
     if "://" in out_dir:
         raise ValueError(
             f"artifact dir {out_dir!r} is a URI, not a shared-filesystem "
-            "path. The staged publish protocol (atomic dir rename + "
-            "driver-side manifest) requires a POSIX shared FS "
-            "(NFS/Lustre); object-store backends need an ArtifactStore "
-            "implementation with a manifest-pointer publish instead."
+            "path. The publish protocols (stages/store.py) run against "
+            "mounted paths: RenameStore needs a POSIX shared FS "
+            "(NFS/Lustre); PointerStore (store=\"pointer\") uses only "
+            "object-store primitives but URI plumbing additionally "
+            "needs an fsspec filesystem threaded through the parquet "
+            "readers/writers (not available in this environment)."
         )
     os.makedirs(out_dir, exist_ok=True)
     probe = os.path.join(out_dir, ".shared_fs_probe")
@@ -239,18 +184,15 @@ def _split_heavy_files(dir_: str, max_bytes: int) -> None:
         ray.get(jobs)
 
 
-def _write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
+def _write_stage(ds: ray.data.Dataset, store, stage: str,
                  manifest: Manifest, fingerprint: str, t_start=None,
                  max_file_bytes: int | None = None, **write_kwargs) -> None:
     t0 = t_start if t_start is not None else time.time()
-    final = os.path.join(out_dir, stage)
-    tmp = final + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    tmp = store.stage_begin(stage, fingerprint, clear=True)
     ds.write_parquet(tmp, **write_kwargs)
     if max_file_bytes:
         _split_heavy_files(tmp, max_file_bytes)
-    _publish(tmp, final)
+    final = store.stage_commit(stage, fingerprint)
     manifest.record_partitions(stage, final, fingerprint, int((time.time() - t0) * 1000))
 
 
@@ -273,9 +215,11 @@ class IndexBuilder:
         keep_positions: bool = False,
         hunspell_resources: tuple | None = None,
         analyze_overlap: int = 2,
+        store: str = "rename",  # "rename" (shared FS) | "pointer" (object store)
     ):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
+        self.store = make_store(out_dir, store)
         self.analyzer = analyzer
         self.shard_range = shard_range
         self.num_buckets = num_buckets
@@ -294,7 +238,7 @@ class IndexBuilder:
         # Hunspell sidecar after term_stats (HunspellCompiler analog)
         self.hunspell_resources = hunspell_resources
         self.analyze_overlap = max(1, analyze_overlap)
-        self.manifest = Manifest(out_dir)
+        self.manifest = self.store.make_manifest()
 
     # Above this row count the broadcast url dictionary (driver memory
     # ∝ distinct urls, ~100 B/url) flips to the fully distributed
@@ -359,7 +303,7 @@ class IndexBuilder:
         # large files one analyze task inherits the whole heavy cluster
         # (measured 14s straggler on the synthetic corpus).  At 10^12
         # scale this becomes a byte-bounded writer.
-        _write_stage(deduped, self.out_dir, "docs", self.manifest, fp,
+        _write_stage(deduped, self.store, "docs", self.manifest, fp,
                      t_start=t0, min_rows_per_file=self.docs_rows_per_file // 2,
                      max_rows_per_file=self.docs_rows_per_file,
                      max_file_bytes=self.docs_max_file_bytes)
@@ -369,7 +313,7 @@ class IndexBuilder:
         fp = _fingerprint("docs", fingerprint)
         if self.manifest.stage_done("docs", fp):
             return
-        _write_stage(docs, self.out_dir, "docs", self.manifest, fp,
+        _write_stage(docs, self.store, "docs", self.manifest, fp,
                      min_rows_per_file=self.docs_rows_per_file // 2,
                      max_rows_per_file=self.docs_rows_per_file,
                      max_file_bytes=self.docs_max_file_bytes)
@@ -412,7 +356,7 @@ class IndexBuilder:
         if self.manifest.stage_done("analyzed", fp):
             return
         t_stage = time.time()
-        docs_dir = os.path.join(self.out_dir, "docs")
+        docs_dir = self.store.resolve("docs")
         files = sorted(
             os.path.join(docs_dir, f)
             for f in os.listdir(docs_dir)
@@ -425,9 +369,9 @@ class IndexBuilder:
             n_groups = max(1, int(total // self.GROUP_TARGET_BYTES))
         n_groups = max(1, min(n_groups, len(files)))
         bounds = np.linspace(0, len(files), n_groups + 1).astype(int)
-        final = os.path.join(self.out_dir, "analyzed")
-        tmp = final + ".tmp"  # persists across crashed attempts
-        os.makedirs(tmp, exist_ok=True)
+        # clear=False: the staging prefix persists across crashed
+        # attempts — committed groups inside it are the resume units
+        tmp = self.store.stage_begin("analyzed", fp, clear=False)
         # groups OVERLAP (bounded thread pool): each group is still an
         # atomic checkpoint, but group N+1's tasks fill the idle cores
         # during group N's straggler tail and write — the per-group
@@ -450,21 +394,16 @@ class IndexBuilder:
                 return
             gkey = f"g{gi:05d}"
             gfp = _fingerprint(fp, gkey, *gfiles)
-            gdir = os.path.join(tmp, gkey)
-            if os.path.exists(gdir) and (gkey, gfp) in done_parts:
+            if self.store.part_done(tmp, gkey) and (gkey, gfp) in done_parts:
                 return  # resumed: group already complete
             t0 = time.time()
-            gtmp = gdir + ".tmp"
-            if os.path.exists(gtmp):
-                shutil.rmtree(gtmp)
+            gtmp = self.store.part_begin(tmp, gkey)
             # NB: no min_rows_per_file coalescing here — forcing the
             # write to merge across upstream blocks stalls the
             # streaming pipeline (measured +3s on the hot stage); the
             # many small files cost less than that downstream
             self._analyze_pipeline(gfiles).write_parquet(gtmp)
-            if os.path.exists(gdir):
-                shutil.rmtree(gdir)
-            os.rename(gtmp, gdir)
+            gdir = self.store.part_commit(tmp, gkey)
             # fold the doc_stats projection in HERE: the group's files
             # are page-cache-warm, so this read is nearly free — and
             # build_doc_stats then never re-scans the analyzed
@@ -477,6 +416,7 @@ class IndexBuilder:
             )
             nbytes = sum(
                 os.path.getsize(os.path.join(gdir, f)) for f in os.listdir(gdir)
+                if f.endswith(".parquet")
             )
             with mlock:
                 self.manifest.append(
@@ -489,7 +429,7 @@ class IndexBuilder:
             # list() re-raises the first group failure (fail the stage,
             # completed groups stay checkpointed for the resume)
             list(ex.map(run_group, range(n_groups)))
-        _publish(tmp, final)
+        self.store.stage_commit("analyzed", fp)
         self.manifest.append(
             stage="analyzed", fingerprint=fp, status="done",
             wall_ms=int((time.time() - t_stage) * 1000),
@@ -512,19 +452,14 @@ class IndexBuilder:
             t["doc_id"].to_numpy(zero_copy_only=False) // self.shard_range
         ).astype(np.int32)
         pdir = self._stats_parts_dir()
-        gtmp = os.path.join(pdir, gkey + ".tmp")
-        gfinal = os.path.join(pdir, gkey)
-        if os.path.exists(gtmp):
-            shutil.rmtree(gtmp)
-        os.makedirs(gtmp, exist_ok=True)  # empty group → empty part
+        os.makedirs(pdir, exist_ok=True)
+        gtmp = self.store.part_begin(pdir, gkey)  # empty group → empty part
         for s in np.unique(shards):
             sub = t.filter(pa.array(shards == s))
             sdir = os.path.join(gtmp, f"shard={int(s)}")
             os.makedirs(sdir, exist_ok=True)
             pq.write_table(sub, os.path.join(sdir, f"{gkey}.parquet"))
-        if os.path.exists(gfinal):
-            shutil.rmtree(gfinal)
-        os.rename(gtmp, gfinal)
+        self.store.part_commit(pdir, gkey)
 
     def build_doc_stats(self, fingerprint: str):
         fp = _fingerprint("doc_stats", fingerprint, self.shard_range)
@@ -539,28 +474,27 @@ class IndexBuilder:
         # overlapped group threads); here we assemble those parts and
         # only BACKFILL groups whose part is missing (crash between the
         # group publish and its stats write, or a shard_range change).
-        analyzed_dir = os.path.join(self.out_dir, "analyzed")
+        analyzed_dir = self.store.resolve("analyzed")
         groups = sorted(
             d for d in os.listdir(analyzed_dir)
             if os.path.isdir(os.path.join(analyzed_dir, d))
         )
         parts_root = self._stats_parts_dir()
-        final = os.path.join(self.out_dir, "doc_stats")
-        tmp = final + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
+        tmp = self.store.stage_begin("doc_stats", fp, clear=True)
         for g in groups:
             gpart = os.path.join(parts_root, g)
-            if not os.path.isdir(gpart):
+            if not self.store.part_done(parts_root, g):
                 self._write_stats_part(os.path.join(analyzed_dir, g), g)
             for sd in os.listdir(gpart):
                 src = os.path.join(gpart, sd)
+                if not os.path.isdir(src):
+                    continue  # part commit marker, not a shard dir
                 dst = os.path.join(tmp, sd)
                 os.makedirs(dst, exist_ok=True)
                 for f in os.listdir(src):
-                    os.rename(os.path.join(src, f), os.path.join(dst, f))
-        _publish(tmp, final)
+                    self.store.move_file(
+                        os.path.join(src, f), os.path.join(dst, f))
+        final = self.store.stage_commit("doc_stats", fp)
         # parts consumed — drop every parts dir (incl. stale other-
         # shard_range ones)
         for d in os.listdir(self.out_dir):
@@ -631,8 +565,9 @@ class IndexBuilder:
             "num_buckets": self.num_buckets,
             "block": 128,
         }
-        with open(os.path.join(self.out_dir, "config.json"), "w") as f:
-            json.dump(cfg, f, indent=1)
+        # atomic single-object PUT in both modes (readers never see a
+        # torn config)
+        self.store.put_json(os.path.join(self.out_dir, "config.json"), cfg)
         self.manifest.append(stage="config", fingerprint=fp, status="done",
                              wall_ms=int((time.time() - t0) * 1000))
 
@@ -645,7 +580,7 @@ class IndexBuilder:
         t0 = time.time()  # include dataset creation (file listing) in wall
         cfg = self.config()
         analyzed = ray.data.read_parquet(
-            os.path.join(self.out_dir, "analyzed"),
+            self.store.resolve("analyzed"),
             columns=["doc_id", "terms", "tfs"],
         )
         segments = analyzed.map_batches(
@@ -656,14 +591,14 @@ class IndexBuilder:
         # block-max norms come from each group's own shard slice of the
         # shard-partitioned doc_stats artifact — no global dense array
         merged = segments.groupby(["bucket", "shard"]).map_groups(
-            make_merge_fn(os.path.join(self.out_dir, "doc_stats"),
+            make_merge_fn(self.store.resolve("doc_stats"),
                           cfg["avgdl"], self.shard_range),
             batch_format="pyarrow",
         )
         # small row groups: the serving engine reads postings per term
         # via row-group-pruned reads — one giant row group per file
         # would make every cold term read the whole file's blobs
-        _write_stage(merged, self.out_dir, "postings", self.manifest, fp,
+        _write_stage(merged, self.store, "postings", self.manifest, fp,
                      t_start=t0, row_group_size=256)
 
     # -- stage 5: term_stats / lexicon --------------------------------
@@ -678,7 +613,7 @@ class IndexBuilder:
         if self.manifest.stage_done("term_stats", fp):
             return
         t0 = time.time()
-        post_dir = os.path.join(self.out_dir, "postings")
+        post_dir = self.store.resolve("postings")
         post_files = [
             os.path.join(post_dir, f) for f in os.listdir(post_dir)
             if f.endswith(".parquet")
@@ -698,13 +633,9 @@ class IndexBuilder:
                 "term_id": pa.array(
                     np.arange(1, g.num_rows + 1, dtype=np.int32)),
             })
-            final = os.path.join(self.out_dir, "term_stats")
-            tmp = final + ".tmp"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            os.makedirs(tmp)
+            tmp = self.store.stage_begin("term_stats", fp, clear=True)
             pq.write_table(out, os.path.join(tmp, "part-0.parquet"))
-            _publish(tmp, final)
+            final = self.store.stage_commit("term_stats", fp)
             self.manifest.record_partitions(
                 "term_stats", final, fp, int((time.time() - t0) * 1000))
             return
@@ -720,7 +651,7 @@ class IndexBuilder:
             ).drop_columns(["rank"]),
             batch_format="pyarrow",
         )
-        _write_stage(with_ids, self.out_dir, "term_stats", self.manifest, fp,
+        _write_stage(with_ids, self.store, "term_stats", self.manifest, fp,
                      t_start=t0)
 
     # -- orchestration -------------------------------------------------
@@ -759,7 +690,7 @@ class IndexBuilder:
             from ..analysis.hunspell import compile_restricted
 
             ts = pq.read_table(
-                os.path.join(self.out_dir, "term_stats"),
+                self.store.resolve("term_stats"),
                 columns=["term", "cf"],
             )
             term_cf = dict(zip(ts["term"].to_pylist(),
