@@ -186,6 +186,85 @@ def token_counts(ds: ray.data.Dataset, text_col="text") -> ray.data.Dataset:
     return ds.map_batches(counts, batch_format="pyarrow")
 
 
+_HH_CAND_CACHE: dict = {}
+
+
+def heavy_hitters(ds: ray.data.Dataset, k: int = 30,
+                  candidates: int = 4096, text_col="text"):
+    """EXACT global top-``k`` most frequent tokens without a
+    full-vocabulary shuffle (a web corpus has ~10^9 distinct terms; a
+    ``groupby(term)`` moves all of them — the hot-key finder must not).
+
+    Two streaming passes (distributed top-k with the TPUT-style
+    threshold bound):
+
+    1. per batch: exact local token counts (Arrow ``value_counts``),
+       truncated to the local top-``candidates``; the batch also emits
+       its truncation threshold (its highest DROPPED count, 0 if
+       nothing was dropped).  A term absent from every batch's local
+       top-m has global count ≤ Σ thresholds.
+    2. exact recount of the candidate union only (``pc.is_in`` against
+       the broadcast candidate set — ``ray.put`` once, read per task).
+
+    If the k-th candidate's exact count exceeds Σ thresholds the
+    result is PROVABLY the exact top-k (so the DuckDB oracle matches
+    bit-for-bit); otherwise raises — raise ``candidates``.  Ties break
+    by term ascending, matching ``ORDER BY cf DESC, term``."""
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        vc = pc.value_counts(lists.flatten())
+        terms, counts = vc.field(0), vc.field(1).to_numpy(zero_copy_only=False)
+        if len(counts) > candidates:
+            idx = np.argpartition(-counts, candidates - 1)
+            keep, dropped = idx[:candidates], idx[candidates:]
+            thr = int(counts[dropped].max())
+            terms = terms.take(pa.array(keep))
+            counts = counts[keep]
+        else:
+            thr = 0
+        # threshold rides along as a null-term row (tokens are
+        # [a-z0-9]+ so null never collides)
+        return pa.table({
+            "term": pa.concat_arrays([terms.cast(pa.string()),
+                                      pa.array([None], pa.string())]),
+            "cnt": pa.array(np.concatenate([counts, [thr]]), pa.int64()),
+        })
+
+    part = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    thr_sum = int(part[part["term"].isna()]["cnt"].sum())
+    cand = sorted(part[part["term"].notna()]["term"].unique())
+    cand_ref = ray.put(pa.array(cand, pa.string()))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        key = cand_ref.hex()
+        vs = _HH_CAND_CACHE.get(key)
+        if vs is None:  # once per worker process, not per batch
+            vs = _HH_CAND_CACHE[key] = ray.get(cand_ref)
+        flat = SimpleAnalyzer.tokens_arrays(batch[text_col]).flatten()
+        hits = flat.filter(pc.is_in(flat, value_set=vs))
+        vc = pc.value_counts(hits)
+        return pa.table({"term": vc.field(0).cast(pa.string()),
+                         "cnt": vc.field(1).cast(pa.int64())})
+
+    exact = ds.map_batches(recount, batch_format="pyarrow").to_pandas()
+    totals = exact.groupby("term", as_index=False)["cnt"].sum()
+    totals = totals.sort_values(["cnt", "term"], ascending=[False, True],
+                                kind="stable").head(k)
+    # provable iff nothing was truncated anywhere (thr_sum == 0), or
+    # the k-th candidate count strictly beats what any missed term
+    # could total; fewer than k candidates under truncation is equally
+    # unprovable (the corpus may hold ≥ k distinct terms we dropped)
+    kth = int(totals["cnt"].iloc[-1]) if len(totals) else 0
+    if thr_sum > 0 and (len(totals) < k or kth <= thr_sum):
+        raise ValueError(
+            f"top-{k} not provable: {len(totals)} candidates, k-th count "
+            f"{kth} vs threshold bound {thr_sum}; raise candidates="
+            f"{candidates}"
+        )
+    return totals.rename(columns={"cnt": "cf"}).reset_index(drop=True)
+
+
 def token_count_total(ds: ray.data.Dataset, text_col="text") -> int:
     """Corpus token count via per-batch partial sums (no shuffle)."""
 

@@ -491,6 +491,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+HH_K = 30
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus top-k tokens WITHOUT a full-vocabulary shuffle
+    (two-pass threshold-bounded candidates; ops/textstats.py)."""
+    from ..ops.textstats import heavy_hitters
+
+    df = heavy_hitters(_docs_text(sf_dir), k=HH_K)
+    return df.reset_index(drop=True)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS ({TOKS})
+SELECT term, count(*)::BIGINT AS cf FROM toks
+GROUP BY term ORDER BY cf DESC, term LIMIT {HH_K}
+"""
+
+QUOTA_N = 5
+
+
+def q_quota_cap(sf_dir: str) -> pd.DataFrame:
+    """Per-source quota: best N docs per source (longest first,
+    doc_id tie-break) — the training-mix anti-spam cap."""
+    from ..ops.mixing import quota_cap
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).repartition(16)
+    df = quota_cap(docs, key_col="source", n=QUOTA_N).to_pandas()
+    return (df[["doc_id", "source", "n_chars"]]
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+SQL_QUOTA_CAP = f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= {QUOTA_N}
+ORDER BY source, doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle)
 # ---------------------------------------------------------------------
@@ -1169,6 +1214,8 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "quality": q_quality,
     "token_counts": q_token_counts,
+    "heavy_hitters": q_heavy_hitters,
+    "quota_cap": q_quota_cap,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1204,6 +1251,8 @@ ORACLES = {
     "embedding_dups": SQL_EMBEDDING_DUPS,
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "quota_cap": SQL_QUOTA_CAP,
 }
 
 def q_token_dump(sf_dir: str) -> pd.DataFrame:

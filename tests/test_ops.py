@@ -192,6 +192,45 @@ class TestRayOps:
             got.reset_index(drop=True), want, check_dtype=False
         )
 
+    def test_heavy_hitters_exact(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.textstats import heavy_hitters
+
+        # Zipf-ish corpus: token t<i> appears (60-i) times
+        texts = []
+        for i in range(40):
+            texts.extend([f"t{i:02d}"] * (60 - i))
+        rng = __import__("random").Random(7)
+        rng.shuffle(texts)
+        docs = [" ".join(texts[j::8]) for j in range(8)]
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": range(8), "text": docs})
+        ).repartition(4)
+        got = heavy_hitters(ds, k=10, candidates=64)
+        assert got["term"].tolist() == [f"t{i:02d}" for i in range(10)]
+        assert got["cf"].tolist() == [60 - i for i in range(10)]
+        # unprovable bound → raises instead of silently returning
+        with pytest.raises(ValueError):
+            heavy_hitters(ds, k=10, candidates=2)
+
+    def test_quota_cap(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.mixing import quota_cap
+
+        df = pd.DataFrame({
+            "doc_id": range(12),
+            "source": ["a"] * 6 + ["b"] * 4 + ["c"] * 2,
+            "n_chars": [5, 9, 9, 1, 7, 3, 8, 8, 2, 6, 4, 4],
+        })
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = quota_cap(ds, key_col="source", n=2).to_pandas()
+        got = got.sort_values(["source", "doc_id"]).reset_index(drop=True)
+        # a: n_chars 9 (doc 1 wins tie over doc 2 by id), 9 → docs 1,2
+        # b: 8 (doc 6), 8 (doc 7); c: both rows survive (n=2 ≥ group)
+        assert got["doc_id"].tolist() == [1, 2, 6, 7, 10, 11]
+
     def test_multimodal_plumbing(self, ray_session):
         import ray.data
 
