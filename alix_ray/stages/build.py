@@ -372,6 +372,15 @@ class IndexBuilder:
         # clear=False: the staging prefix persists across crashed
         # attempts — committed groups inside it are the resume units
         tmp = self.store.stage_begin("analyzed", fp, clear=False)
+        # sweep strays: a crashed attempt under a different config can
+        # have left group dirs outside this run's key set (fewer
+        # groups, different bounds) — anything not expected would be
+        # published as phantom documents
+        expected = {f"g{gi:05d}" for gi in range(n_groups)}
+        for d in os.listdir(tmp):
+            p = os.path.join(tmp, d)
+            if os.path.isdir(p) and d.split(".")[0] not in expected:
+                shutil.rmtree(p)
         # groups OVERLAP (bounded thread pool): each group is still an
         # atomic checkpoint, but group N+1's tasks fill the idle cores
         # during group N's straggler tail and write — the per-group

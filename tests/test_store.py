@@ -89,6 +89,23 @@ class TestPointerStore:
         t = ix.cf.top(1)[0]
         assert ix.search_exact([t], 5)
 
+    def test_stray_group_dirs_are_swept(self, ray_session, tmp_path):
+        """A crashed attempt under a different group count can leave
+        group dirs in the analyzed staging prefix that this run's key
+        set doesn't cover — they must be swept, not published as
+        phantom documents."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "idx")
+        stray = os.path.join(out, "analyzed.tmp", "g99999")
+        os.makedirs(stray)
+        pq.write_table(pa.table({"doc_id": [10**9]}),
+                       os.path.join(stray, "phantom.parquet"))
+        _build(out, store="rename")
+        final = os.path.join(out, "analyzed")
+        assert not os.path.exists(os.path.join(final, "g99999"))
+
     def test_resume_skips_done_stages(self, ray_session, tmp_path):
         from alix_ray.stages.store import ObjectManifest
 
