@@ -14,8 +14,11 @@ corpus (the combine-before-shuffle discipline used across this repo).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
+
+MIX_RESOLUTION = 1_000_000
 
 
 def _prune(df: pd.DataFrame, key_col: str, n: int,
@@ -48,3 +51,28 @@ def quota_cap(ds: ray.data.Dataset, key_col: str = "source", n: int = 5,
         lambda df: _prune(df, key_col, n, by, ascending),
         batch_format="pandas",
     )
+
+
+def mix_sample(ds: ray.data.Dataset, weights: dict[str, float],
+               id_col: str = "doc_id",
+               key_col: str = "source") -> ray.data.Dataset:
+    """Deterministic weighted subsampling per key — the training-mix
+    "keep X% of source S" step.  Row kept iff
+    ``md5_number_lower('mix:' || id) % RESOLUTION < weight*RESOLUTION``
+    (integer threshold compare, never a float), so membership is a
+    pure function of the row id: reproducible across runs, cluster
+    sizes, and partitionings, with no shuffle and no RNG state — and
+    bit-identical to the DuckDB oracle expression.  Keys absent from
+    ``weights`` default to keep-everything."""
+    thresholds = {k: int(w * MIX_RESOLUTION) for k, w in weights.items()}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        from .dedup import md5_lower64
+
+        h = md5_lower64([f"mix:{i}" for i in df[id_col]]) % MIX_RESOLUTION
+        thr = df[key_col].map(thresholds).fillna(MIX_RESOLUTION).to_numpy()
+        return df.loc[np.asarray(h, np.int64) < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -536,6 +536,32 @@ ORDER BY source, doc_id
 """
 
 
+def q_mix_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted corpus mix: keep (suffix%4+1)/4 of each
+    source srcN by hash threshold (ops/mixing.py mix_sample)."""
+    from ..ops.mixing import mix_sample
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).repartition(16)
+    srcs = sorted(
+        pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["source"])["source"].unique().to_pylist()
+    )
+    weights = {s: (int(s[3:]) % 4 + 1) / 4 for s in srcs}
+    df = mix_sample(docs, weights).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_MIX_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE md5_number_lower('mix:' || doc_id) % 1000000
+      < (CAST(substr(source, 4) AS INT) % 4 + 1) * 250000
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle)
 # ---------------------------------------------------------------------
@@ -1216,6 +1242,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "heavy_hitters": q_heavy_hitters,
     "quota_cap": q_quota_cap,
+    "mix_sample": q_mix_sample,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "langid": q_langid,
@@ -1253,6 +1280,7 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "quota_cap": SQL_QUOTA_CAP,
+    "mix_sample": SQL_MIX_SAMPLE,
 }
 
 def q_token_dump(sf_dir: str) -> pd.DataFrame:

@@ -231,6 +231,30 @@ class TestRayOps:
         # b: 8 (doc 6), 8 (doc 7); c: both rows survive (n=2 ≥ group)
         assert got["doc_id"].tolist() == [1, 2, 6, 7, 10, 11]
 
+    def test_mix_sample_deterministic(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.mixing import mix_sample
+
+        df = pd.DataFrame({
+            "doc_id": range(200),
+            "source": ["a", "b", "c", "d"] * 50,
+        })
+        w = {"a": 0.0, "b": 1.0, "c": 0.5}  # d missing → keep all
+        ds = ray.data.from_pandas(df).repartition(7)
+        got = mix_sample(ds, w).to_pandas().sort_values("doc_id")
+        assert not (got["source"] == "a").any()
+        assert (got["source"] == "b").sum() == 50
+        assert (got["source"] == "d").sum() == 50
+        c = (got["source"] == "c").sum()
+        assert 10 < c < 40  # ~half, hash-determined
+        # membership is a pure function of the id — identical under a
+        # different partitioning
+        got2 = mix_sample(
+            ray.data.from_pandas(df).repartition(3), w
+        ).to_pandas().sort_values("doc_id")
+        assert got["doc_id"].tolist() == got2["doc_id"].tolist()
+
     def test_multimodal_plumbing(self, ray_session):
         import ray.data
 
