@@ -376,10 +376,14 @@ class IndexBuilder:
         # have left group dirs outside this run's key set (fewer
         # groups, different bounds) — anything not expected would be
         # published as phantom documents
+        # (.tmp part dirs are never valid publish content either — an
+        # aborted rewrite of an expected key must not ride along)
         expected = {f"g{gi:05d}" for gi in range(n_groups)}
         for d in os.listdir(tmp):
             p = os.path.join(tmp, d)
-            if os.path.isdir(p) and d.split(".")[0] not in expected:
+            if os.path.isdir(p) and (
+                d not in expected or d.endswith(".tmp")
+            ):
                 shutil.rmtree(p)
         # groups OVERLAP (bounded thread pool): each group is still an
         # atomic checkpoint, but group N+1's tasks fill the idle cores
@@ -501,7 +505,12 @@ class IndexBuilder:
                 dst = os.path.join(tmp, sd)
                 os.makedirs(dst, exist_ok=True)
                 for f in os.listdir(src):
-                    self.store.move_file(
+                    # COPY, not move: a crash mid-assembly must leave
+                    # every part intact (part_done stays true, so the
+                    # resume would otherwise skip the backfill and
+                    # commit a doc_stats missing the consumed rows);
+                    # parts are deleted wholesale after the publish
+                    self.store.copy_file(
                         os.path.join(src, f), os.path.join(dst, f))
         final = self.store.stage_commit("doc_stats", fp)
         # parts consumed — drop every parts dir (incl. stale other-

@@ -201,6 +201,12 @@ class RenameStore:
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # a pointer left by an earlier pointer-mode build of this root
+        # would otherwise shadow the plain dir just published —
+        # resolve_stage prefers pointers
+        stale_ptr = os.path.join(self.root, "_ptr", f"{stage}.json")
+        if os.path.exists(stale_ptr):
+            os.remove(stale_ptr)
         return final
 
     def resolve(self, stage: str) -> str:
@@ -229,6 +235,9 @@ class RenameStore:
     # -- small primitives ---------------------------------------------
     def move_file(self, src: str, dst: str) -> None:
         os.rename(src, dst)
+
+    def copy_file(self, src: str, dst: str) -> None:
+        shutil.copyfile(src, dst)
 
     def put_json(self, path: str, obj) -> None:
         _put_text(path, json.dumps(obj, indent=1))
@@ -306,24 +315,34 @@ class PointerStore:
         shutil.copyfile(src, dst)
         os.remove(src)
 
+    def copy_file(self, src: str, dst: str) -> None:
+        shutil.copyfile(src, dst)
+
     def put_json(self, path: str, obj) -> None:
         _put_text(path, json.dumps(obj, indent=1))
 
     # -- garbage collection -------------------------------------------
     def prune_versions(self) -> list[str]:
-        """Delete every version prefix that is not the current pointer
-        target (orphans from failed attempts / superseded builds —
-        immutable-prefix publishes accumulate garbage by design)."""
-        current = set()
+        """Delete superseded version prefixes (immutable-prefix
+        publishes accumulate garbage by design).  Scoped to stages
+        that HAVE a committed pointer, so a build that crashed before
+        its first commit keeps its staging prefix (the analyzed resume
+        checkpoints live there).  Do NOT run concurrently with a
+        build: an in-progress rebuild's new prefix has no pointer yet
+        and would be collected."""
+        current, pointed_stages = set(), set()
         for name in os.listdir(self.ptr_dir):
             if name.endswith(".json"):
                 with open(os.path.join(self.ptr_dir, name)) as f:
                     current.add(os.path.normpath(json.load(f)["path"]))
+                pointed_stages.add(name[: -len(".json")])
         removed = []
         vroot = os.path.join(self.root, ".versions")
         if not os.path.isdir(vroot):
             return removed
         for stage in os.listdir(vroot):
+            if stage not in pointed_stages:
+                continue  # never committed → resume state, keep
             sdir = os.path.join(vroot, stage)
             for fp in os.listdir(sdir):
                 rel = os.path.normpath(os.path.relpath(
