@@ -16,6 +16,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -1774,4 +1775,233 @@ ORACLES.update({
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "range_join": SQL_RANGE_JOIN,
+})
+
+
+# ---------------------------------------------------------------------
+# web-corpus cleaning queries (ops/cleaning.py)
+# ---------------------------------------------------------------------
+
+# The testdata documents contain no PII, so both sides deterministically
+# salt one email + one IPv4 + one phone per row (same expression in
+# pandas and SQL) — every row then exercises all three pattern families
+# and the oracle hashes the full redacted text.
+
+
+def _salted_docs(sf_dir: str) -> ray.data.Dataset:
+    def salt(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["doc_id"]
+        batch = batch.copy()
+        batch["text"] = (
+            batch["text"].fillna("") + " reach user" + i.astype(str)
+            + "@mail" + (i % 7).astype(str) + ".example.com at "
+            + (i % 200 + 1).astype(str) + ".13.7." + (i % 250).astype(str)
+            + " or 555-" + (i % 1000).astype(str).str.zfill(3)
+            + "-" + (i % 10000).astype(str).str.zfill(4)
+        )
+        return batch
+
+    return _docs_text(sf_dir).map_batches(salt, batch_format="pandas")
+
+
+_SQL_SALT = (
+    "coalesce(text, '') || ' reach user' || doc_id || '@mail' || "
+    "(doc_id % 7) || '.example.com at ' || (doc_id % 200 + 1) || "
+    "'.13.7.' || (doc_id % 250) || ' or 555-' || "
+    "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (emails → IPv4 → phones) with per-family counts
+    over deterministically salted docs (ops/cleaning.py:pii_redact)."""
+    from ..ops.cleaning import pii_redact
+
+    df = pii_redact(_salted_docs(sf_dir)).to_pandas()
+    for c in ("n_emails", "n_ips", "n_phones"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PII_REDACT = """
+WITH s0 AS (SELECT doc_id, @SALT@ AS t FROM documents),
+s1 AS (SELECT doc_id,
+  len(regexp_extract_all(t, '@EMAIL@'))::BIGINT AS n_emails,
+  regexp_replace(t, '@EMAIL@', '<EMAIL>', 'g') AS t FROM s0),
+s2 AS (SELECT doc_id, n_emails,
+  len(regexp_extract_all(t, '@IP@'))::BIGINT AS n_ips,
+  regexp_replace(t, '@IP@', '<IP>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+  len(regexp_extract_all(t, '@PHONE@'))::BIGINT AS n_phones,
+  regexp_replace(t, '@PHONE@', '<PHONE>', 'g') AS t FROM s2)
+SELECT doc_id, t AS text, n_emails, n_ips, n_phones
+FROM s3 ORDER BY doc_id
+"""
+
+
+def _fill_pii_sql() -> str:
+    from ..ops.cleaning import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    return (SQL_PII_REDACT.replace("@SALT@", _SQL_SALT)
+            .replace("@EMAIL@", EMAIL_RE)
+            .replace("@IP@", IPV4_RE)
+            .replace("@PHONE@", PHONE_RE))
+
+
+def q_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition features per doc
+    (ops/cleaning.py:repetition_metrics)."""
+    from ..ops.cleaning import repetition_metrics
+
+    df = repetition_metrics(_docs_text(sf_dir)).to_pandas()
+    df["n_tokens"] = df["n_tokens"].astype("int64")
+    df["max_run"] = df["max_run"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_REPETITION = """
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+toks AS (SELECT doc_id, i AS ord, a[i] AS term
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) s),
+bg AS (SELECT doc_id, a[i] || ' ' || a[i+1] AS g
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a)-1)) AS i) s),
+bgc AS (SELECT doc_id, max(c) AS mc FROM
+  (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id),
+runs AS (SELECT doc_id, term,
+  ord - row_number() OVER (PARTITION BY doc_id, term ORDER BY ord) AS grp
+  FROM toks),
+mr AS (SELECT doc_id, max(c) AS mx FROM
+  (SELECT doc_id, count(*) AS c FROM runs GROUP BY doc_id, term, grp)
+  GROUP BY doc_id),
+ln AS (SELECT doc_id,
+  len(list_filter(regexp_split_to_array(coalesce(text, ''), chr(10)),
+      x -> x <> '')) AS nl,
+  len(list_distinct(list_filter(regexp_split_to_array(coalesce(text, ''),
+      chr(10)), x -> x <> ''))) AS ndl
+  FROM documents)
+SELECT arr.doc_id, len(a)::BIGINT AS n_tokens,
+  round(coalesce(mc, 0)::DOUBLE / greatest(len(a) - 1, 1), 6)
+    AS top_bigram_frac,
+  coalesce(mx, 0)::BIGINT AS max_run,
+  round(CASE WHEN nl = 0 THEN 0.0 ELSE 1.0 - ndl::DOUBLE / nl END, 6)
+    AS dup_line_frac
+FROM arr LEFT JOIN bgc USING (doc_id) LEFT JOIN mr USING (doc_id)
+JOIN ln USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+DECON_N = 3       # 13 in production; testdata docs are short and the
+DECON_MOD = 23    # vocab tiny, so 3-grams give a meaningful overlap set
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: distinct shared token n-grams per
+    scanned doc vs the deterministic benchmark slice doc_id %% 23 == 0
+    (ops/cleaning.py:decontaminate)."""
+    from ..ops.cleaning import decontaminate
+
+    docs = _docs_text(sf_dir)
+
+    def part(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % DECON_MOD == 0) == keep_bench
+            return batch.filter(pa.array(m))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    df = decontaminate(part(False), part(True), n=DECON_N).to_pandas()
+    df["n_contaminated"] = df["n_contaminated"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE = f"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+grams AS (SELECT doc_id, array_to_string(a[i : i+{DECON_N - 1}], ' ') AS g
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a)-{DECON_N - 1}))
+                     AS i) s),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_MOD} = 0)
+SELECT g2.doc_id, count(DISTINCT g2.g)::BIGINT AS n_contaminated
+FROM grams g2 JOIN bench USING (g)
+WHERE g2.doc_id % {DECON_MOD} <> 0
+GROUP BY g2.doc_id ORDER BY doc_id
+"""
+
+
+LINE_W = 12  # testdata text has no newlines; both sides derive
+             # deterministic 12-token lines so the global line dedup
+             # is exercised on real cross-doc duplicates
+
+
+def q_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4-style global keep-first line dedup
+    (ops/cleaning.py:line_dedup_from_lines) over derived 12-token
+    lines; docs reassemble from surviving lines."""
+    from ..analysis import SimpleAnalyzer
+    from ..ops.cleaning import line_dedup_from_lines
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(
+            pc.fill_null(batch["text"], "")
+        )
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten()
+        nl = -(-n_tok // LINE_W)
+        line_owner = np.repeat(np.arange(len(n_tok)), nl)
+        csum = np.concatenate(([0], np.cumsum(nl)))[:-1]
+        within = np.arange(int(nl.sum())) - np.repeat(csum, nl)
+        starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        line_start = starts[line_owner] + within * LINE_W
+        offsets = np.append(line_start, len(flat)).astype(np.int32)
+        lines = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat), " "
+        )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[line_owner], pa.int64()),
+            "line_no": pa.array(within + 1, pa.int64()),
+            "line": lines,
+        })
+
+    lines = _docs_text(sf_dir).map_batches(to_lines, batch_format="pyarrow")
+    df = line_dedup_from_lines(lines).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LINE_DEDUP = f"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+lines AS (SELECT doc_id, i AS line_no,
+    array_to_string(a[(i-1)*{LINE_W}+1 : least(i*{LINE_W}, len(a))], ' ')
+      AS line
+  FROM arr, LATERAL (SELECT unnest(generate_series(1,
+    CAST(ceil(len(a) / {LINE_W}.0) AS BIGINT))) AS i) s),
+kept AS (SELECT doc_id, line_no, line FROM (
+  SELECT doc_id, line_no, line,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines) WHERE rn = 1)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES.update({
+    "pii_redact": q_pii_redact,
+    "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
+    "line_dedup": q_line_dedup,
+})
+ORACLES.update({
+    "pii_redact": _fill_pii_sql(),
+    "repetition": SQL_REPETITION,
+    "decontaminate": SQL_DECONTAMINATE,
+    "line_dedup": SQL_LINE_DEDUP,
 })
