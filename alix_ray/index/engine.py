@@ -41,6 +41,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..codec import decode_block, decode_posting, vb_decode
@@ -119,12 +120,25 @@ class PostingStore:
     _COLS = ["term", "df", "docs", "tfs", "block_last",
              "block_off_docs", "block_off_tfs", "block_max"]
 
-    def __init__(self, postings_dir: str):
-        self.files = sorted(
-            os.path.join(postings_dir, f)
-            for f in os.listdir(postings_dir)
-            if f.endswith(".parquet")
-        )
+    def __init__(self, postings_dir):
+        # one dir, or [(dir, block_max_scale), ...] for a generational
+        # index: each generation's block_max was built against ITS OWN
+        # avgdl; under the merged global avgdl a norm can shrink (avgdl
+        # grew), raising true tf/(tf+norm) above the stored bound.
+        # scale = max(1, avgdl_global/avgdl_gen) restores safety:
+        # norm' ≥ (avgdl_gen/avgdl_global)·norm  ⇒  tf/(tf+norm') ≤
+        # scale·tf/(tf+norm).  Scaling up only weakens pruning, never
+        # correctness (bounds are used with strict skips).
+        if isinstance(postings_dir, str):
+            postings_dir = [(postings_dir, 1.0)]
+        self.files = []
+        scales = []
+        for d, scale in postings_dir:
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    self.files.append(os.path.join(d, f))
+                    scales.append(float(scale))
+        self._file_scale = scales
         self._pf = [pq.ParquetFile(f) for f in self.files]
         # term → list[(file_idx, row_group, row_in_group)]
         self.locs: dict[str, list[tuple[int, int, int]]] = {}
@@ -162,9 +176,13 @@ class PostingStore:
             for fi, rg, row in self.locs[term]:
                 t = self._row_group(fi, rg)
                 # convert ONLY this term's row to Python objects
-                shards.append(
-                    PostingShard({k: t[k][row].as_py() for k in self._COLS})
-                )
+                s = PostingShard({k: t[k][row].as_py() for k in self._COLS})
+                scale = self._file_scale[fi]
+                if scale != 1.0:
+                    # true bound is < 1 (tf/(tf+norm)), so capping the
+                    # scaled value at 1.0 stays a safe upper bound
+                    s.block_max = np.minimum(s.block_max * scale, 1.0)
+                shards.append(s)
             shards.sort(key=lambda s: s.first_doc())
             self._shards[term] = shards
         return shards
@@ -186,10 +204,14 @@ class Rail:
 
     _RG_CACHE_MAX = 64
 
-    def __init__(self, analyzed_dir: str):
+    def __init__(self, analyzed_dir):
         # _walk_parquet already yields full paths — joining again would
-        # double the prefix for relative index dirs
-        self.files = sorted(_walk_parquet(analyzed_dir))
+        # double the prefix for relative index dirs.  Accepts one dir or
+        # a list of generation dirs (incremental index) — doc ranges
+        # across generations are disjoint, so the concatenated span list
+        # prunes exactly as in the single-dir case.
+        dirs = [analyzed_dir] if isinstance(analyzed_dir, str) else analyzed_dir
+        self.files = sorted(f for d in dirs for f in _walk_parquet(d))
         self._pf = [pq.ParquetFile(f) for f in self.files]
         self._spans: list[tuple[int, int, int, int]] = []  # (min,max,fi,rg)
         for fi, pf in enumerate(self._pf):
@@ -240,8 +262,12 @@ class _DocStore:
 
     _RG_CACHE_MAX = 16
 
-    def __init__(self, docs_dir: str):
-        self._pf = [pq.ParquetFile(f) for f in sorted(_walk_parquet(docs_dir))]
+    def __init__(self, docs_dir):
+        dirs = [docs_dir] if isinstance(docs_dir, str) else docs_dir
+        self._pf = [
+            pq.ParquetFile(f)
+            for f in sorted(f for d in dirs for f in _walk_parquet(d))
+        ]
         self._spans: list[tuple[int, int, int, int]] = []
         for fi, pf in enumerate(self._pf):
             md = pf.metadata
@@ -284,6 +310,35 @@ def _walk_parquet(dir_: str):
                 yield os.path.join(root, n)
 
 
+def _generation_dirs(out_dir: str) -> list[str]:
+    """Live generation dirs of an index root — the ``generations.json``
+    entries for an incremental index (ordered, doc-id ranges ascending),
+    else the root itself (plain single-generation build)."""
+    gj = os.path.join(out_dir, "generations.json")
+    if os.path.exists(gj):
+        with open(gj) as f:
+            state = json.load(f)
+        return [os.path.normpath(os.path.join(out_dir, g))
+                for g in state["generations"]]
+    return [out_dir]
+
+
+def _load_tombstones(out_dir: str) -> np.ndarray:
+    """Sorted unique deleted doc ids from ``tombstones/del-*.parquet``
+    under the index root (empty array when none)."""
+    tdir = os.path.join(out_dir, "tombstones")
+    if not os.path.isdir(tdir):
+        return np.empty(0, np.int64)
+    parts = [
+        pq.read_table(os.path.join(tdir, f), columns=["doc_id"])
+        for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")
+    ]
+    if not parts:
+        return np.empty(0, np.int64)
+    ids = pa.concat_tables(parts)["doc_id"].to_numpy(zero_copy_only=False)
+    return np.unique(ids.astype(np.int64))
+
+
 class DocStatsStore:
     """Lazy shard-sliced per-doc stats: exact dl (``tokens``) and the
     BM25 length norm ``k1*(1-b+b*dl/avgdl)``.
@@ -298,10 +353,22 @@ class DocStatsStore:
 
     _MAX_SLICES = 8
 
-    def __init__(self, stats_dir: str, shard_range: int, k1: float,
+    def __init__(self, stats_dir, shard_range: int, k1: float,
                  b: float, avgdl: float):
-        self.stats_dir = stats_dir
+        # one dir, or a list of generation dirs (incremental index).
+        # A shard may span generations (delta ids continue the base id
+        # space mid-shard) — the slice concatenates every generation's
+        # partition for that shard; doc ids are globally unique so the
+        # scatter into the dense local array never collides.
+        dirs = [stats_dir] if isinstance(stats_dir, str) else list(stats_dir)
         self.shard_range = int(shard_range)
+        self._shard_dirs: dict[int, list[str]] = {}
+        for d in dirs:
+            for name in os.listdir(d):
+                if name.startswith("shard="):
+                    s = int(name.split("=", 1)[1])
+                    self._shard_dirs.setdefault(s, []).append(
+                        os.path.join(d, name))
         self.k1 = k1
         self.b = b
         self.avgdl = avgdl
@@ -311,10 +378,13 @@ class DocStatsStore:
         hit = self._slices.get(shard)
         if hit is not None:
             return hit
-        t = pq.read_table(
-            self.stats_dir, columns=["doc_id", "tokens"],
-            filters=[("shard", "=", int(shard))],
-        )
+        parts = [
+            pq.read_table(p, columns=["doc_id", "tokens"])
+            for p in self._shard_dirs.get(int(shard), [])
+        ]
+        t = (pa.concat_tables(parts) if parts
+             else pa.table({"doc_id": pa.array([], pa.int64()),
+                            "tokens": pa.array([], pa.int64())}))
         base = shard * self.shard_range
         local = t["doc_id"].to_numpy() - base
         size = int(local.max()) + 1 if len(local) else 1
@@ -549,38 +619,81 @@ class BM25Index:
 
     def __init__(self, out_dir: str):
         self.dir = out_dir
-        with open(os.path.join(out_dir, "config.json")) as f:
-            self.cfg = json.load(f)
-        self.k1 = self.cfg["k1"]
-        self.b = self.cfg["b"]
-        self.idf_exp = self.cfg["idf_exp"]
-        self.n_docs = self.cfg["n_docs"]
-        self.avgdl = self.cfg["avgdl"]
+        # generational (incremental) index: generations.json lists the
+        # live generation dirs (Lucene's segments_N file,
+        # SURVEY.md §1.3); a plain index dir is the single-generation
+        # case.  The handle is a SNAPSHOT — reopen after writer ops
+        # (add/delete/compact), like DirectoryReader.openIfChanged.
+        self.gen_dirs = _generation_dirs(out_dir)
+        cfgs = []
+        for g in self.gen_dirs:
+            with open(os.path.join(g, "config.json")) as f:
+                cfgs.append(json.load(f))
+        c0 = cfgs[0]
+        for c in cfgs[1:]:
+            for key in ("k1", "b", "idf_exp", "analyzer", "shard_range"):
+                if c.get(key) != c0.get(key):
+                    raise ValueError(
+                        f"generation config mismatch on {key!r}: "
+                        f"{c.get(key)!r} != {c0.get(key)!r}")
+        self.k1 = c0["k1"]
+        self.b = c0["b"]
+        self.idf_exp = c0["idf_exp"]
+        n_docs_raw = sum(c["n_docs"] for c in cfgs)
+        total_tokens = sum(c["total_tokens"] for c in cfgs)
+        self.avgdl = total_tokens / n_docs_raw if n_docs_raw else 1.0
+        self.cfg = dict(
+            c0,
+            n_docs=n_docs_raw,
+            total_tokens=total_tokens,
+            max_doc_id=max(c["max_doc_id"] for c in cfgs),
+            avgdl=self.avgdl,
+        )
         self.n_slots = max(self.cfg["max_doc_id"] + 1, 1)
+        # tombstones: deleted doc ids (sorted).  Like Lucene, deletes
+        # mask results immediately but per-term df/cf stay stale until
+        # compaction; n_docs (→ idf) counts LIVE docs only.
+        self.deleted = _load_tombstones(out_dir)
+        self.n_docs = n_docs_raw - len(self.deleted)
         # per-doc state is shard-sliced + lazy — replica memory ∝
         # touched shards, never O(max_doc_id) (dense arrays were the
         # r2 scale blocker)
         self.docstats = DocStatsStore(
-            resolve_stage(out_dir, "doc_stats"),
-            self.cfg.get("shard_range", 8_000_000),
+            [resolve_stage(g, "doc_stats") for g in self.gen_dirs],
+            c0.get("shard_range", 8_000_000),
             self.k1, self.b, self.avgdl,
         )
         self.doc_tokens = _DocField(self.docstats, 0)
         self.norms = _DocField(self.docstats, 1)
         # lexicon: sorted Arrow column + binary search, df/cf as numpy
-        # value columns — no O(vocab) Python dict/list objects
-        ts = pq.read_table(
-            resolve_stage(out_dir, "term_stats"), columns=["term", "df", "cf"]
-        )
+        # value columns — no O(vocab) Python dict/list objects.
+        # Multi-generation: per-gen stats concat + group-sum (terms are
+        # disjoint-by-doc-range across generations, df never double
+        # counts a doc).
         import pyarrow.compute as _pc
 
+        ts = pa.concat_tables([
+            pq.read_table(resolve_stage(g, "term_stats"),
+                          columns=["term", "df", "cf"])
+            for g in self.gen_dirs
+        ])
+        if len(self.gen_dirs) > 1:
+            ts = ts.group_by("term").aggregate(
+                [("df", "sum"), ("cf", "sum")]
+            ).rename_columns(["term", "df", "cf"])
         ts = ts.take(_pc.sort_indices(ts["term"]))
         self.lexicon = TermLexicon(ts["term"].combine_chunks())
         self.df = TermStatsMap(self.lexicon, ts["df"].to_numpy())
         self.cf = TermStatsMap(self.lexicon, ts["cf"].to_numpy())
         # lazy: open scans only the term column (O(lexicon)); posting
-        # blobs are row-group-read on first use
-        self.postings = PostingStore(resolve_stage(out_dir, "postings"))
+        # blobs are row-group-read on first use.  block_max bounds are
+        # rescaled per generation for the merged avgdl (see
+        # PostingStore).
+        self.postings = PostingStore([
+            (resolve_stage(g, "postings"),
+             max(1.0, self.avgdl / c["avgdl"]))
+            for g, c in zip(self.gen_dirs, cfgs)
+        ])
         self._analyzer = None
         self._contrib_cache: dict = {}
         self._topk_cache: dict = {}
@@ -646,13 +759,36 @@ class BM25Index:
         ds_list, cs_list = [], []
         for shard in self.postings[term]:
             d, t = shard.decode()
+            if len(self.deleted):
+                live = ~self._deleted_mask(d)
+                if not live.all():
+                    d, t = d[live], t[live]
+                if not len(d):
+                    continue
             ds_list.append(d)
             cs_list.append(self._contrib(term, d, t.astype(np.float64), scorer))
-        d = np.concatenate(ds_list)
-        c = np.concatenate(cs_list)
+        if not ds_list:
+            d = np.empty(0, np.int64)
+            c = np.empty(0, np.float64)
+        else:
+            d = np.concatenate(ds_list)
+            c = np.concatenate(cs_list)
         if scorer == "bm25":
             self._contrib_cache[term] = (d, c)
         return d, c
+
+    def _deleted_mask(self, d: np.ndarray) -> np.ndarray:
+        """Boolean mask: which of the (sorted or unsorted) doc ids in
+        ``d`` are tombstoned.  O(|d| log |deleted|)."""
+        pos = np.searchsorted(self.deleted, d)
+        pos[pos == len(self.deleted)] = 0
+        return self.deleted[pos] == d
+
+    def _is_deleted(self, doc: int) -> bool:
+        if not len(self.deleted):
+            return False
+        i = int(np.searchsorted(self.deleted, doc))
+        return i < len(self.deleted) and int(self.deleted[i]) == doc
 
     # -- exact term-at-a-time (the oracle) ----------------------------
     def search_exact(self, terms, k: int = 10, mode: str = "or",
@@ -847,6 +983,12 @@ class BM25Index:
                             c.advance_to(boundary + 1)
                         cursors = [c for c in cursors if c.doc != _DONE]
                         continue
+                if len(self.deleted) and self._is_deleted(pivot_doc):
+                    # tombstoned doc: consume without scoring
+                    for c in group:
+                        c.next()
+                    cursors = [c for c in cursors if c.doc != _DONE]
+                    continue
                 # full evaluation, float64 sum in term order
                 score = 0.0
                 for c in sorted(group, key=lambda c: c.term_order):
@@ -874,7 +1016,8 @@ class BM25Index:
         words sat are preserved (position holes block span matches,
         CleanupFilter semantics)."""
         if getattr(self, "_rail", None) is None:
-            self._rail = Rail(resolve_stage(self.dir, "analyzed"))
+            self._rail = Rail(
+                [resolve_stage(g, "analyzed") for g in self.gen_dirs])
         return self._rail
 
     @staticmethod
@@ -924,6 +1067,10 @@ class BM25Index:
             for s in self.postings[t]:
                 mask |= s.contains(cand)
             cand = cand[mask]
+            if cand.size == 0:
+                return []
+        if len(self.deleted):
+            cand = cand[~self._deleted_mask(cand)]
             if cand.size == 0:
                 return []
         # score EVERY candidate first (vectorized per term — candidates
@@ -1181,7 +1328,8 @@ class BM25Index:
         docs artifact row for one id, via Parquet row-group doc_id
         statistics — same pruned-read discipline as the rail."""
         if not hasattr(self, "_docs_store"):
-            self._docs_store = _DocStore(resolve_stage(self.dir, "docs"))
+            self._docs_store = _DocStore(
+                [resolve_stage(g, "docs") for g in self.gen_dirs])
         return self._docs_store.get(doc_id)
 
     def root_dict(self):

@@ -2005,3 +2005,74 @@ ORACLES.update({
     "decontaminate": SQL_DECONTAMINATE,
     "line_dedup": SQL_LINE_DEDUP,
 })
+
+
+# ---------------------------------------------------------------------
+# incremental index lifecycle (add → delete → compact) — the Lucene
+# IndexWriter protocol over generations (index/incremental.py)
+# ---------------------------------------------------------------------
+
+_INCR_CACHE: dict[tuple, str] = {}
+
+# tombstone predicate — mirrored literally in the SQL oracle
+INCR_DELETE_MOD = 7
+INCR_DELETE_REM = 3
+
+
+def q_incremental(sf_dir: str) -> pd.DataFrame:
+    """Full incremental lifecycle: build a base generation over ~70% of
+    the documents, add the rest as a delta generation, tombstone every
+    ``doc_id % 7 == 3``, then compact.  Result = the compacted index's
+    term_stats — which must EXACTLY equal a one-shot build over the
+    live documents (the oracle tokenizes ``WHERE doc_id % 7 <> 3``),
+    proving add/delete/compact preserve df/cf to the last term.
+    (Reference: Lucene ``IndexWriter.addDocuments`` /
+    ``deleteDocuments`` / ``forceMerge`` — SURVEY.md §1.3.)"""
+    import shutil
+
+    from .. import FORMAT_VERSION
+    from ..index.incremental import IndexWriter
+
+    key = (os.path.abspath(sf_dir), "incremental", FORMAT_VERSION)
+    if key not in _INCR_CACHE:
+        h = hashlib.blake2b(repr(key).encode(), digest_size=8).hexdigest()
+        root = f"/tmp/alix_ray_idx/incr_{h}"
+        shutil.rmtree(root, ignore_errors=True)  # stale prior-run state
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        split = int(ids.max() * 0.7)
+        w = IndexWriter(root, analyzer="simple")
+        docs = _docs_text(sf_dir)
+        w.add_documents(docs.filter(expr=f"doc_id <= {split}"),
+                        input_kind="documents")
+        w.add_documents(docs.filter(expr=f"doc_id > {split}"),
+                        input_kind="documents")
+        dead = ids[ids % INCR_DELETE_MOD == INCR_DELETE_REM]
+        w.delete_documents(doc_ids=dead)
+        w.compact()
+        w.prune()
+        _INCR_CACHE[key] = root
+    from ..index.engine import BM25Index
+
+    ix = BM25Index(_INCR_CACHE[key])
+    assert len(ix.gen_dirs) == 1 and not len(ix.deleted)
+    t = pq.read_table(resolve_stage(ix.gen_dirs[0], "term_stats"))
+    df = t.to_pandas()[["term", "df", "cf"]]
+    df["df"] = df["df"].astype("int64")
+    df["cf"] = df["cf"].astype("int64")
+    return df.sort_values("term").reset_index(drop=True)
+
+
+SQL_INCREMENTAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents WHERE doc_id % {INCR_DELETE_MOD} <> {INCR_DELETE_REM})
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+QUERIES.update({"incremental": q_incremental})
+ORACLES.update({"incremental": SQL_INCREMENTAL})

@@ -216,6 +216,7 @@ class IndexBuilder:
         hunspell_resources: tuple | None = None,
         analyze_overlap: int = 2,
         store: str = "rename",  # "rename" (shared FS) | "pointer" (object store)
+        id_base: int = 0,
     ):
         self.out_dir = out_dir
         os.makedirs(out_dir, exist_ok=True)
@@ -238,6 +239,9 @@ class IndexBuilder:
         # Hunspell sidecar after term_stats (HunspellCompiler analog)
         self.hunspell_resources = hunspell_resources
         self.analyze_overlap = max(1, analyze_overlap)
+        # delta generations of an incremental index stamp doc ids
+        # starting at id_base (> every existing generation's max id)
+        self.id_base = int(id_base)
         self.manifest = self.store.make_manifest()
 
     # Above this row count the broadcast url dictionary (driver memory
@@ -254,7 +258,10 @@ class IndexBuilder:
         ``BROADCAST_DICT_MAX_ROWS``, the distributed sort-based
         assignment beyond it (``docids.dedup_assign_ids`` — the
         10^12-doc path; ids identical by construction)."""
-        fp = _fingerprint("docs", fingerprint)
+        # id_base folds into the fp only when nonzero so existing
+        # base-index manifests stay resumable unchanged
+        fp = (_fingerprint("docs", fingerprint, self.id_base)
+              if self.id_base else _fingerprint("docs", fingerprint))
         if self.manifest.stage_done("docs", fp):
             return
         t0 = time.time()
@@ -273,7 +280,7 @@ class IndexBuilder:
             extracted = pages.map_batches(
                 extract_batch, batch_format="pyarrow", zero_copy_batch=True
             )
-            deduped, _n = dedup_assign_ids(extracted)
+            deduped, _n = dedup_assign_ids(extracted, id_base=self.id_base)
         else:
             # the (url, ts) dictionary pass and the html→text extraction
             # are independent — OVERLAP them (thread + materialize).
@@ -293,7 +300,8 @@ class IndexBuilder:
             dict_ref = ray.put((urls, ts))
             # map-side dedup/stamp — payload never shuffles
             deduped = extracted.map_batches(
-                functools.partial(stamp_ids_batch, urls_ts_ref=dict_ref),
+                functools.partial(stamp_ids_batch, urls_ts_ref=dict_ref,
+                                  id_base=self.id_base),
                 batch_format="pyarrow",
             )
         # bounded rows per file → the analyze stage reads balanced
@@ -310,7 +318,8 @@ class IndexBuilder:
 
     def build_docs_from_documents(self, docs: ray.data.Dataset, fingerprint: str):
         """documents(doc_id,text,…) → docs stage (ids already dense)."""
-        fp = _fingerprint("docs", fingerprint)
+        fp = (_fingerprint("docs", fingerprint, self.id_base)
+              if self.id_base else _fingerprint("docs", fingerprint))
         if self.manifest.stage_done("docs", fp):
             return
         _write_stage(docs, self.store, "docs", self.manifest, fp,
@@ -447,6 +456,35 @@ class IndexBuilder:
             stage="analyzed", fingerprint=fp, status="done",
             wall_ms=int((time.time() - t_stage) * 1000),
         )
+
+    def seed_analyzed(self, ds: ray.data.Dataset, fingerprint: str):
+        """Adopt an ALREADY-ANALYZED dataset as this build's analyzed
+        stage — the compaction path of the incremental index: live
+        generations merge and tombstoned docs drop WITHOUT re-running
+        the analysis chain (Lucene's segment merge copies postings and
+        never re-tokenizes; here the analyzed artifact is the copy
+        source).  Written as one committed group with its doc_stats
+        projection part, exactly the layout ``build_analyzed`` leaves,
+        so every downstream stage runs unchanged."""
+        fp_docs = (_fingerprint("docs", fingerprint, self.id_base)
+                   if self.id_base else _fingerprint("docs", fingerprint))
+        fp = _fingerprint("analyzed", fp_docs, self.analyzer,
+                          self.keep_positions)
+        if self.manifest.stage_done("analyzed", fp):
+            return
+        t0 = time.time()
+        gkey = "g00000"
+        tmp = self.store.stage_begin("analyzed", fp, clear=True)
+        gtmp = self.store.part_begin(tmp, gkey)
+        ds.write_parquet(gtmp)
+        gdir = self.store.part_commit(tmp, gkey)
+        self._write_stats_part(gdir, gkey)
+        self.manifest.append(stage="analyzed", partition=gkey,
+                             fingerprint=_fingerprint(fp, gkey),
+                             status="part-done")
+        self.store.stage_commit("analyzed", fp)
+        self.manifest.append(stage="analyzed", fingerprint=fp, status="done",
+                             wall_ms=int((time.time() - t0) * 1000))
 
     # -- stage 3: doc_stats -------------------------------------------
     def _stats_parts_dir(self) -> str:
@@ -689,7 +727,8 @@ class IndexBuilder:
             self.build_docs_from_pages(input_ds, fingerprint)
         else:
             self.build_docs_from_documents(input_ds, fingerprint)
-        fp_docs = _fingerprint("docs", fingerprint)
+        fp_docs = (_fingerprint("docs", fingerprint, self.id_base)
+                   if self.id_base else _fingerprint("docs", fingerprint))
         self.build_analyzed(fp_docs)
         fp_analyzed = _fingerprint(
             "analyzed", fp_docs, self.analyzer, self.keep_positions

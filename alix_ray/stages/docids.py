@@ -69,7 +69,8 @@ def _dedup_stamp(tbl: pa.Table, url_col: str, drop_first_run: bool, id_offset: i
 
 
 def dedup_assign_ids(
-    ds: ray.data.Dataset, url_col: str = "url", ts_col: str = "warc_ts"
+    ds: ray.data.Dataset, url_col: str = "url", ts_col: str = "warc_ts",
+    id_base: int = 0,
 ) -> tuple[ray.data.Dataset, int]:
     """Sort-based dedup + id assignment (full-row global sort).
 
@@ -84,7 +85,7 @@ def dedup_assign_ids(
     refs = mat.to_arrow_refs()
     metas = ray.get([_block_meta.remote(r, url_col) for r in refs])
     offsets = []
-    off = 0
+    off = int(id_base)
     drops = []
     prev_last = None
     for n, first, last, runs in metas:
@@ -134,18 +135,20 @@ def build_url_dictionary(ds: ray.data.Dataset, url_col: str = "url",
 
 
 def stamp_ids_batch(batch: pa.Table, urls_ts_ref, url_col="url",
-                    ts_col="warc_ts") -> pa.Table:
+                    ts_col="warc_ts", id_base: int = 0) -> pa.Table:
     """Dedup + id-stamp one batch against the broadcast dictionary:
     keep the row whose ts equals the url's min ts (keep-first; the
     corpus contract guarantees distinct ts per duplicated url),
-    ``doc_id`` = rank of url in the sorted dictionary."""
+    ``doc_id`` = rank of url in the sorted dictionary (+ ``id_base``
+    for delta generations of an incremental index)."""
     urls, ts = ray.get(urls_ts_ref)
     burls = batch[url_col].to_numpy(zero_copy_only=False).astype(np.str_)
     idx = np.searchsorted(urls, burls)
     bts = batch[ts_col].to_numpy(zero_copy_only=False)
     keep = ts[idx] == bts
     out = batch.filter(pa.array(keep))
-    return out.append_column("doc_id", pa.array(idx[keep].astype(np.int64)))
+    return out.append_column(
+        "doc_id", pa.array(idx[keep].astype(np.int64) + int(id_base)))
 
 
 @ray.remote

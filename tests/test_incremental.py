@@ -1,0 +1,281 @@
+"""Incremental index tests: add / delete / update / compact.
+
+Oracle = a one-shot build over the same live pages: the generational
+index must return the SAME (url, score) results (doc ids differ — base
+ids are ranks within each generation's url sort), and after compaction
+the artifact stats (df/cf per term) must match the one-shot build
+exactly.  Lucene semantics pinned here: deletes mask results
+immediately while df/cf stay stale until compact; n_docs (→ idf)
+counts live docs only.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+N_BASE = 120  # split at 120: url-dup pairs (i-1, i) with i%50==1 never straddle
+N_ALL = 180
+SHARD_RANGE = 50  # base shards {0,1,2}; delta ids from 120 share shard 2
+
+
+def pages_slice(lo: int, hi: int):
+    import ray.data
+
+    from alix_ray.corpus import pages_batch
+
+    return ray.data.range(hi - lo).map_batches(
+        lambda b: pages_batch(b["id"] + lo), batch_format="numpy",
+        batch_size=1024,
+    )
+
+
+def build_oneshot(out, lo, hi, drop_urls=()):
+    from alix_ray.stages.build import IndexBuilder
+
+    ds = pages_slice(lo, hi)
+    if drop_urls:
+        drop = set(drop_urls)
+        ds = ds.filter(lambda r: r["url"] not in drop)
+    b = IndexBuilder(out, analyzer="french", shard_range=SHARD_RANGE,
+                     num_buckets=8, segment_batch_size=64)
+    b.build(ds, input_kind="pages", fingerprint=f"oneshot{lo}-{hi}")
+    return out
+
+
+def by_url(ix, res):
+    return {(ix.document(d)["url"], s) for d, s in res}
+
+
+def queries_for(ix, n=8, seed=11):
+    """Deterministic query mix from an index's own vocabulary: Zipf
+    head + mid-tail terms (the synthetic corpus vocabulary is generated,
+    so queries must come from the lexicon, not a fixed word list)."""
+    rng = np.random.default_rng(seed)
+    head = ix.cf.top(20)
+    terms = list(ix.lexicon)
+    out = []
+    for _ in range(n):
+        k = int(rng.integers(1, 4))
+        q = [head[int(rng.integers(len(head)))] for _ in range(k)]
+        q.append(terms[int(rng.integers(len(terms)))])
+        out.append(sorted(set(q)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def incr(ray_session, tmp_path_factory):
+    """Generational index (base + delta) and the full one-shot oracle."""
+    from alix_ray.index.incremental import IndexWriter
+
+    root = str(tmp_path_factory.mktemp("incr"))
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8, segment_batch_size=64)
+    assert w.add_documents(pages_slice(0, N_BASE)) == "gen-00000"
+    assert w.add_documents(pages_slice(N_BASE, N_ALL)) == "gen-00001"
+    oneshot = build_oneshot(
+        str(tmp_path_factory.mktemp("oneshot")), 0, N_ALL)
+    return root, oneshot, w
+
+
+def test_two_generations_match_oneshot(incr):
+    from alix_ray.index.engine import BM25Index
+
+    root, oneshot, _w = incr
+    ix = BM25Index(root)
+    ref = BM25Index(oneshot)
+    assert len(ix.gen_dirs) == 2
+    assert ix.n_docs == ref.n_docs
+    assert ix.avgdl == ref.avgdl
+    # merged lexicon stats equal the global build's
+    assert len(ix.lexicon) == len(ref.lexicon)
+    for t in ref.cf.top(30):
+        assert ix.df[t] == ref.df[t], t
+        assert ix.cf[t] == ref.cf[t], t
+    for q in queries_for(ref):
+        want = by_url(ref, ref.search_exact(q, 10))
+        assert by_url(ix, ix.search_exact(q, 10)) == want
+        assert by_url(ix, ix.search_wand(q, 10)) == want
+        assert by_url(ix, ix.search_block_window(q, 10, window=64)) == want
+
+
+def test_delete_masks_all_paths(incr, tmp_path_factory):
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    root, _oneshot, w = incr
+    ix = BM25Index(root)
+    qhead = ix.cf.top(2)
+    # tombstone the current top-3 docs of a hot-term query
+    top = ix.search_exact(qhead, 3)
+    urls = [ix.document(d)["url"] for d, _ in top]
+    n = w.delete_documents(urls=urls)
+    assert n == 3
+    assert w.delete_documents(urls=urls) == 0  # idempotent
+    ix2 = BM25Index(root)  # snapshot semantics: reopen
+    assert ix2.n_docs == ix.n_docs - 3
+    gone = {d for d, _ in top}
+    for q in queries_for(ix) + [qhead]:
+        for res in (ix2.search_exact(q, 10), ix2.search_wand(q, 10),
+                    ix2.search_block_window(q, 10, window=64)):
+            assert not gone & {d for d, _ in res}
+    # df/cf stay stale until compact (Lucene semantics)
+    t0 = qhead[0]
+    assert ix2.df[t0] == ix.df[t0]
+    # exact/wand/window still rank-identical with tombstones present
+    for q in queries_for(ix):
+        want = ix2.search_exact(q, 10)
+        assert ix2.search_wand(q, 10) == want
+        assert ix2.search_block_window(q, 10, window=64) == want
+
+
+def test_compact_equals_oneshot_live(incr, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from alix_ray.index.engine import BM25Index, _load_tombstones
+    from alix_ray.stages.store import resolve_stage
+
+    root, _oneshot, w = incr
+    deleted_urls = []
+    pre = BM25Index(root)
+    for d in pre.deleted:
+        deleted_urls.append(pre.document(int(d))["url"])
+    assert deleted_urls  # test_delete ran first (module order)
+    gen = w.compact()
+    assert json.load(open(os.path.join(root, "generations.json")))[
+        "generations"] == [gen]
+    assert len(_load_tombstones(root)) == 0
+    removed = w.prune()
+    assert "gen-00000" in removed and "gen-00001" in removed
+    ref = build_oneshot(str(tmp_path_factory.mktemp("live")), 0, N_ALL,
+                        drop_urls=deleted_urls)
+    ix = BM25Index(root)
+    rx = BM25Index(ref)
+    assert len(ix.gen_dirs) == 1
+    assert ix.n_docs == rx.n_docs
+    assert ix.avgdl == rx.avgdl
+    # full artifact-stats parity: df/cf per term identical
+    mine = pq.read_table(resolve_stage(ix.gen_dirs[0], "term_stats"),
+                         columns=["term", "df", "cf"]).to_pandas()
+    theirs = pq.read_table(resolve_stage(ref, "term_stats"),
+                           columns=["term", "df", "cf"]).to_pandas()
+    mine = mine.sort_values("term").reset_index(drop=True)
+    theirs = theirs.sort_values("term").reset_index(drop=True)
+    assert mine.equals(theirs)
+    for q in queries_for(rx):
+        assert by_url(ix, ix.search_exact(q, 10)) == \
+            by_url(rx, rx.search_exact(q, 10))
+        assert ix.search_wand(q, 10) == ix.search_exact(q, 10)
+
+
+def test_update_replaces_old_url(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+    from alix_ray.corpus import make_page
+
+    root = str(tmp_path_factory.mktemp("upd"))
+    w = IndexWriter(root, analyzer="simple", shard_range=SHARD_RANGE,
+                    num_buckets=4)
+    w.add_documents(pages_slice(0, 40))
+    # re-crawl of an existing url with new content
+    p = make_page(7)
+    new = pa.table({
+        "url": pa.array([p["url"]]),
+        "warc_ts": pa.array([p["warc_ts"]], pa.timestamp("us")),
+        "html": pa.array([b"<html><body>zzzfresh content</body></html>"],
+                         pa.binary()),
+        "text": pa.array(["zzzfresh content"]),
+        "lang": pa.array(["fr"]),
+    })
+    w.add_documents(ray.data.from_arrow(new), update=True)
+    ix = BM25Index(root)
+    res = ix.search_exact(["zzzfresh"], 5)
+    assert len(res) == 1
+    assert ix.document(res[0][0])["url"] == p["url"]
+    # the OLD doc under that url is tombstoned: no query returns it
+    old_hits = [d for d, _ in ix.search_exact(["zzzfresh"], 10)]
+    assert len(old_hits) == 1
+    assert len(ix.deleted) == 1
+
+
+def test_block_max_rescale_is_safe(ray_session, tmp_path_factory):
+    """Generations with very different avgdl: the delta's long docs
+    raise the merged avgdl far above the base build's, which makes the
+    base's stored block_max bounds too small — the per-generation
+    rescale must keep WAND/window rank-identical to exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    def docs_ds(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }))
+
+    root = str(tmp_path_factory.mktemp("scale"))
+    w = IndexWriter(root, analyzer="simple", shard_range=16, num_buckets=4)
+    # base: short docs (avgdl ~3)
+    base = [(i, f"alpha beta w{i % 7}") for i in range(40)]
+    w.add_documents(docs_ds(base), input_kind="documents")
+    # delta: long docs (avgdl ~200) — merged avgdl ≫ base avgdl
+    delta = [(40 + i, "alpha " + " ".join(
+        f"filler{j % 17}" for j in range(200)) + " beta")
+        for i in range(40)]
+    w.add_documents(docs_ds(delta), input_kind="documents")
+    ix = BM25Index(root)
+    scale = ix.avgdl / json.load(
+        open(os.path.join(root, "gen-00000", "config.json")))["avgdl"]
+    assert scale > 2.0  # the hazard is real in this setup
+    for q in (["alpha"], ["beta"], ["alpha", "beta"],
+              ["alpha", "filler3"]):
+        want = ix.search_exact(q, 10)
+        assert ix.search_wand(q, 10) == want
+        assert ix.search_block_window(q, 10, window=32) == want
+
+
+def test_documents_kind_id_overlap_rejected(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.incremental import IndexWriter
+
+    def docs_ds(rows):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+        }))
+
+    root = str(tmp_path_factory.mktemp("overlap"))
+    w = IndexWriter(root, analyzer="simple", shard_range=16, num_buckets=4)
+    w.add_documents(docs_ds([(i, f"a b c{i}") for i in range(10)]),
+                    input_kind="documents")
+    with pytest.raises(ValueError, match="interleave"):
+        w.add_documents(docs_ds([(5, "dup id")]), input_kind="documents")
+
+
+def test_adopt_plain_index_and_extend(ray_session, tmp_path_factory):
+    """A pre-existing plain (non-generational) index becomes
+    incrementally extendable in place — generation ``"."``."""
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    root = build_oneshot(str(tmp_path_factory.mktemp("plain")), 0, 60)
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8, segment_batch_size=64)
+    assert w.generations() == ["."]
+    name = w.add_documents(pages_slice(60, 90))
+    assert name == "gen-00001"
+    ix = BM25Index(root)
+    ref = build_oneshot(str(tmp_path_factory.mktemp("plainref")), 0, 90)
+    rx = BM25Index(ref)
+    assert ix.n_docs == rx.n_docs
+    for q in queries_for(rx, n=4):
+        assert by_url(ix, ix.search_exact(q, 10)) == \
+            by_url(rx, rx.search_exact(q, 10))
