@@ -9,6 +9,11 @@ SURVEY.md §3.3, re-expressed over the Ray engine).
     python -m alix_ray spell   --index /tmp/idx --word tabel [-k 10]
     python -m alix_ray tokens  --input docs.parquet --out toks.parquet
     python -m alix_ray w2v     --input docs.parquet --out corpus.txt
+    python -m alix_ray add     --index /tmp/idx --input delta.parquet \\
+                               [--kind pages|documents] [--update]
+    python -m alix_ray delete  --index /tmp/idx --url https://… | --ids 1,2
+    python -m alix_ray compact --index /tmp/idx [--prune]
+    python -m alix_ray serve   --index main=/tmp/idx [--port 8080]
 
 The CLI owns its Ray session (guarded init + shutdown) — library code
 never does (driver contract)."""
@@ -120,6 +125,74 @@ def cmd_w2v(args) -> int:
     return 0
 
 
+def cmd_add(args) -> int:
+    """Incremental add: index new parquet input as a delta generation
+    (IndexWriter.addDocuments analog)."""
+    ray = _ray_session()
+    import ray.data
+
+    from .index.incremental import IndexWriter
+
+    w = IndexWriter(args.index, analyzer=args.analyzer,
+                    keep_positions=args.positions)
+    gen = w.add_documents(ray.data.read_parquet(args.input),
+                          input_kind=args.kind, update=args.update)
+    print(json.dumps({"index": args.index, "generation": gen,
+                      "generations": w.generations()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Tombstone documents by url or id (deleteDocuments analog)."""
+    ray = _ray_session()
+    from .index.incremental import IndexWriter
+
+    w = IndexWriter(args.index)
+    if args.url:
+        n = w.delete_documents(urls=args.url)
+    else:
+        n = w.delete_documents(
+            doc_ids=[int(v) for v in args.ids.split(",") if v])
+    print(json.dumps({"index": args.index, "deleted": n}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Merge generations, dropping tombstoned docs (forceMerge(1))."""
+    ray = _ray_session()
+    from .index.incremental import IndexWriter
+
+    w = IndexWriter(args.index)
+    gen = w.compact()
+    pruned = w.prune() if args.prune else []
+    print(json.dumps({"index": args.index, "generation": gen,
+                      "pruned": pruned}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """HTTP op façade over one or more indexes (AlixServlet analog);
+    ``--index name=dir`` repeatable, plain dirs get name 'main'."""
+    from .index.http import AlixHTTPServer
+
+    indexes = {}
+    for spec in args.index:
+        name, _, d = spec.rpartition("=")
+        indexes[name or "main"] = d
+    srv = AlixHTTPServer(indexes, host=args.host, port=args.port,
+                         sf_dir=args.sf_dir)
+    print(json.dumps({"host": srv.host, "port": srv.port,
+                      "indexes": sorted(indexes)}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.close()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="alix_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -170,6 +243,39 @@ def main(argv=None) -> int:
     w.add_argument("--input", required=True)
     w.add_argument("--out", required=True)
     w.set_defaults(fn=cmd_w2v)
+
+    a = sub.add_parser("add", help="incremental add (delta generation)")
+    a.add_argument("--index", required=True)
+    a.add_argument("--input", required=True)
+    a.add_argument("--kind", default="pages",
+                   choices=["pages", "documents"])
+    a.add_argument("--analyzer", default="french",
+                   choices=["french", "simple"])
+    a.add_argument("--positions", action="store_true")
+    a.add_argument("--update", action="store_true",
+                   help="tombstone older docs whose url reappears")
+    a.set_defaults(fn=cmd_add)
+
+    de = sub.add_parser("delete", help="tombstone documents")
+    de.add_argument("--index", required=True)
+    de.add_argument("--url", action="append", default=[])
+    de.add_argument("--ids", default="", help="comma-separated doc ids")
+    de.set_defaults(fn=cmd_delete)
+
+    c = sub.add_parser("compact", help="merge generations, drop tombstones")
+    c.add_argument("--index", required=True)
+    c.add_argument("--prune", action="store_true",
+                   help="remove superseded generation dirs")
+    c.set_defaults(fn=cmd_compact)
+
+    sv = sub.add_parser("serve", help="HTTP op facade over indexes")
+    sv.add_argument("--index", action="append", required=True,
+                    metavar="NAME=DIR")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--sf-dir", default=None,
+                    help="corpus dir for table-scan ops (chrono etc.)")
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

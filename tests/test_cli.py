@@ -42,6 +42,44 @@ def test_cli_end_to_end(ray_session, tmp_path, capsys):
     assert len(t) == 20 * 4
 
 
+def test_cli_incremental_lifecycle(ray_session, tmp_path, capsys):
+    """add → delete → compact subcommands (IndexWriter protocol)."""
+    from alix_ray.__main__ import main
+
+    base = tmp_path / "base.parquet"
+    delta = tmp_path / "delta.parquet"
+    ray.data.from_items(
+        [{"doc_id": i, "text": f"alpha beta w{i}"} for i in range(12)]
+    ).write_parquet(str(base))
+    ray.data.from_items(
+        [{"doc_id": 100 + i, "text": f"alpha delta d{i}"} for i in range(6)]
+    ).write_parquet(str(delta))
+
+    idx = str(tmp_path / "incr")
+    assert main(["add", "--index", idx, "--input", str(base),
+                 "--kind", "documents", "--analyzer", "simple"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["generation"] == "gen-00000"
+    assert main(["add", "--index", idx, "--input", str(delta),
+                 "--kind", "documents", "--analyzer", "simple"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["generations"] == ["gen-00000", "gen-00001"]
+
+    assert main(["delete", "--index", idx, "--ids", "3,100"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] == 2
+
+    assert main(["compact", "--index", idx, "--prune"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["generation"] == "gen-00002"
+    assert set(out["pruned"]) == {"gen-00000", "gen-00001"}
+
+    assert main(["search", "--index", idx, "--q", "alpha", "-k", "20"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["total"] == 16  # 18 docs - 2 deleted
+    assert not {3, 100} & {h["doc_id"] for h in res["hits"]}
+
+
 @pytest.mark.slow
 def test_build_job_submit_and_resume(tmp_path):
     """ray-job entrypoint smoke (north rule deploy path): the job runs
