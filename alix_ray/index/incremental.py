@@ -111,6 +111,17 @@ class IndexWriter:
     def _gen_dir(self, name: str) -> str:
         return os.path.normpath(os.path.join(self.root, name))
 
+    def _next_gen_name(self) -> str:
+        """Fresh generation name: one past the highest ``gen-N`` ON
+        DISK (merges shrink the live list, so its length can collide
+        with a live or lingering dir; disk scan never does)."""
+        nums = [-1]
+        for d in os.listdir(self.root):
+            tail = d.rpartition("-")[2]
+            if d.startswith("gen-") and tail.isdigit():
+                nums.append(int(tail))
+        return f"gen-{max(nums) + 1:05d}"
+
     def _gen_cfgs(self) -> list[dict]:
         out = []
         for g in self.generations():
@@ -158,7 +169,7 @@ class IndexWriter:
             return name
         cfgs = self._gen_cfgs()
         id_base = max(c["max_doc_id"] for c in cfgs) + 1
-        name = f"gen-{len(gens):05d}"
+        name = self._next_gen_name()
         gdir = self._gen_dir(name)
         kp = self._keep_positions(gens[0])
         b = self._builder(gdir, id_base=id_base, like=cfgs[0])
@@ -194,7 +205,7 @@ class IndexWriter:
         return self._append_tombstones(ids)
 
     def compact(self) -> str:
-        """Merge live generations, dropping tombstoned docs — the
+        """Merge ALL live generations, dropping tombstoned docs — the
         ``forceMerge(1)`` analog.  Doc ids are preserved; the result
         equals a one-shot build over the live documents (postings and
         stats rebuild from the merged analyzed artifact under the
@@ -206,14 +217,80 @@ class IndexWriter:
         deleted = _load_tombstones(self.root)
         if len(gens) == 1 and not len(deleted):
             return gens[0]  # already compact
+        name = self._rebuild_from(gens, deleted, self._next_gen_name())
+        self._write_state([name])
+        # every tombstone is applied in the new generation — retire all
+        tdir = os.path.join(self.root, "tombstones")
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir, ignore_errors=True)
+        return name
+
+    def merge(self, names: list[str]) -> str:
+        """Merge a SUBSET of generations into one new generation — the
+        unit step of a tiered merge policy (Lucene TieredMergePolicy:
+        bounded segment count without paying a full forceMerge).
+        Tombstones falling inside the merged generations' doc-id ranges
+        are applied and retired; tombstones of other generations stay.
+        Doc-id ranges across generations are disjoint, so merging ANY
+        subset (contiguous or not) preserves serving invariants."""
+        gens = self.generations()
+        names = list(names)
+        unknown = [n for n in names if n not in gens]
+        if unknown:
+            raise ValueError(f"not live generations: {unknown}")
+        if len(names) < 2:
+            raise ValueError("merge needs ≥ 2 generations (use compact "
+                             "for single-generation tombstone purges)")
+        deleted = _load_tombstones(self.root)
+        in_range = np.zeros(len(deleted), bool)
+        for g in names:
+            lo = _min_doc_id(resolve_stage(self._gen_dir(g), "docs")) or 0
+            with open(os.path.join(self._gen_dir(g), "config.json")) as f:
+                hi = json.load(f)["max_doc_id"]
+            in_range |= (deleted >= lo) & (deleted <= hi)
+        applied = deleted[in_range]
+        name = self._rebuild_from(names, applied, self._next_gen_name())
+        survivors = [g for g in gens if g not in names] + [name]
+        # deterministic order: ascending doc-id range
+        survivors.sort(key=lambda g: _min_doc_id(
+            resolve_stage(self._gen_dir(g), "docs")) or 0)
+        self._write_state(survivors)
+        remaining = deleted[~in_range]
+        tdir = os.path.join(self.root, "tombstones")
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir, ignore_errors=True)
+        if len(remaining):
+            self._append_tombstones(remaining)
+        return name
+
+    def maybe_merge(self, max_generations: int = 8) -> str | None:
+        """Size-tiered policy: when the generation count exceeds the
+        cap, merge the SMALLEST generations (by n_docs) down to the
+        cap in one step — open cost per replica is one O(lexicon) scan
+        per generation, so the cap bounds it.  Returns the new
+        generation name, or None if under the cap."""
+        gens = self.generations()
+        if len(gens) <= max_generations:
+            return None
+        sizes = {g: c["n_docs"]
+                 for g, c in zip(gens, self._gen_cfgs())}
+        by_size = sorted(gens, key=lambda g: (sizes[g], g))
+        n_merge = len(gens) - max_generations + 1
+        return self.merge(by_size[:n_merge])
+
+    def _rebuild_from(self, gens: list[str], deleted: np.ndarray,
+                      name: str) -> str:
+        """Stream docs+analyzed of ``gens`` through a tombstone filter
+        into a new generation ``name`` and rebuild its postings/stats —
+        the analysis chain is never re-run (the analyzed artifact is
+        the copy source, as a Lucene merge copies postings)."""
         cfgs = self._gen_cfgs()
-        name = f"gen-{len(gens):05d}"
         gdir = self._gen_dir(name)
         b = self._builder(gdir, like=cfgs[0])
-        b.keep_positions = self._keep_positions(gens[0])
+        b.keep_positions = self._keep_positions(self.generations()[0])
         # fingerprint: the source generation list + tombstone count —
-        # a crashed compact resumes stage-by-stage under the same fp
-        fp = "compact:" + ",".join(gens) + f":{len(deleted)}"
+        # a crashed merge resumes stage-by-stage under the same fp
+        fp = "merge:" + ",".join(gens) + f":{len(deleted)}"
         del_ref = ray.put(deleted)
         drop = _drop_deleted_fn(del_ref)
         docs_dirs = [resolve_stage(self._gen_dir(g), "docs") for g in gens]
@@ -234,11 +311,6 @@ class IndexWriter:
         fp_postings = _fingerprint(
             "postings", fp_stats, b.shard_range, b.num_buckets)
         b.build_term_stats(fp_postings)
-        self._write_state([name])
-        # tombstones are applied in the new generation — retire them
-        tdir = os.path.join(self.root, "tombstones")
-        if os.path.isdir(tdir):
-            shutil.rmtree(tdir, ignore_errors=True)
         return name
 
     def prune(self) -> list[str]:

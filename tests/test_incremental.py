@@ -240,6 +240,64 @@ def test_block_max_rescale_is_safe(ray_session, tmp_path_factory):
         assert ix.search_block_window(q, 10, window=32) == want
 
 
+def test_tiered_merge_subset(ray_session, tmp_path_factory):
+    """Partial merge (TieredMergePolicy unit step): merging a subset of
+    generations applies only the tombstones in their id ranges, keeps
+    the rest, and serving stays identical to the unmerged index."""
+    from alix_ray.index.engine import BM25Index, _load_tombstones
+    from alix_ray.index.incremental import IndexWriter
+
+    from alix_ray.index.incremental import _min_doc_id
+    from alix_ray.stages.store import resolve_stage
+
+    root = str(tmp_path_factory.mktemp("tier"))
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8, segment_batch_size=64)
+    for lo, hi in ((0, 60), (60, 100), (100, 140), (140, 170)):
+        w.add_documents(pages_slice(lo, hi))
+    ix0 = BM25Index(root)
+    # one tombstone inside the future merge set (gen-00001), one outside
+    in_gen1 = _min_doc_id(
+        resolve_stage(os.path.join(root, "gen-00001"), "docs"))
+    url_in = ix0.document(in_gen1)["url"]
+    url_out = ix0.document(5)["url"]
+    w.delete_documents(doc_ids=[5, in_gen1])
+    pre = BM25Index(root)
+    new = w.merge(["gen-00001", "gen-00002"])
+    assert new == "gen-00004"
+    assert sorted(w.generations()) == ["gen-00000", "gen-00003",
+                                       "gen-00004"]
+    # the in-range tombstone was applied; the gen-00000 one remains
+    assert list(_load_tombstones(root)) == [5]
+    ix = BM25Index(root)
+    assert ix.n_docs == pre.n_docs  # live count unchanged by merge
+    # oracle for post-merge semantics: one-shot build WITHOUT the
+    # applied doc (its stats are gone) + a tombstone for the unapplied
+    # one (indexed but masked, stats stale — exactly what merge leaves)
+    ref = build_oneshot(str(tmp_path_factory.mktemp("tierref")), 0, 170,
+                        drop_urls=[url_in])
+    IndexWriter(ref).delete_documents(urls=[url_out])
+    rx = BM25Index(ref)
+    assert ix.n_docs == rx.n_docs
+    for q in queries_for(rx, n=5):
+        got = ix.search_exact(q, 10)
+        assert by_url(ix, got) == by_url(rx, rx.search_exact(q, 10))
+        assert ix.search_wand(q, 10) == got
+        assert ix.search_block_window(q, 10, window=64) == got
+
+    # policy step: cap at 2 generations → merges the smallest ones
+    name = w.maybe_merge(max_generations=2)
+    assert name is not None and len(w.generations()) == 2
+    assert w.maybe_merge(max_generations=2) is None
+    ix2 = BM25Index(root)
+    assert ix2.n_docs == ix.n_docs
+    for q in queries_for(ix2, n=4):
+        got = ix2.search_exact(q, 10)
+        assert ix2.search_wand(q, 10) == got
+        assert url_in not in {ix2.document(d)["url"] for d, _ in got}
+        assert url_out not in {ix2.document(d)["url"] for d, _ in got}
+
+
 def test_documents_kind_id_overlap_rejected(ray_session, tmp_path_factory):
     import pyarrow as pa
     import ray.data
@@ -271,7 +329,8 @@ def test_adopt_plain_index_and_extend(ray_session, tmp_path_factory):
                     num_buckets=8, segment_batch_size=64)
     assert w.generations() == ["."]
     name = w.add_documents(pages_slice(60, 90))
-    assert name == "gen-00001"
+    assert name == "gen-00000"
+    assert w.generations() == [".", "gen-00000"]
     ix = BM25Index(root)
     ref = build_oneshot(str(tmp_path_factory.mktemp("plainref")), 0, 90)
     rx = BM25Index(ref)
