@@ -180,8 +180,9 @@ def cmd_serve(args) -> int:
 
     indexes = {}
     for spec in args.index:
-        name, _, d = spec.rpartition("=")
-        indexes[name or "main"] = d
+        name, sep, d = spec.partition("=")
+        # "name=dir" (dir may itself contain '='); bare dir → "main"
+        indexes[name if sep else "main"] = d if sep else name
     srv = AlixHTTPServer(indexes, host=args.host, port=args.port,
                          sf_dir=args.sf_dir)
     print(json.dumps({"host": srv.host, "port": srv.port,

@@ -324,14 +324,28 @@ def _generation_dirs(out_dir: str) -> list[str]:
 
 
 def _load_tombstones(out_dir: str) -> np.ndarray:
-    """Sorted unique deleted doc ids from ``tombstones/del-*.parquet``
-    under the index root (empty array when none)."""
+    """Sorted unique deleted doc ids (empty array when none).
+
+    When ``generations.json`` carries a ``tombstones`` file list (the
+    IndexWriter's format), ONLY those files are live — the list swaps
+    atomically with the generation list, so a reader never sees a
+    half-retired tombstone set around a merge.  Plain indexes (or
+    legacy state without the key) scan ``tombstones/del-*.parquet``."""
     tdir = os.path.join(out_dir, "tombstones")
-    if not os.path.isdir(tdir):
-        return np.empty(0, np.int64)
+    gj = os.path.join(out_dir, "generations.json")
+    names = None
+    if os.path.exists(gj):
+        with open(gj) as f:
+            state = json.load(f)
+        if "tombstones" in state:
+            names = state["tombstones"]
+    if names is None:
+        names = (sorted(f for f in os.listdir(tdir)
+                        if f.endswith(".parquet"))
+                 if os.path.isdir(tdir) else [])
     parts = [
         pq.read_table(os.path.join(tdir, f), columns=["doc_id"])
-        for f in sorted(os.listdir(tdir)) if f.endswith(".parquet")
+        for f in names
     ]
     if not parts:
         return np.empty(0, np.int64)
@@ -651,10 +665,15 @@ class BM25Index:
         )
         self.n_slots = max(self.cfg["max_doc_id"] + 1, 1)
         # tombstones: deleted doc ids (sorted).  Like Lucene, deletes
-        # mask results immediately but per-term df/cf stay stale until
-        # compaction; n_docs (→ idf) counts LIVE docs only.
+        # purely MASK results; ALL scoring stats stay stale until merge
+        # — n_docs (→ idf) included (CollectionStatistics semantics).
+        # Live-N with stale per-term df would drive idf NEGATIVE when
+        # df > live N (a hot term after mass deletes), flipping
+        # _Cursor.max_score / block upper bounds from upper to lower
+        # bounds and breaking WAND/window pruning correctness.
         self.deleted = _load_tombstones(out_dir)
-        self.n_docs = n_docs_raw - len(self.deleted)
+        self.n_docs = n_docs_raw
+        self.n_live = n_docs_raw - len(self.deleted)
         # per-doc state is shard-sliced + lazy — replica memory ∝
         # touched shards, never O(max_doc_id) (dense arrays were the
         # r2 scale blocker)
@@ -1339,9 +1358,15 @@ class BM25Index:
         if not hasattr(self, "_root_dict"):
             from ..analysis.hunspell import load_sidecars
 
-            self._root_dict = load_sidecars(
-                os.path.join(self.dir, "hunspell")
-            )
+            self._root_dict = None
+            # generational index: the sidecar lives inside a generation
+            # dir (the root holds only generations.json) — first found
+            # wins (generations share one analyzer config)
+            for d in [self.dir] + self.gen_dirs:
+                rd = load_sidecars(os.path.join(d, "hunspell"))
+                if rd is not None:
+                    self._root_dict = rd
+                    break
         return self._root_dict
 
     def search(self, query: str, k: int = 10, exact: bool = False,

@@ -17,12 +17,14 @@ Routes::
 Query params pass through as the op's ``pars`` (single-valued); the
 ``docs`` param (op ``terms``) is comma-separated ints.
 
-Scale shape: one process serves one replica set of frozen handles
-(``ThreadingHTTPServer`` — handles are immutable, reads are
-thread-safe Parquet row-group fetches behind LRU caches).  Horizontal
-scale = more processes behind any TCP balancer, exactly the
-reference's servlet-container deployment; index swap = new process
-generation (handles are snapshots, like ``DirectoryReader``)."""
+Scale shape: one process serves one replica set of frozen handles.
+The handles' artifacts are immutable, but their LAZY caches
+(posting row groups, doc-stat slices, top-k memos) mutate on read and
+are not lock-free — so dispatch is serialized behind one per-server
+lock (``ThreadingHTTPServer`` threads only overlap on network I/O).
+Horizontal scale = more processes behind any TCP balancer, exactly
+the reference's servlet-container deployment; index swap = new
+process generation (handles are snapshots, like ``DirectoryReader``)."""
 
 from __future__ import annotations
 
@@ -77,9 +79,10 @@ def _jsonable(x):
 
 
 class _Handler(BaseHTTPRequestHandler):
-    # set by serve(): registry, default_pars
+    # set by serve(): registry, default_pars, lock
     registry: IndexRegistry = None  # type: ignore[assignment]
     default_pars: dict = {}
+    lock: threading.Lock = None  # type: ignore[assignment]
 
     def log_message(self, *a):  # quiet by default (tests/servers)
         pass
@@ -121,7 +124,10 @@ class _Handler(BaseHTTPRequestHandler):
             if "docs" in pars and isinstance(pars["docs"], str):
                 pars["docs"] = [int(v) for v in pars["docs"].split(",") if v]
             fmt = op_fmt.partition(".")[2] or "data"
-            result = handle(ix, op_fmt, pars)
+            # the frozen handles' lazy caches are not thread-safe —
+            # serialize engine work; threads overlap on socket I/O only
+            with self.lock:
+                result = handle(ix, op_fmt, pars)
             if fmt == "data":
                 self._send_json(200, result)
             else:
@@ -145,6 +151,7 @@ class AlixHTTPServer:
         handler = type("BoundHandler", (_Handler,), {
             "registry": self.registry,
             "default_pars": {"sf_dir": sf_dir} if sf_dir else {},
+            "lock": threading.Lock(),
         })
         self._srv = ThreadingHTTPServer((host, port), handler)
         self.host, self.port = self._srv.server_address[:2]

@@ -11,27 +11,37 @@ Re-expression of Lucene's ``IndexWriter`` segment protocol
   generation's max id, so doc-id ranges never interleave and per-term
   shard lists across generations stay disjoint + sorted — the serving
   cursors (WAND / block-max window) work unchanged;
-- ``generations.json`` is the ``segments_N`` analog: the atomically
-  swapped list of live generations.  A crashed delta build is invisible
-  (its dir is not referenced) and resumes through the per-stage
-  manifest on retry;
+- ``generations.json`` is the ``segments_N`` analog: ONE atomically
+  swapped file holding the live generation list, the live tombstone
+  file list, AND the next-generation counter.  Every mutation is a
+  single pointer swap — readers see the old or the new index state,
+  never a torn one (a new generation and the tombstones it supersedes
+  appear together; a merge retires applied tombstones in the same
+  swap that publishes the merged generation);
+- a crashed delta build is invisible (its dir is not referenced) and
+  RESUMES on retry: the generation name comes from the state file's
+  ``next`` counter (not a disk scan), so the retry lands in the same
+  dir with the same fingerprint and the per-stage manifest resume
+  fires;
 - ``tombstones/del-*.parquet`` are the liveDocs analog: deletes mask
-  search results immediately, while per-term df/cf stay stale until
-  compaction (exactly Lucene's semantics — term stats ignore deletes
-  until merge); ``n_docs`` (→ idf) counts live docs only;
+  search results immediately, while ALL scoring stats stay stale until
+  merge (exactly Lucene's CollectionStatistics semantics — see
+  ``BM25Index.__init__``);
 - :meth:`IndexWriter.compact` is ``forceMerge(1)``: live generations
   merge and tombstoned rows drop WITHOUT re-running the analysis chain
   (the analyzed artifact is the copy source, as a Lucene merge copies
-  postings without re-tokenizing); postings / stats rebuild from it,
-  so the compacted index is EXACTLY the index a one-shot build over
-  the live documents would produce (same doc ids, df, cf, scores).
+  postings without re-tokenizing), so the compacted index is EXACTLY
+  the index a one-shot build over the live documents would produce
+  (same doc ids, df, cf, scores); :meth:`IndexWriter.merge` /
+  :meth:`IndexWriter.maybe_merge` are the TieredMergePolicy analog
+  (bounded generation count at partial-merge cost).
 
 Readers (:class:`~alix_ray.index.engine.BM25Index`) are snapshots:
 reopen after writer operations, like ``DirectoryReader.openIfChanged``.
 
-Scale notes: add/compact inherit the build pipeline's distribution
-(streaming Ray Data stages, per-partition checkpoints).  The
-delete-by-url lookup broadcasts the url set and filters the docs
+Scale notes: add/compact/merge inherit the build pipeline's
+distribution (streaming Ray Data stages, per-partition checkpoints).
+The delete-by-url lookup broadcasts the url set and filters the docs
 artifact distributed — driver memory ∝ matches, not corpus.  The
 ``update=True`` replaced-url scan assumes the DELTA is driver-sized
 (its url column is collected once); at 10^12-doc scale with huge
@@ -53,7 +63,7 @@ import ray.data
 
 from ..stages.build import IndexBuilder, _fingerprint
 from ..stages.store import resolve_stage
-from .engine import _load_tombstones
+from .engine import _load_tombstones, _walk_parquet
 
 _STATE = "generations.json"
 
@@ -88,54 +98,61 @@ class IndexWriter:
         os.makedirs(root, exist_ok=True)
 
     # -- state ---------------------------------------------------------
-    def generations(self) -> list[str]:
-        """Live generation names (relative to root).  A plain index dir
-        (config.json, no generations.json) is adopted as the single
-        generation ``"."`` — any existing build becomes incrementally
-        extendable in place."""
+    def _state(self) -> dict:
+        """Current index state, normalized to format 2:
+        ``{"generations": [...], "tombstones": [del-files], "next": N}``.
+        A plain index dir (config.json, no state file) is adopted as
+        the single generation ``"."``; a legacy format-1 state gets its
+        tombstone list from a dir scan and ``next`` from a disk scan —
+        both one-time migrations, the next write persists format 2."""
         p = os.path.join(self.root, _STATE)
         if os.path.exists(p):
             with open(p) as f:
-                return json.load(f)["generations"]
-        if os.path.exists(os.path.join(self.root, "config.json")):
-            return ["."]
-        return []
+                state = json.load(f)
+        elif os.path.exists(os.path.join(self.root, "config.json")):
+            state = {"generations": ["."]}
+        else:
+            state = {"generations": []}
+        if "tombstones" not in state:
+            tdir = os.path.join(self.root, "tombstones")
+            state["tombstones"] = (
+                sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+                if os.path.isdir(tdir) else [])
+        if "next" not in state:
+            nums = [-1]
+            for d in os.listdir(self.root):
+                tail = d.rpartition("-")[2]
+                if d.startswith("gen-") and tail.isdigit():
+                    nums.append(int(tail))
+            state["next"] = max(nums) + 1
+        return state
 
-    def _write_state(self, gens: list[str]) -> None:
-        # atomic swap — readers see the old or the new list, never torn
+    def _write_state(self, state: dict) -> None:
+        # atomic swap — readers see the old or the new state, never torn
+        state = dict(state, format=2)
         tmp = os.path.join(self.root, _STATE + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"format": 1, "generations": gens}, f)
+            json.dump(state, f)
         os.replace(tmp, os.path.join(self.root, _STATE))
+
+    def generations(self) -> list[str]:
+        """Live generation names (relative to root)."""
+        return self._state()["generations"]
 
     def _gen_dir(self, name: str) -> str:
         return os.path.normpath(os.path.join(self.root, name))
 
-    def _next_gen_name(self) -> str:
-        """Fresh generation name: one past the highest ``gen-N`` ON
-        DISK (merges shrink the live list, so its length can collide
-        with a live or lingering dir; disk scan never does)."""
-        nums = [-1]
-        for d in os.listdir(self.root):
-            tail = d.rpartition("-")[2]
-            if d.startswith("gen-") and tail.isdigit():
-                nums.append(int(tail))
-        return f"gen-{max(nums) + 1:05d}"
-
-    def _gen_cfgs(self) -> list[dict]:
+    def _gen_cfgs(self, gens=None) -> list[dict]:
         out = []
-        for g in self.generations():
+        for g in gens if gens is not None else self.generations():
             with open(os.path.join(self._gen_dir(g), "config.json")) as f:
                 out.append(json.load(f))
         return out
 
     def _keep_positions(self, gen: str) -> bool:
         adir = resolve_stage(self._gen_dir(gen), "analyzed")
-        for r, _d, ns in os.walk(adir):
-            for n in ns:
-                if n.endswith(".parquet"):
-                    sch = pq.read_schema(os.path.join(r, n))
-                    return "positions" in sch.names
+        for f in sorted(_walk_parquet(adir)):
+            return "positions" in pq.read_schema(f).names
         return False
 
     def _builder(self, gen_dir: str, id_base: int = 0,
@@ -159,21 +176,24 @@ class IndexWriter:
         documents-kind inputs must arrive with ids already above the
         existing range (asserted via Parquet stats).  ``update=True``
         (pages only) tombstones older docs whose url reappears in the
-        delta — Lucene's ``updateDocument`` delete-then-add."""
-        gens = self.generations()
-        if not gens:
-            name = "gen-00000"
-            b = self._builder(self._gen_dir(name))
-            b.build(ds, input_kind=input_kind, fingerprint=f"gen:{name}")
-            self._write_state([name])
-            return name
-        cfgs = self._gen_cfgs()
-        id_base = max(c["max_doc_id"] for c in cfgs) + 1
-        name = self._next_gen_name()
+        delta — Lucene's ``updateDocument`` delete-then-add; the new
+        generation and the tombstones for the docs it supersedes
+        publish in ONE state swap."""
+        state = self._state()
+        gens = state["generations"]
+        name = f"gen-{state['next']:05d}"
         gdir = self._gen_dir(name)
-        kp = self._keep_positions(gens[0])
+        if not gens:
+            b = self._builder(gdir)
+            b.build(ds, input_kind=input_kind, fingerprint=f"gen:{name}")
+            self._write_state({"generations": [name],
+                               "tombstones": state["tombstones"],
+                               "next": state["next"] + 1})
+            return name
+        cfgs = self._gen_cfgs(gens)
+        id_base = max(c["max_doc_id"] for c in cfgs) + 1
         b = self._builder(gdir, id_base=id_base, like=cfgs[0])
-        b.keep_positions = kp
+        b.keep_positions = self._keep_positions(gens[0])
         b.build(ds, input_kind=input_kind, fingerprint=f"gen:{name}")
         if input_kind == "documents":
             lo = _min_doc_id(resolve_stage(gdir, "docs"))
@@ -182,15 +202,17 @@ class IndexWriter:
                     f"documents-kind delta carries doc_id {lo} below the "
                     f"existing id range (needs ≥ {id_base}) — ids across "
                     "generations must never interleave")
-        replaced: np.ndarray = np.empty(0, np.int64)
+        tombs = list(state["tombstones"])
         if update:
             if input_kind != "pages":
                 raise ValueError("update=True needs url-keyed (pages) input")
             new_urls = _read_column(resolve_stage(gdir, "docs"), "url")
             replaced = self._find_ids_by_url(new_urls, gens)
-        self._write_state(gens + [name])
-        if len(replaced):
-            self._append_tombstones(replaced)
+            if len(replaced):
+                tombs.append(self._write_tombstone_file(replaced))
+        self._write_state({"generations": gens + [name],
+                           "tombstones": tombs,
+                           "next": state["next"] + 1})
         return name
 
     def delete_documents(self, urls=None, doc_ids=None) -> int:
@@ -198,11 +220,27 @@ class IndexWriter:
         Returns the number of newly tombstoned ids."""
         if (urls is None) == (doc_ids is None):
             raise ValueError("pass exactly one of urls / doc_ids")
+        state = self._state()
+        gens = state["generations"]
         if doc_ids is not None:
+            if isinstance(doc_ids, (str, bytes)):
+                raise TypeError("doc_ids must be an iterable of ints")
             ids = np.unique(np.asarray(list(doc_ids), np.int64))
+            self._check_ids_in_range(ids, gens)
         else:
-            ids = self._find_ids_by_url(list(urls), self.generations())
-        return self._append_tombstones(ids)
+            if isinstance(urls, (str, bytes)):
+                raise TypeError("urls must be an iterable of strings, "
+                                "not one string")
+            ids = self._find_ids_by_url(list(urls), gens)
+        existing = _load_tombstones(self.root)
+        if len(existing):
+            ids = ids[~np.isin(ids, existing)]
+        if not len(ids):
+            return 0
+        fname = self._write_tombstone_file(ids)
+        self._write_state(dict(state,
+                               tombstones=state["tombstones"] + [fname]))
+        return len(ids)
 
     def compact(self) -> str:
         """Merge ALL live generations, dropping tombstoned docs — the
@@ -211,18 +249,21 @@ class IndexWriter:
         stats rebuild from the merged analyzed artifact under the
         merged corpus' own avgdl, so scores are exact, not
         stale-bounded)."""
-        gens = self.generations()
+        state = self._state()
+        gens = state["generations"]
         if not gens:
             raise ValueError("empty index — nothing to compact")
         deleted = _load_tombstones(self.root)
         if len(gens) == 1 and not len(deleted):
             return gens[0]  # already compact
-        name = self._rebuild_from(gens, deleted, self._next_gen_name())
-        self._write_state([name])
-        # every tombstone is applied in the new generation — retire all
-        tdir = os.path.join(self.root, "tombstones")
-        if os.path.isdir(tdir):
-            shutil.rmtree(tdir, ignore_errors=True)
+        name = self._rebuild_from(gens, deleted, f"gen-{state['next']:05d}")
+        # every tombstone is applied in the new generation — the swap
+        # publishes it and retires them in one atomic step; the now-
+        # unreferenced del-* files are garbage, removed best-effort
+        self._write_state({"generations": [name], "tombstones": [],
+                           "next": state["next"] + 1})
+        shutil.rmtree(os.path.join(self.root, "tombstones"),
+                      ignore_errors=True)
         return name
 
     def merge(self, names: list[str]) -> str:
@@ -230,10 +271,14 @@ class IndexWriter:
         unit step of a tiered merge policy (Lucene TieredMergePolicy:
         bounded segment count without paying a full forceMerge).
         Tombstones falling inside the merged generations' doc-id ranges
-        are applied and retired; tombstones of other generations stay.
-        Doc-id ranges across generations are disjoint, so merging ANY
-        subset (contiguous or not) preserves serving invariants."""
-        gens = self.generations()
+        are applied; the rest stay live — the state swap that publishes
+        the merged generation also swaps in the consolidated remaining
+        tombstone list, so no crash or concurrent open can resurrect a
+        deleted doc.  Doc-id ranges across generations are disjoint, so
+        merging ANY subset (contiguous or not) preserves serving
+        invariants."""
+        state = self._state()
+        gens = state["generations"]
         names = list(names)
         unknown = [n for n in names if n not in gens]
         if unknown:
@@ -248,19 +293,23 @@ class IndexWriter:
             with open(os.path.join(self._gen_dir(g), "config.json")) as f:
                 hi = json.load(f)["max_doc_id"]
             in_range |= (deleted >= lo) & (deleted <= hi)
-        applied = deleted[in_range]
-        name = self._rebuild_from(names, applied, self._next_gen_name())
+        name = self._rebuild_from(names, deleted[in_range],
+                                  f"gen-{state['next']:05d}")
         survivors = [g for g in gens if g not in names] + [name]
         # deterministic order: ascending doc-id range
         survivors.sort(key=lambda g: _min_doc_id(
             resolve_stage(self._gen_dir(g), "docs")) or 0)
-        self._write_state(survivors)
         remaining = deleted[~in_range]
-        tdir = os.path.join(self.root, "tombstones")
-        if os.path.isdir(tdir):
-            shutil.rmtree(tdir, ignore_errors=True)
-        if len(remaining):
-            self._append_tombstones(remaining)
+        tombs = ([self._write_tombstone_file(remaining)]
+                 if len(remaining) else [])
+        old_tombs = state["tombstones"]
+        self._write_state({"generations": survivors, "tombstones": tombs,
+                           "next": state["next"] + 1})
+        for f in old_tombs:  # unreferenced now — best-effort cleanup
+            try:
+                os.remove(os.path.join(self.root, "tombstones", f))
+            except OSError:
+                pass
         return name
 
     def maybe_merge(self, max_generations: int = 8) -> str | None:
@@ -273,21 +322,46 @@ class IndexWriter:
         if len(gens) <= max_generations:
             return None
         sizes = {g: c["n_docs"]
-                 for g, c in zip(gens, self._gen_cfgs())}
+                 for g, c in zip(gens, self._gen_cfgs(gens))}
         by_size = sorted(gens, key=lambda g: (sizes[g], g))
         n_merge = len(gens) - max_generations + 1
         return self.merge(by_size[:n_merge])
 
+    def prune(self) -> list[str]:
+        """Remove generation dirs and tombstone files no longer
+        referenced by the state file (superseded by a merge/compact).
+        Never touches the live set or a plain adopted base's stage
+        dirs."""
+        state = self._state()
+        live = {self._gen_dir(g) for g in state["generations"]}
+        removed = []
+        for d in sorted(os.listdir(self.root)):
+            p = self._gen_dir(d)
+            if (d.startswith("gen-") and os.path.isdir(p)
+                    and p not in live):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(d)
+        tdir = os.path.join(self.root, "tombstones")
+        if os.path.isdir(tdir):
+            for f in os.listdir(tdir):
+                if f.endswith(".parquet") and f not in state["tombstones"]:
+                    try:
+                        os.remove(os.path.join(tdir, f))
+                    except OSError:
+                        pass
+        return removed
+
+    # -- internals -----------------------------------------------------
     def _rebuild_from(self, gens: list[str], deleted: np.ndarray,
                       name: str) -> str:
         """Stream docs+analyzed of ``gens`` through a tombstone filter
         into a new generation ``name`` and rebuild its postings/stats —
         the analysis chain is never re-run (the analyzed artifact is
         the copy source, as a Lucene merge copies postings)."""
-        cfgs = self._gen_cfgs()
+        cfgs = self._gen_cfgs(gens)
         gdir = self._gen_dir(name)
         b = self._builder(gdir, like=cfgs[0])
-        b.keep_positions = self._keep_positions(self.generations()[0])
+        b.keep_positions = self._keep_positions(gens[0])
         # fingerprint: the source generation list + tombstone count —
         # a crashed merge resumes stage-by-stage under the same fp
         fp = "merge:" + ",".join(gens) + f":{len(deleted)}"
@@ -313,34 +387,41 @@ class IndexWriter:
         b.build_term_stats(fp_postings)
         return name
 
-    def prune(self) -> list[str]:
-        """Remove generation dirs no longer referenced by
-        ``generations.json`` (superseded by a compact).  Never touches
-        the live set or a plain adopted base's stage dirs."""
-        live = {self._gen_dir(g) for g in self.generations()}
-        removed = []
-        for d in sorted(os.listdir(self.root)):
-            p = self._gen_dir(d)
-            if (d.startswith("gen-") and os.path.isdir(p)
-                    and p not in live):
-                shutil.rmtree(p, ignore_errors=True)
-                removed.append(d)
-        return removed
+    def _check_ids_in_range(self, ids: np.ndarray, gens) -> None:
+        """A tombstone for an id no generation holds would silently
+        skew the live-doc count forever — reject it."""
+        if not len(ids):
+            return
+        ok = np.zeros(len(ids), bool)
+        for g in gens:
+            lo = _min_doc_id(resolve_stage(self._gen_dir(g), "docs")) or 0
+            with open(os.path.join(self._gen_dir(g), "config.json")) as f:
+                hi = json.load(f)["max_doc_id"]
+            ok |= (ids >= lo) & (ids <= hi)
+        if not ok.all():
+            bad = ids[~ok][:10].tolist()
+            raise ValueError(
+                f"doc ids outside every generation's id range: {bad}")
 
-    # -- internals -----------------------------------------------------
     def _find_ids_by_url(self, urls, gens) -> np.ndarray:
         """Doc ids whose url is in ``urls``, across ``gens`` — a
         distributed filter of the docs artifact against the broadcast
-        url set (result ∝ matches)."""
+        url set (result ∝ matches).  Generations built from
+        documents-kind input carry no url column and are skipped (their
+        docs are addressable by id only)."""
         uset = pa.array(sorted({str(u) for u in urls}), pa.large_string())
         if not len(uset):
             return np.empty(0, np.int64)
-        dirs = [resolve_stage(self._gen_dir(g), "docs") for g in gens]
-        sch = pq.read_schema(_first_parquet(dirs[0]))
-        if "url" not in sch.names:
+        files = []
+        for g in gens:
+            d = resolve_stage(self._gen_dir(g), "docs")
+            fs = sorted(_walk_parquet(d))
+            if fs and "url" in pq.read_schema(fs[0]).names:
+                files += fs
+        if not files:
             raise ValueError(
                 "url-keyed delete/update needs a pages-kind build "
-                "(docs artifact has no url column)")
+                "(no generation's docs artifact has a url column)")
 
         def hit(t: pa.Table) -> pa.Table:
             m = pc.is_in(pc.cast(t["url"], pa.large_string()),
@@ -348,46 +429,34 @@ class IndexWriter:
             return t.select(["doc_id"]).filter(m)
 
         got = ray.data.read_parquet(
-            _parquet_files(dirs), columns=["url", "doc_id"]
+            files, columns=["url", "doc_id"]
         ).map_batches(hit, batch_format="pyarrow").take_all()
         return np.unique(np.array(
             [r["doc_id"] for r in got], np.int64))
 
-    def _append_tombstones(self, ids: np.ndarray) -> int:
+    def _write_tombstone_file(self, ids: np.ndarray) -> str:
+        """Write one del-*.parquet; the file is INERT until a state
+        swap references it (crash-orphaned files are garbage, not
+        resurrections, and get reused/overwritten by name)."""
         ids = np.unique(np.asarray(ids, np.int64))
-        existing = _load_tombstones(self.root)
-        if len(existing):
-            ids = ids[~np.isin(ids, existing)]
-        if not len(ids):
-            return 0
         tdir = os.path.join(self.root, "tombstones")
         os.makedirs(tdir, exist_ok=True)
-        n = sum(1 for f in os.listdir(tdir) if f.endswith(".parquet"))
+        live = set(self._state()["tombstones"])
+        n = 0
+        while f"del-{n:05d}.parquet" in live:
+            n += 1
+        fname = f"del-{n:05d}.parquet"
         tmp = os.path.join(tdir, f"del-{n:05d}.tmp")
         pq.write_table(
             pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
-        os.replace(tmp, os.path.join(tdir, f"del-{n:05d}.parquet"))
-        return len(ids)
+        os.replace(tmp, os.path.join(tdir, fname))
+        return fname
 
 
 def _parquet_files(dirs) -> list[str]:
     """Expand stage dirs to their parquet files — ray.data.read_parquet
     expands ONE directory argument but not a list of directories."""
-    out = []
-    for d in dirs:
-        for r, _sub, ns in os.walk(d):
-            for nm in sorted(ns):
-                if nm.endswith(".parquet"):
-                    out.append(os.path.join(r, nm))
-    return out
-
-
-def _first_parquet(dir_: str) -> str:
-    for r, _d, ns in os.walk(dir_):
-        for nm in sorted(ns):
-            if nm.endswith(".parquet"):
-                return os.path.join(r, nm)
-    raise FileNotFoundError(f"no parquet under {dir_}")
+    return [f for d in dirs for f in sorted(_walk_parquet(d))]
 
 
 def _read_column(dir_: str, col: str) -> list:
@@ -398,14 +467,11 @@ def _min_doc_id(docs_dir: str):
     """Min doc_id across the docs artifact via Parquet row-group
     statistics — a metadata scan, no data read."""
     lo = None
-    for r, _d, ns in os.walk(docs_dir):
-        for nm in ns:
-            if not nm.endswith(".parquet"):
-                continue
-            md = pq.read_metadata(os.path.join(r, nm))
-            ci = md.schema.to_arrow_schema().get_field_index("doc_id")
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is not None and st.has_min_max:
-                    lo = int(st.min) if lo is None else min(lo, int(st.min))
+    for f in _walk_parquet(docs_dir):
+        md = pq.read_metadata(f)
+        ci = md.schema.to_arrow_schema().get_field_index("doc_id")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                lo = int(st.min) if lo is None else min(lo, int(st.min))
     return lo

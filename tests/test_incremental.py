@@ -114,7 +114,9 @@ def test_delete_masks_all_paths(incr, tmp_path_factory):
     assert n == 3
     assert w.delete_documents(urls=urls) == 0  # idempotent
     ix2 = BM25Index(root)  # snapshot semantics: reopen
-    assert ix2.n_docs == ix.n_docs - 3
+    # scoring stats stay stale (raw N), live count is separate
+    assert ix2.n_docs == ix.n_docs
+    assert ix2.n_live == ix.n_live - 3
     gone = {d for d, _ in top}
     for q in queries_for(ix) + [qhead]:
         for res in (ix2.search_exact(q, 10), ix2.search_wand(q, 10),
@@ -270,7 +272,7 @@ def test_tiered_merge_subset(ray_session, tmp_path_factory):
     # the in-range tombstone was applied; the gen-00000 one remains
     assert list(_load_tombstones(root)) == [5]
     ix = BM25Index(root)
-    assert ix.n_docs == pre.n_docs  # live count unchanged by merge
+    assert ix.n_live == pre.n_live  # live count unchanged by merge
     # oracle for post-merge semantics: one-shot build WITHOUT the
     # applied doc (its stats are gone) + a tombstone for the unapplied
     # one (indexed but masked, stats stale — exactly what merge leaves)
@@ -290,12 +292,103 @@ def test_tiered_merge_subset(ray_session, tmp_path_factory):
     assert name is not None and len(w.generations()) == 2
     assert w.maybe_merge(max_generations=2) is None
     ix2 = BM25Index(root)
-    assert ix2.n_docs == ix.n_docs
+    assert ix2.n_live == ix.n_live
     for q in queries_for(ix2, n=4):
         got = ix2.search_exact(q, 10)
         assert ix2.search_wand(q, 10) == got
         assert url_in not in {ix2.document(d)["url"] for d, _ in got}
         assert url_out not in {ix2.document(d)["url"] for d, _ in got}
+
+
+def test_mass_delete_keeps_idf_nonnegative(ray_session, tmp_path_factory):
+    """Stats-staleness regression: with live-N idf, deleting most docs
+    of a hot term (df > live N) would flip idf negative and break the
+    WAND/window upper-bound pruning.  N stays raw (Lucene
+    CollectionStatistics), so idf ≥ 0 and every path stays
+    rank-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    root = str(tmp_path_factory.mktemp("massdel"))
+    w = IndexWriter(root, analyzer="simple", shard_range=16, num_buckets=4)
+    rows = [(i, f"alpha common w{i % 3} x{i}") for i in range(20)]
+    w.add_documents(ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+    })), input_kind="documents")
+    w.delete_documents(doc_ids=list(range(16)))  # df(alpha)=20 > live=4
+    ix = BM25Index(root)
+    assert ix.n_live == 4 and ix.df["alpha"] == 20
+    assert ix.idf("alpha") >= 0.0
+    for q in (["alpha"], ["alpha", "common"], ["alpha", "w1"]):
+        want = ix.search_exact(q, 10)
+        assert all(d >= 16 for d, _ in want)
+        assert ix.search_wand(q, 10) == want
+        assert ix.search_block_window(q, 10, window=8) == want
+
+
+def test_delete_validations(ray_session, tmp_path_factory):
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.incremental import IndexWriter
+
+    root = str(tmp_path_factory.mktemp("delval"))
+    w = IndexWriter(root, analyzer="simple", shard_range=16, num_buckets=4)
+    w.add_documents(ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array([f"a b{i}" for i in range(5)]),
+    })), input_kind="documents")
+    with pytest.raises(ValueError, match="outside every generation"):
+        w.delete_documents(doc_ids=[999_999])
+    with pytest.raises(TypeError):
+        w.delete_documents(urls="http://not-a-list")
+    with pytest.raises(TypeError):
+        w.delete_documents(doc_ids="123")
+
+
+def test_crashed_delta_resumes_same_generation(ray_session,
+                                               tmp_path_factory):
+    """The state file's ``next`` counter names the delta BEFORE the
+    build, so a crashed add retries into the same dir + fingerprint
+    and the per-stage manifest resume fires (no abandoned orphan)."""
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.incremental import IndexWriter
+
+    def docs_ds(lo, hi):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(lo, hi)), pa.int64()),
+            "text": pa.array([f"a b{i}" for i in range(lo, hi)]),
+        }))
+
+    root = str(tmp_path_factory.mktemp("crash"))
+    w = IndexWriter(root, analyzer="simple", shard_range=16, num_buckets=4)
+    w.add_documents(docs_ds(0, 8), input_kind="documents")
+    # simulate a crash: build the delta generation dir fully but die
+    # before the state swap (monkeypatch the swap to raise)
+    orig = w._write_state
+    w._write_state = lambda *_a, **_k: (_ for _ in ()).throw(
+        OSError("crash before swap"))
+    with pytest.raises(OSError):
+        w.add_documents(docs_ds(100, 108), input_kind="documents")
+    w._write_state = orig
+    assert w.generations() == ["gen-00000"]  # crashed delta invisible
+    assert os.path.isdir(os.path.join(root, "gen-00001"))  # dir exists
+    # retry lands in the SAME generation and resumes (stages skipped →
+    # the manifest keeps exactly one 'done' row per stage)
+    name = w.add_documents(docs_ds(100, 108), input_kind="documents")
+    assert name == "gen-00001"
+    assert w.generations() == ["gen-00000", "gen-00001"]
+    manifest = os.path.join(root, "gen-00001", "manifest.jsonl")
+    rows = [json.loads(ln) for ln in open(manifest)]
+    done = [r for r in rows
+            if r.get("stage") == "postings" and r.get("status") == "done"]
+    assert len(done) == 1  # built once, resumed (not rebuilt)
 
 
 def test_documents_kind_id_overlap_rejected(ray_session, tmp_path_factory):
