@@ -271,6 +271,77 @@ def decontaminate(ds: ray.data.Dataset, benchmark: ray.data.Dataset,
 
 
 # ---------------------------------------------------------------------
+# exact-substring (windowed) duplicate spans
+# ---------------------------------------------------------------------
+
+
+def _gram_strings_pos(texts, n: int):
+    """Like :func:`_gram_strings` but also returns each gram's 1-based
+    start position within its doc's token sequence."""
+    lists = SimpleAnalyzer.tokens_arrays(texts)
+    n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    flat = lists.flatten()
+    owner = np.repeat(np.arange(len(n_tok)), n_tok)
+    L = len(flat) - n + 1
+    if L <= 0:
+        return (pa.array([], pa.string()), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    parts = [flat.slice(k, L) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = owner[:L] == owner[n - 1:]
+    starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+    vown = owner[:L][valid]
+    pos = np.flatnonzero(valid) - starts[vown] + 1
+    return grams.filter(pa.array(valid)), vown, pos
+
+
+def substring_dup_spans(ds: ray.data.Dataset, w: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """Exact duplicate ``w``-token windows across the corpus — the
+    windowed form of exact-substring training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every stride-1 window of ``w`` tokens whose text already occurred
+    earlier in global ``(doc_id, pos)`` order is flagged.  Emits the
+    REDUNDANT occurrences ``(doc_id, pos)`` (keep-first; overlapping
+    windows flag independently — a caller masks the union of flagged
+    token ranges to cut the duplicated passage).
+
+    Shuffle shape = :func:`line_dedup_from_lines`'s: one all-to-all of
+    ``(window, doc, pos)`` rows hash-partitioned by window content into
+    coarse groups, winners elected vectorized per group.  Exact window
+    STRINGS ship so the DuckDB oracle matches bit-for-bit; at 100 TB a
+    window row is ~w tokens per position (w× the corpus), so the scale
+    variant ships a 128-bit window hash instead (collision odds ≪
+    hardware error rates — the Lee et al. suffix-array pipeline makes
+    the same exactness trade in reverse) with byte-identical group
+    logic."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        grams, owner, pos = _gram_strings_pos(
+            pc.fill_null(batch[text_col], ""), w)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(grams.to_pylist(), dtype=object))
+        return pa.table({
+            "w": grams,
+            id_col: pa.array(ids[owner], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "pkey": pa.array((h % _LD_PARTS).astype(np.int64)),
+        })
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["w", id_col, "pos"], kind="stable")
+        red = g["w"].eq(g["w"].shift())
+        return g.loc[red, [id_col, "pos"]]
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(dups, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------
 # C4-style global line dedup
 # ---------------------------------------------------------------------
 

@@ -2076,3 +2076,43 @@ FROM toks GROUP BY term ORDER BY term
 
 QUERIES.update({"incremental": q_incremental})
 ORACLES.update({"incremental": SQL_INCREMENTAL})
+
+
+# ---------------------------------------------------------------------
+# exact-substring (windowed) duplicate spans — Lee et al. 2022 shape
+# ---------------------------------------------------------------------
+
+SUBSTR_W = 8
+
+
+def q_substring_dups(sf_dir: str) -> pd.DataFrame:
+    """Redundant occurrences of duplicated 8-token windows across the
+    corpus (keep-first in global (doc_id, pos) order) — the windowed
+    exact-substring dedup (ops/cleaning.substring_dup_spans)."""
+    from ..ops.cleaning import substring_dup_spans
+
+    df = substring_dup_spans(_docs_text(sf_dir), w=SUBSTR_W).to_pandas()
+    df["pos"] = df["pos"].astype("int64")
+    return df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+SQL_SUBSTRING_DUPS = f"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+win AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(a[i : i + {SUBSTR_W} - 1], ' ') AS w
+  FROM arr, LATERAL (SELECT unnest(generate_series(1,
+    len(a) - {SUBSTR_W} + 1)) AS i) s),
+ranked AS (
+  SELECT doc_id, pos, row_number() OVER (
+    PARTITION BY w ORDER BY doc_id, pos) AS rn
+  FROM win)
+SELECT doc_id, pos::BIGINT AS pos FROM ranked WHERE rn > 1
+ORDER BY doc_id, pos
+"""
+
+
+QUERIES.update({"substring_dups": q_substring_dups})
+ORACLES.update({"substring_dups": SQL_SUBSTRING_DUPS})

@@ -173,3 +173,47 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
             pd.util.hash_array(np.asarray(["abc"], dtype=object))[0],
             pd.util.hash_array(np.asarray(["def"], dtype=object))[0],
         ]
+
+
+class TestSubstringDupSpans:
+    def test_keep_first_across_and_within_docs(self, ray_session):
+        from alix_ray.ops.cleaning import substring_dup_spans
+
+        ds = _ds([
+            (1, "a b c d e"),       # windows: "a b c"@1 "b c d"@2 "c d e"@3
+            (2, "x a b c d y"),     # repeats "a b c"@2, "b c d"@3
+            (3, "a b c a b c a"),   # self-repeat: "a b c"@4; also "b c a"@2,5...
+            (4, "zz"),              # < w tokens → no windows
+        ])
+        df = substring_dup_spans(ds, w=3).to_pandas() \
+            .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        got = set(zip(df["doc_id"], df["pos"]))
+        # "a b c" first occurs at (1,1): redundant at (2,2), (3,1)?? no —
+        # (1,1) is first in global order, then (2,2), (3,1), (3,4)
+        assert (2, 2) in got and (2, 3) in got
+        assert (3, 1) in got and (3, 4) in got
+        assert (1, 1) not in got and (1, 2) not in got and (1, 3) not in got
+        assert not any(d == 4 for d, _ in got)
+
+    def test_matches_duckdb_window_oracle(self, ray_session):
+        from alix_ray.ops.cleaning import substring_dup_spans
+
+        rows = [(i, " ".join(
+            f"t{(i * 7 + j) % 5}" for j in range(12))) for i in range(30)]
+        mine = substring_dup_spans(_ds(rows), w=4).to_pandas() \
+            .sort_values(["doc_id", "pos"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows,
+                                               columns=["doc_id", "text"]))
+        want = con.execute("""
+WITH arr AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS a FROM documents),
+win AS (SELECT doc_id, i AS pos,
+    array_to_string(a[i : i + 3], ' ') AS w
+  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 3)) AS i) s),
+ranked AS (SELECT doc_id, pos, row_number() OVER (
+    PARTITION BY w ORDER BY doc_id, pos) AS rn FROM win)
+SELECT doc_id, pos FROM ranked WHERE rn > 1 ORDER BY doc_id, pos
+        """).fetchdf()
+        want["pos"] = want["pos"].astype("int64")
+        pd.testing.assert_frame_equal(mine, want)
