@@ -178,6 +178,26 @@ def run_bench() -> dict:
         q.QUERIES[name](SF_DIR)
         pipeline_secs[name] = round(time.time() - t0, 3)
 
+    # incremental update path: a 10% delta generation onto the built
+    # index (cost must scale with the DELTA, not the corpus), then a
+    # full compaction (re-merges postings/stats from the analyzed
+    # artifact — the forceMerge ceiling, ~analysis-free rebuild)
+    from alix_ray.corpus import pages_batch
+    from alix_ray.index.incremental import IndexWriter
+
+    delta_n = max(500, n_pages // 10)
+    delta = ray.data.range(delta_n, override_num_blocks=16).map_batches(
+        lambda bt: pages_batch(bt["id"] + n_pages), batch_format="numpy")
+    w = IndexWriter(out_dir)
+    t0 = time.time()
+    w.add_documents(delta)
+    incr_add_sec = time.time() - t0
+    t0 = time.time()
+    w.compact()
+    compact_sec = time.time() - t0
+    pipeline_secs["incr_add_delta10pct"] = round(incr_add_sec, 3)
+    pipeline_secs["incr_compact"] = round(compact_sec, 3)
+
     result = {
         "metric": "index_build_pages",
         "value": round(build_sec, 3),
@@ -188,6 +208,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_pages": n_pages,
         "docs_per_sec": round(n_pages / build_sec, 1),
+        "incr_add_docs_per_sec": round(delta_n / incr_add_sec, 1),
         "index_load_sec": round(load_sec, 3),
         "index_warm_sec": round(warm_sec, 3),
         "query_p50_ms": round(p50, 3),
