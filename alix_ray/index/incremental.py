@@ -92,6 +92,11 @@ class IndexWriter:
     store kind …); for delta generations the base generation's config
     pins analyzer + sharding so generations can never diverge."""
 
+    # above this delta size the update=True replaced-url lookup flips
+    # from the broadcast url set (driver memory ∝ delta) to the
+    # distributed co-group (one projection shuffle) — identical ids
+    UPDATE_BROADCAST_MAX_ROWS = 5_000_000
+
     def __init__(self, root: str, **builder_kwargs):
         self.root = root
         self.builder_kwargs = dict(builder_kwargs)
@@ -206,8 +211,17 @@ class IndexWriter:
         if update:
             if input_kind != "pages":
                 raise ValueError("update=True needs url-keyed (pages) input")
-            new_urls = _read_column(resolve_stage(gdir, "docs"), "url")
-            replaced = self._find_ids_by_url(new_urls, gens)
+            with open(os.path.join(gdir, "config.json")) as f:
+                n_new = json.load(f)["n_docs"]
+            if n_new > self.UPDATE_BROADCAST_MAX_ROWS:
+                # huge delta: the url set no longer fits the driver —
+                # coarse hash-partitioned co-group of (url, doc_id)
+                # projections (payload never moves), the docids
+                # auto-select precedent
+                replaced = self._find_ids_by_url_distributed(gdir, gens)
+            else:
+                new_urls = _read_column(resolve_stage(gdir, "docs"), "url")
+                replaced = self._find_ids_by_url(new_urls, gens)
             if len(replaced):
                 tombs.append(self._write_tombstone_file(replaced))
         self._write_state({"generations": gens + [name],
@@ -433,6 +447,56 @@ class IndexWriter:
         ).map_batches(hit, batch_format="pyarrow").take_all()
         return np.unique(np.array(
             [r["doc_id"] for r in got], np.int64))
+
+    def _find_ids_by_url_distributed(self, new_gen_dir: str,
+                                     gens) -> np.ndarray:
+        """Scale path of the replaced-url lookup: co-group the NEW
+        generation's urls with every OLD generation's (url, doc_id)
+        projection under a coarse url-hash partition key — one shuffle
+        of a few bytes/row, driver memory ∝ matches.  Same result as
+        the broadcast path by construction."""
+        import pandas as pd
+
+        new_files = _parquet_files([resolve_stage(new_gen_dir, "docs")])
+        old_files = []
+        for g in gens:
+            fs = sorted(_walk_parquet(resolve_stage(self._gen_dir(g),
+                                                    "docs")))
+            if fs and "url" in pq.read_schema(fs[0]).names:
+                old_files += fs
+        if not old_files:
+            raise ValueError(
+                "url-keyed update needs pages-kind generations "
+                "(no docs artifact has a url column)")
+        parts = 64
+
+        def proj(side_new):
+            def fn(t: pa.Table) -> pa.Table:
+                urls = pc.cast(t["url"], pa.large_string())
+                h = pd.util.hash_array(
+                    np.asarray(urls.to_pylist(), dtype=object))
+                ids = (np.full(t.num_rows, -1, np.int64) if side_new
+                       else t["doc_id"].to_numpy(zero_copy_only=False))
+                return pa.table({
+                    "url": urls,
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "pkey": pa.array((h % parts).astype(np.int64)),
+                })
+            return fn
+
+        new = ray.data.read_parquet(new_files, columns=["url"]) \
+            .map_batches(proj(True), batch_format="pyarrow")
+        old = ray.data.read_parquet(old_files, columns=["url", "doc_id"]) \
+            .map_batches(proj(False), batch_format="pyarrow")
+
+        def matches(g: pd.DataFrame) -> pd.DataFrame:
+            wanted = g.loc[g["doc_id"] < 0, "url"].unique()
+            hit = g[(g["doc_id"] >= 0) & g["url"].isin(wanted)]
+            return hit[["doc_id"]]
+
+        got = new.union(old).groupby("pkey").map_groups(
+            matches, batch_format="pandas").take_all()
+        return np.unique(np.array([r["doc_id"] for r in got], np.int64))
 
     def _write_tombstone_file(self, ids: np.ndarray) -> str:
         """Write one del-*.parquet; the file is INERT until a state

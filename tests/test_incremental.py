@@ -204,6 +204,68 @@ def test_update_replaces_old_url(ray_session, tmp_path_factory):
     assert len(ix.deleted) == 1
 
 
+def test_update_distributed_path_same_ids(ray_session, tmp_path_factory):
+    """The scale path of the replaced-url lookup (coarse co-group) must
+    tombstone exactly the ids the broadcast path does."""
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+    from alix_ray.corpus import make_page
+
+    def recrawl(idxs):
+        rows = [make_page(i) for i in idxs]
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([r["url"] for r in rows]),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([b"<p>recrawled body</p>"] * len(rows),
+                             pa.binary()),
+            "text": pa.array(["recrawled body"] * len(rows)),
+            "lang": pa.array(["fr"] * len(rows)),
+        }))
+
+    roots = []
+    for forced_max in (None, 0):  # broadcast path, distributed path
+        root = str(tmp_path_factory.mktemp(f"updist{forced_max}"))
+        w = IndexWriter(root, analyzer="simple", shard_range=SHARD_RANGE,
+                        num_buckets=4)
+        if forced_max is not None:
+            w.UPDATE_BROADCAST_MAX_ROWS = forced_max
+        w.add_documents(pages_slice(0, 40))
+        w.add_documents(recrawl([3, 11, 27]), update=True)
+        roots.append(root)
+    a, b = BM25Index(roots[0]), BM25Index(roots[1])
+    assert list(a.deleted) == list(b.deleted) and len(a.deleted) == 3
+    assert a.n_live == b.n_live
+
+
+def test_span_search_over_generations(ray_session, tmp_path_factory):
+    """Positions build (keep_positions) across generations: span-near
+    matches the same (url, score) set as a one-shot positional build;
+    the rail resolves docs from every generation dir."""
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+    from alix_ray.stages.build import IndexBuilder
+
+    root = str(tmp_path_factory.mktemp("spangen"))
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8, keep_positions=True)
+    w.add_documents(pages_slice(0, 70))
+    w.add_documents(pages_slice(70, 120))
+    ref = str(tmp_path_factory.mktemp("spanref"))
+    b = IndexBuilder(ref, analyzer="french", shard_range=SHARD_RANGE,
+                     num_buckets=8, keep_positions=True)
+    b.build(pages_slice(0, 120), input_kind="pages", fingerprint="spanref")
+    ix, rx = BM25Index(root), BM25Index(ref)
+    qs = rx.cf.top(2)
+    got = ix.search_span(qs, 10, slop=8)
+    want = rx.search_span(qs, 10, slop=8)
+    assert by_url(ix, got) == by_url(rx, want)
+    assert got  # non-vacuous: the span actually matched docs
+
+
 def test_block_max_rescale_is_safe(ray_session, tmp_path_factory):
     """Generations with very different avgdl: the delta's long docs
     raise the merged avgdl far above the base build's, which makes the
