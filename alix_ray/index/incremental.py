@@ -66,6 +66,76 @@ from ..stages.store import resolve_stage
 from .engine import _load_tombstones, _walk_parquet
 
 _STATE = "generations.json"
+_LOCK = "write.lock"
+
+
+class IndexLockError(RuntimeError):
+    """Another live writer holds this index's write.lock."""
+
+
+class _WriteLock:
+    """Lucene ``write.lock`` analog: one writer per index root.
+
+    Acquired for the duration of each mutating operation (add / delete
+    / merge / compact) via O_EXCL create of ``write.lock`` holding the
+    owner pid.  A lock whose pid is no longer alive is STALE (writer
+    crashed after its last atomic state swap — nothing to repair) and
+    is broken automatically.  On a multi-node shared FS the pid check
+    is per-node, so the file also records the hostname: a foreign-host
+    lock is never auto-broken (operator removes it explicitly)."""
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, _LOCK)
+
+    def __enter__(self):
+        import socket
+
+        me = f"{socket.gethostname()}:{os.getpid()}"
+        for _ in range(2):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, me.encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        owner = f.read().strip()
+                except OSError:
+                    continue  # lock vanished between create and read
+                host, _, pid = owner.rpartition(":")
+                if host == me.rpartition(":")[0] and pid.isdigit():
+                    try:
+                        os.kill(int(pid), 0)
+                    except ProcessLookupError:
+                        # stale local lock — break and retry once
+                        try:
+                            os.remove(self.path)
+                        except OSError:
+                            pass
+                        continue
+                raise IndexLockError(
+                    f"index is write-locked by {owner!r} ({self.path}); "
+                    "remove the file only if that writer is known dead")
+        raise IndexLockError(f"could not acquire {self.path}")
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
+def _locked(fn):
+    """Hold the index write.lock for the duration of a mutating op."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with _WriteLock(self.root):
+            return fn(self, *a, **k)
+
+    return wrapper
 
 
 def _drop_deleted_fn(del_ref):
@@ -171,6 +241,7 @@ class IndexWriter:
         return IndexBuilder(gen_dir, id_base=id_base, **kw)
 
     # -- operations ----------------------------------------------------
+    @_locked
     def add_documents(self, ds: ray.data.Dataset,
                       input_kind: str = "pages",
                       update: bool = False) -> str:
@@ -229,6 +300,7 @@ class IndexWriter:
                            "next": state["next"] + 1})
         return name
 
+    @_locked
     def delete_documents(self, urls=None, doc_ids=None) -> int:
         """Tombstone documents by url (pages-kind builds) or doc id.
         Returns the number of newly tombstoned ids."""
@@ -256,6 +328,7 @@ class IndexWriter:
                                tombstones=state["tombstones"] + [fname]))
         return len(ids)
 
+    @_locked
     def compact(self) -> str:
         """Merge ALL live generations, dropping tombstoned docs — the
         ``forceMerge(1)`` analog.  Doc ids are preserved; the result
@@ -280,6 +353,7 @@ class IndexWriter:
                       ignore_errors=True)
         return name
 
+    @_locked
     def merge(self, names: list[str]) -> str:
         """Merge a SUBSET of generations into one new generation — the
         unit step of a tiered merge policy (Lucene TieredMergePolicy:
@@ -341,6 +415,7 @@ class IndexWriter:
         n_merge = len(gens) - max_generations + 1
         return self.merge(by_size[:n_merge])
 
+    @_locked
     def prune(self) -> list[str]:
         """Remove generation dirs and tombstone files no longer
         referenced by the state file (superseded by a merge/compact).

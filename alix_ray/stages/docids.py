@@ -124,7 +124,15 @@ def build_url_dictionary(ds: ray.data.Dataset, url_col: str = "url",
     # per-batch partials are ~distinct already; the final min-merge is a
     # small driver-side reduce (no cluster shuffle).  At 10^12 docs the
     # merge becomes one groupby over the partials instead.
-    parts = pa.concat_tables(ray.get(pairs.materialize().to_arrow_refs()))
+    # NB: Ray emits EMPTY blocks without running the UDF, so a ragged
+    # input (more read tasks than rows) yields schemaless zero-row
+    # tables — drop them before the unify or concat_tables raises.
+    tables = [t for t in ray.get(pairs.materialize().to_arrow_refs())
+              if url_col in t.schema.names]
+    if not tables:
+        return (np.empty(0, np.str_),
+                np.empty(0, "datetime64[us]"))
+    parts = pa.concat_tables(tables)
     merged = parts.group_by(url_col).aggregate([(ts_col, "min")])
     urls_arr = merged[url_col].to_numpy(zero_copy_only=False)
     ts_arr = merged[f"{ts_col}_min"].to_numpy(zero_copy_only=False)

@@ -453,6 +453,88 @@ def test_crashed_delta_resumes_same_generation(ray_session,
     assert len(done) == 1  # built once, resumed (not rebuilt)
 
 
+def test_stream_ingest_drain(ray_session, tmp_path_factory):
+    """Micro-batch ingestion loop: each drain indexes only the new
+    files as one delta generation; re-draining with nothing new is a
+    no-op; the merge policy bounds the generation count."""
+    import sys
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from stream_ingest import drain_once
+
+    watch = str(tmp_path_factory.mktemp("watch"))
+    root = str(tmp_path_factory.mktemp("stream"))
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8)
+    pages_slice(0, 40).write_parquet(os.path.join(watch, "b0"))
+    for f in os.listdir(os.path.join(watch, "b0")):
+        os.rename(os.path.join(watch, "b0", f),
+                  os.path.join(watch, f"b0-{f}"))
+    out1 = drain_once(w, watch, max_generations=4)
+    assert out1["files"] > 0 and out1["generation"] == "gen-00000"
+    assert drain_once(w, watch, 4) == {"files": 0, "generation": None,
+                                       "merged": None}
+    pages_slice(40, 70).write_parquet(os.path.join(watch, "b1"))
+    for f in os.listdir(os.path.join(watch, "b1")):
+        os.rename(os.path.join(watch, "b1", f),
+                  os.path.join(watch, f"b1-{f}"))
+    out2 = drain_once(w, watch, max_generations=4)
+    assert out2["generation"] == "gen-00001" and out2["merged"] is None
+    ix = BM25Index(root)
+    assert len(ix.gen_dirs) == 2
+    ref = build_oneshot(str(tmp_path_factory.mktemp("streamref")), 0, 70)
+    rx = BM25Index(ref)
+    assert ix.n_docs == rx.n_docs
+    for q in queries_for(rx, n=3):
+        assert by_url(ix, ix.search_exact(q, 10)) == \
+            by_url(rx, rx.search_exact(q, 10))
+
+
+def test_write_lock_excludes_and_breaks_stale(ray_session,
+                                              tmp_path_factory):
+    """Lucene write.lock analog: a live foreign writer blocks mutating
+    ops; a stale lock (dead pid, same host) breaks automatically; the
+    lock releases after each op."""
+    import socket
+
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.incremental import IndexLockError, IndexWriter
+
+    root = str(tmp_path_factory.mktemp("lock"))
+    w = IndexWriter(root, analyzer="simple", shard_range=16, num_buckets=4)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array([f"a b{i}" for i in range(6)]),
+    }))
+    w.add_documents(ds, input_kind="documents")
+    lock = os.path.join(root, "write.lock")
+    assert not os.path.exists(lock)  # released after the op
+    host = socket.gethostname()
+    # live same-host pid (this process) → refused
+    with open(lock, "w") as f:
+        f.write(f"{host}:{os.getpid()}")
+    with pytest.raises(IndexLockError, match="write-locked"):
+        w.delete_documents(doc_ids=[1])
+    os.remove(lock)
+    # dead same-host pid → stale, broken automatically
+    with open(lock, "w") as f:
+        f.write(f"{host}:999999999")
+    assert w.delete_documents(doc_ids=[1]) == 1
+    assert not os.path.exists(lock)
+    # foreign-host lock → never auto-broken
+    with open(lock, "w") as f:
+        f.write("other-host-name:12345")
+    with pytest.raises(IndexLockError, match="write-locked"):
+        w.delete_documents(doc_ids=[2])
+    os.remove(lock)
+
+
 def test_documents_kind_id_overlap_rejected(ray_session, tmp_path_factory):
     import pyarrow as pa
     import ray.data
