@@ -173,6 +173,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Artifact integrity verification (CheckIndex analog)."""
+    ray = _ray_session()
+    from .index.check import check_index
+
+    report = check_index(args.index)
+    print(json.dumps(report))
+    ray.shutdown()
+    return 0 if report["ok"] else 1
+
+
 def cmd_serve(args) -> int:
     """HTTP op façade over one or more indexes (AlixServlet analog);
     ``--index name=dir`` repeatable, plain dirs get name 'main'."""
@@ -268,6 +279,10 @@ def main(argv=None) -> int:
     c.add_argument("--prune", action="store_true",
                    help="remove superseded generation dirs")
     c.set_defaults(fn=cmd_compact)
+
+    ck = sub.add_parser("check", help="artifact integrity verification")
+    ck.add_argument("--index", required=True)
+    ck.set_defaults(fn=cmd_check)
 
     sv = sub.add_parser("serve", help="HTTP op facade over indexes")
     sv.add_argument("--index", action="append", required=True,
