@@ -440,6 +440,62 @@ class IndexWriter:
                         pass
         return removed
 
+    def snapshot(self, dest: str) -> dict:
+        """Consistent point-in-time copy of the index — the
+        SnapshotDeletionPolicy analog, trivial here because published
+        artifacts are immutable: capture the state file once, then
+        hard-link (falling back to copy) exactly the files it
+        references.  A concurrent writer can publish new generations
+        mid-snapshot without affecting the captured state; prune() of
+        a superseded generation during the copy is the one race, so
+        the snapshot holds the write lock."""
+        with _WriteLock(self.root):
+            state = self._state()
+            os.makedirs(dest, exist_ok=True)
+
+            def link_tree(src: str, dst: str) -> None:
+                for r, _d, ns in os.walk(src):
+                    rel = os.path.relpath(r, src)
+                    od = os.path.join(dst, rel) if rel != "." else dst
+                    os.makedirs(od, exist_ok=True)
+                    for n in ns:
+                        s, t = os.path.join(r, n), os.path.join(od, n)
+                        try:
+                            os.link(s, t)
+                        except OSError:
+                            shutil.copy2(s, t)
+
+            n_files = 0
+            for g in state["generations"]:
+                src = self._gen_dir(g)
+                if g == ".":
+                    # adopted plain base: copy its stage dirs + config
+                    for item in os.listdir(src):
+                        p = os.path.join(src, item)
+                        if item in (_STATE, _LOCK, "tombstones") or \
+                                item.startswith("gen-"):
+                            continue
+                        if os.path.isdir(p):
+                            link_tree(p, os.path.join(dest, item))
+                        else:
+                            shutil.copy2(p, os.path.join(dest, item))
+                else:
+                    link_tree(src, os.path.join(dest, g))
+                n_files += 1
+            tdir = os.path.join(self.root, "tombstones")
+            if state["tombstones"]:
+                os.makedirs(os.path.join(dest, "tombstones"),
+                            exist_ok=True)
+                for f in state["tombstones"]:
+                    shutil.copy2(os.path.join(tdir, f),
+                                 os.path.join(dest, "tombstones", f))
+            tmp = os.path.join(dest, _STATE + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(dict(state, format=2), f)
+            os.replace(tmp, os.path.join(dest, _STATE))
+            return {"dest": dest, "generations": state["generations"],
+                    "tombstones": len(state["tombstones"])}
+
     # -- internals -----------------------------------------------------
     def _rebuild_from(self, gens: list[str], deleted: np.ndarray,
                       name: str) -> str:

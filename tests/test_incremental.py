@@ -494,6 +494,36 @@ def test_stream_ingest_drain(ray_session, tmp_path_factory):
             by_url(rx, rx.search_exact(q, 10))
 
 
+def test_snapshot_is_consistent_and_independent(ray_session,
+                                                tmp_path_factory):
+    """snapshot() captures a queryable point-in-time copy; subsequent
+    writer mutations (delete + compact + prune) never affect it."""
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    root = str(tmp_path_factory.mktemp("snaproot"))
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8)
+    w.add_documents(pages_slice(0, 50))
+    w.add_documents(pages_slice(50, 80))
+    w.delete_documents(doc_ids=[2])
+    snap = str(tmp_path_factory.mktemp("snapdst") / "s1")
+    info = w.snapshot(snap)
+    assert len(info["generations"]) == 2 and info["tombstones"] == 1
+    before = BM25Index(snap)
+    q = before.cf.top(2)
+    want = before.search_exact(q, 10)
+    # mutate + compact + prune the ORIGINAL
+    w.delete_documents(doc_ids=[70])
+    w.compact()
+    w.prune()
+    after = BM25Index(snap)  # reopen the snapshot
+    assert after.search_exact(q, 10) == want
+    assert list(after.deleted) == [2]
+    live = BM25Index(root)
+    assert len(live.gen_dirs) == 1 and live.n_live == before.n_live - 1
+
+
 def test_write_lock_excludes_and_breaks_stale(ray_session,
                                               tmp_path_factory):
     """Lucene write.lock analog: a live foreign writer blocks mutating
