@@ -20,9 +20,13 @@ invariants the serving engine relies on:
 
 The postings scan is the heavy part and runs as a streaming Ray Data
 pass (``map_batches`` over the postings rows, zero-copy blob access,
-per-batch partial (term, df, cf) summaries) — at 10^12 docs this is a
-read-everything job by definition (so is Lucene's CheckIndex), but it
-never materializes more than a batch of decoded postings at once.
+per-worker-cached doc_stats slices, per-batch partial (term, df, cf)
+summaries) — at 10^12 docs this is a read-everything job by definition
+(so is Lucene's CheckIndex).  Driver memory is O(vocab + one shard):
+the doc_stats recount streams shard-by-shard (ids can only collide
+within a shard, so per-shard uniqueness is complete), and the per-term
+cross-check holds one (df, cf) pair per term — the same O(lexicon)
+class as opening the index.
 
 Returns a report dict; ``errors`` is empty for a healthy index.
 """
@@ -45,15 +49,25 @@ from .engine import _generation_dirs, _load_tombstones
 _POST_COLS = ["term", "shard", "df", "cf", "docs", "tfs",
               "block_last", "block_max"]
 
+# per-WORKER-process DocStatsStore cache (the _DECON_CACHE pattern):
+# rebuilding the store per 256-row batch would re-read the same
+# doc_stats shard slices thousands of times across the vocabulary scan
+_STORE_CACHE: dict = {}
+
 
 def _verify_postings_batch(batch: pa.Table, *, shard_range: int,
                            avgdl: float, k1: float, b: float,
-                           stats_dir: str) -> pa.Table:
+                           stats_dir: str, block: int) -> pa.Table:
     """Decode + verify one batch of postings rows; emit per-row
     (term, df, cf, n_errors, first_error)."""
     from ..index.engine import DocStatsStore
 
-    store = DocStatsStore(stats_dir, shard_range, k1, b, avgdl)
+    key = (stats_dir, shard_range, k1, b, avgdl)
+    store = _STORE_CACHE.get(key)
+    if store is None:
+        _STORE_CACHE.clear()  # one index checked at a time per worker
+        store = _STORE_CACHE[key] = DocStatsStore(
+            stats_dir, shard_range, k1, b, avgdl)
     terms = batch["term"].to_pylist()
     shards = batch["shard"].to_numpy(zero_copy_only=False)
     dfs = batch["df"].to_numpy(zero_copy_only=False)
@@ -62,7 +76,7 @@ def _verify_postings_batch(batch: pa.Table, *, shard_range: int,
     for i in range(batch.num_rows):
         try:
             e = _verify_row(batch, i, shard_range, dfs, cfs, shards,
-                            store)
+                            store, block)
         except Exception as ex:  # corrupt blob: decode itself blew up
             e = [f"decode raised {type(ex).__name__}: {ex}"]
         errs.append(len(e))
@@ -76,7 +90,7 @@ def _verify_postings_batch(batch: pa.Table, *, shard_range: int,
     })
 
 
-def _verify_row(batch, i, shard_range, dfs, cfs, shards, store):
+def _verify_row(batch, i, shard_range, dfs, cfs, shards, store, block):
         e = []
         docs_buf = batch["docs"][i].as_py()
         tfs_buf = batch["tfs"][i].as_py()
@@ -97,11 +111,11 @@ def _verify_row(batch, i, shard_range, dfs, cfs, shards, store):
             e.append("non-positive tf")
         bl = np.asarray(batch["block_last"][i].as_py(), np.int64)
         bm = np.asarray(batch["block_max"][i].as_py(), np.float64)
-        n_blocks = (len(d) + 127) // 128
+        n_blocks = (len(d) + block - 1) // block
         if len(bl) != n_blocks or len(bm) != n_blocks:
             e.append(f"block count {len(bl)}/{len(bm)} != {n_blocks}")
         else:
-            ends = np.minimum(np.arange(1, n_blocks + 1) * 128,
+            ends = np.minimum(np.arange(1, n_blocks + 1) * block,
                               len(d)) - 1
             if (d[ends] != bl).any():
                 e.append("block_last mismatch with decoded stream")
@@ -109,7 +123,7 @@ def _verify_row(batch, i, shard_range, dfs, cfs, shards, store):
                 norms = store.gather(d, 1)
                 tfn = t / (t + norms)
                 true_max = np.maximum.reduceat(
-                    tfn, np.arange(0, len(d), 128))
+                    tfn, np.arange(0, len(d), block))
                 # the serving contract: stored bound must NEVER be
                 # below the true block max (strict skips)
                 if (bm < true_max - 1e-12).any():
@@ -127,14 +141,27 @@ def check_generation(gen_dir: str) -> dict:
     shard_range = int(cfg["shard_range"])
     stats_dir = resolve_stage(gen_dir, "doc_stats")
     # -- doc_stats vs config ------------------------------------------
-    st = pq.read_table(stats_dir, columns=["doc_id", "tokens"])
-    n_docs = st.num_rows
-    total_tokens = int(pa.compute.sum(st["tokens"]).as_py() or 0)
-    max_doc = (int(pa.compute.max(st["doc_id"]).as_py())
-               if n_docs else -1)
-    ids = np.sort(st["doc_id"].to_numpy())
-    if len(ids) != len(np.unique(ids)):
-        errors.append("doc_stats: duplicate doc ids")
+    # one shard at a time: doc id → shard is a function, so duplicate
+    # ids can only collide WITHIN a shard — per-shard uniqueness is a
+    # complete check with memory ∝ shard_range, never the corpus
+    n_docs = 0
+    total_tokens = 0
+    max_doc = -1
+    for name in sorted(os.listdir(stats_dir)):
+        if not name.startswith("shard="):
+            continue
+        t = pq.read_table(os.path.join(stats_dir, name),
+                          columns=["doc_id", "tokens"])
+        ids = t["doc_id"].to_numpy()
+        if len(ids) != len(np.unique(ids)):
+            errors.append(f"doc_stats {name}: duplicate doc ids")
+        s = int(name.split("=", 1)[1])
+        if len(ids) and (ids // shard_range != s).any():
+            errors.append(f"doc_stats {name}: ids outside the shard")
+        n_docs += t.num_rows
+        total_tokens += int(pa.compute.sum(t["tokens"]).as_py() or 0)
+        if len(ids):
+            max_doc = max(max_doc, int(ids.max()))
     for key, got in (("n_docs", n_docs), ("total_tokens", total_tokens),
                      ("max_doc_id", max_doc)):
         if int(cfg[key]) != int(got):
@@ -145,7 +172,8 @@ def check_generation(gen_dir: str) -> dict:
         .map_batches(functools.partial(
             _verify_postings_batch, shard_range=shard_range,
             avgdl=float(cfg["avgdl"]), k1=float(cfg["k1"]),
-            b=float(cfg["b"]), stats_dir=stats_dir),
+            b=float(cfg["b"]), stats_dir=stats_dir,
+            block=int(cfg.get("block", 128))),
             batch_format="pyarrow", batch_size=256)
     agg = {}
     n_rows = 0
@@ -197,8 +225,18 @@ def check_index(out_dir: str) -> dict:
     errors = [e for r in reports for e in r["errors"]]
     deleted = _load_tombstones(out_dir)
     if len(deleted):
-        if (np.diff(deleted) <= 0).any():
-            errors.append("tombstones: not sorted-unique")
+        # verify the RAW per-file arrays (the loader normalizes via
+        # np.unique, which would mask on-disk corruption)
+        tdir = os.path.join(out_dir, "tombstones")
+        if os.path.isdir(tdir):
+            for f in sorted(os.listdir(tdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                raw = pq.read_table(
+                    os.path.join(tdir, f), columns=["doc_id"]
+                )["doc_id"].to_numpy(zero_copy_only=False)
+                if len(raw) and (np.diff(raw) <= 0).any():
+                    errors.append(f"tombstones/{f}: not sorted-unique")
         max_id = max(
             json.load(open(os.path.join(g, "config.json")))["max_doc_id"]
             for g in gens)

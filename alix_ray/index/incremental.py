@@ -90,34 +90,58 @@ class _WriteLock:
     def __enter__(self):
         import socket
 
-        me = f"{socket.gethostname()}:{os.getpid()}"
-        for _ in range(2):
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, me.encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
+        host_me = socket.gethostname()
+        me = f"{host_me}:{os.getpid()}"
+        # acquire = os.link of a fully-written temp file: the lock can
+        # never exist empty (a crash between create and write would
+        # otherwise wedge every future writer on an unparseable owner)
+        tmp = f"{self.path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(me)
+        try:
+            for _ in range(3):
+                try:
+                    os.link(tmp, self.path)
+                    return self
+                except FileExistsError:
+                    pass
                 try:
                     with open(self.path) as f:
                         owner = f.read().strip()
                 except OSError:
-                    continue  # lock vanished between create and read
+                    continue  # lock vanished between link and read
                 host, _, pid = owner.rpartition(":")
-                if host == me.rpartition(":")[0] and pid.isdigit():
+                stale = False
+                if host == host_me and pid.isdigit():
                     try:
                         os.kill(int(pid), 0)
                     except ProcessLookupError:
-                        # stale local lock — break and retry once
-                        try:
-                            os.remove(self.path)
-                        except OSError:
-                            pass
-                        continue
-                raise IndexLockError(
-                    f"index is write-locked by {owner!r} ({self.path}); "
-                    "remove the file only if that writer is known dead")
-        raise IndexLockError(f"could not acquire {self.path}")
+                        stale = True
+                if not stale:
+                    raise IndexLockError(
+                        f"index is write-locked by {owner!r} "
+                        f"({self.path}); remove the file only if that "
+                        "writer is known dead")
+                # break the stale lock ATOMICALLY: rename wins exactly
+                # once — a racing breaker gets FileNotFoundError and
+                # loops back to contend for the fresh link, so two
+                # writers can never both hold the lock (read-then-
+                # remove would delete a racer's freshly acquired lock)
+                grave = f"{self.path}.stale.{os.getpid()}"
+                try:
+                    os.rename(self.path, grave)
+                except FileNotFoundError:
+                    continue
+                try:
+                    os.remove(grave)
+                except OSError:
+                    pass
+            raise IndexLockError(f"could not acquire {self.path}")
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def __exit__(self, *exc):
         try:
@@ -181,7 +205,8 @@ class IndexWriter:
         tombstone list from a dir scan and ``next`` from a disk scan —
         both one-time migrations, the next write persists format 2."""
         p = os.path.join(self.root, _STATE)
-        if os.path.exists(p):
+        had_state_file = os.path.exists(p)
+        if had_state_file:
             with open(p) as f:
                 state = json.load(f)
         elif os.path.exists(os.path.join(self.root, "config.json")):
@@ -194,12 +219,22 @@ class IndexWriter:
                 sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))
                 if os.path.isdir(tdir) else [])
         if "next" not in state:
-            nums = [-1]
-            for d in os.listdir(self.root):
-                tail = d.rpartition("-")[2]
-                if d.startswith("gen-") and tail.isdigit():
-                    nums.append(int(tail))
-            state["next"] = max(nums) + 1
+            if had_state_file:
+                # legacy format-1 migration: counter from a disk scan
+                nums = [-1]
+                for d in os.listdir(self.root):
+                    tail = d.rpartition("-")[2]
+                    if d.startswith("gen-") and tail.isdigit():
+                        nums.append(int(tail))
+                state["next"] = max(nums) + 1
+            else:
+                # virgin root / adopted plain index: start at 0 even if
+                # a CRASHED gen-00000 dir lingers — the retry must land
+                # in that dir and resume its stage checkpoints, not
+                # skip past it (the crashed build is unreferenced, so
+                # reusing the slot is always safe)
+                state["next"] = 0
+        state.setdefault("meta", {})
         return state
 
     def _write_state(self, state: dict) -> None:
@@ -213,6 +248,11 @@ class IndexWriter:
     def generations(self) -> list[str]:
         """Live generation names (relative to root)."""
         return self._state()["generations"]
+
+    def meta(self) -> dict:
+        """Per-generation opaque meta dicts (see ``add_documents``);
+        merges/compactions carry them forward (list values concat)."""
+        return dict(self._state()["meta"])
 
     def _gen_dir(self, name: str) -> str:
         return os.path.normpath(os.path.join(self.root, name))
@@ -244,7 +284,9 @@ class IndexWriter:
     @_locked
     def add_documents(self, ds: ray.data.Dataset,
                       input_kind: str = "pages",
-                      update: bool = False) -> str:
+                      update: bool = False,
+                      fingerprint_extra: str = "",
+                      meta: dict | None = None) -> str:
         """Index ``ds`` as a new generation.
 
         pages-kind inputs get doc ids assigned at ``max_doc_id + 1``
@@ -254,23 +296,38 @@ class IndexWriter:
         (pages only) tombstones older docs whose url reappears in the
         delta — Lucene's ``updateDocument`` delete-then-add; the new
         generation and the tombstones for the docs it supersedes
-        publish in ONE state swap."""
+        publish in ONE state swap.
+
+        ``fingerprint_extra`` folds into the build fingerprint: pass a
+        digest of the INPUT (e.g. the backlog file list) whenever two
+        retries of the same generation slot could carry different data
+        — a changed input then rebuilds every stage instead of
+        resuming stale checkpoints.  ``meta`` is an opaque dict stored
+        in the SAME state swap that publishes the generation (so e.g.
+        an ingestion ledger can never desynchronize from the index);
+        merges concatenate list values across source generations."""
         state = self._state()
         gens = state["generations"]
         name = f"gen-{state['next']:05d}"
         gdir = self._gen_dir(name)
+        fp = f"gen:{name}" + (f":{fingerprint_extra}"
+                              if fingerprint_extra else "")
+        new_meta = dict(state["meta"])
+        if meta is not None:
+            new_meta[name] = meta
         if not gens:
             b = self._builder(gdir)
-            b.build(ds, input_kind=input_kind, fingerprint=f"gen:{name}")
+            b.build(ds, input_kind=input_kind, fingerprint=fp)
             self._write_state({"generations": [name],
                                "tombstones": state["tombstones"],
-                               "next": state["next"] + 1})
+                               "next": state["next"] + 1,
+                               "meta": new_meta})
             return name
         cfgs = self._gen_cfgs(gens)
         id_base = max(c["max_doc_id"] for c in cfgs) + 1
         b = self._builder(gdir, id_base=id_base, like=cfgs[0])
         b.keep_positions = self._keep_positions(gens[0])
-        b.build(ds, input_kind=input_kind, fingerprint=f"gen:{name}")
+        b.build(ds, input_kind=input_kind, fingerprint=fp)
         if input_kind == "documents":
             lo = _min_doc_id(resolve_stage(gdir, "docs"))
             if lo is not None and lo < id_base:
@@ -297,7 +354,8 @@ class IndexWriter:
                 tombs.append(self._write_tombstone_file(replaced))
         self._write_state({"generations": gens + [name],
                            "tombstones": tombs,
-                           "next": state["next"] + 1})
+                           "next": state["next"] + 1,
+                           "meta": new_meta})
         return name
 
     @_locked
@@ -347,8 +405,11 @@ class IndexWriter:
         # every tombstone is applied in the new generation — the swap
         # publishes it and retires them in one atomic step; the now-
         # unreferenced del-* files are garbage, removed best-effort
+        merged_meta = _merge_metas([state["meta"].get(g) for g in gens])
         self._write_state({"generations": [name], "tombstones": [],
-                           "next": state["next"] + 1})
+                           "next": state["next"] + 1,
+                           "meta": {name: merged_meta} if merged_meta
+                           else {}})
         shutil.rmtree(os.path.join(self.root, "tombstones"),
                       ignore_errors=True)
         return name
@@ -391,8 +452,14 @@ class IndexWriter:
         tombs = ([self._write_tombstone_file(remaining)]
                  if len(remaining) else [])
         old_tombs = state["tombstones"]
+        new_meta = {g: m for g, m in state["meta"].items()
+                    if g not in names}
+        merged_meta = _merge_metas([state["meta"].get(g) for g in names])
+        if merged_meta:
+            new_meta[name] = merged_meta
         self._write_state({"generations": survivors, "tombstones": tombs,
-                           "next": state["next"] + 1})
+                           "next": state["next"] + 1,
+                           "meta": new_meta})
         for f in old_tombs:  # unreferenced now — best-effort cleanup
             try:
                 os.remove(os.path.join(self.root, "tombstones", f))
@@ -646,6 +713,22 @@ class IndexWriter:
             pa.table({"doc_id": pa.array(ids, pa.int64())}), tmp)
         os.replace(tmp, os.path.join(tdir, fname))
         return fname
+
+
+def _merge_metas(metas: list) -> dict:
+    """Combine per-generation meta dicts for a merge/compact: list
+    values concatenate (ingestion ledgers survive merges), scalar keys
+    take the last non-None value."""
+    out: dict = {}
+    for m in metas:
+        if not m:
+            continue
+        for k, v in m.items():
+            if isinstance(v, list) and isinstance(out.get(k), list):
+                out[k] = out[k] + v
+            else:
+                out[k] = v
+    return out
 
 
 def _parquet_files(dirs) -> list[str]:

@@ -209,17 +209,8 @@ _DECON_CACHE: dict = {}
 def _gram_strings(texts, n: int):
     """(flat grams joined by ' ', owner row index per gram) — grams
     never cross doc boundaries; docs with < n tokens emit none."""
-    lists = SimpleAnalyzer.tokens_arrays(texts)
-    n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-    flat = lists.flatten()
-    owner = np.repeat(np.arange(len(n_tok)), n_tok)
-    L = len(flat) - n + 1
-    if L <= 0:
-        return pa.array([], pa.string()), np.zeros(0, np.int64)
-    parts = [flat.slice(k, L) for k in range(n)]
-    grams = pc.binary_join_element_wise(*parts, " ")
-    valid = owner[:L] == owner[n - 1:]
-    return grams.filter(pa.array(valid)), owner[:L][valid]
+    grams, owner, _pos = _gram_strings_pos(texts, n)
+    return grams, owner
 
 
 def decontaminate(ds: ray.data.Dataset, benchmark: ray.data.Dataset,

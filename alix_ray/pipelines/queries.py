@@ -2092,6 +2092,11 @@ def q_substring_dups(sf_dir: str) -> pd.DataFrame:
     from ..ops.cleaning import substring_dup_spans
 
     df = substring_dup_spans(_docs_text(sf_dir), w=SUBSTR_W).to_pandas()
+    if "doc_id" not in df.columns:  # no duplicated window anywhere:
+        # all-empty map_groups output is schemaless (the decontaminate
+        # precedent) — return the oracle's empty shape
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "pos": pd.Series([], dtype="int64")})
     df["pos"] = df["pos"].astype("int64")
     return df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
 

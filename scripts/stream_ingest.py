@@ -19,11 +19,20 @@ Usage::
 test hook).  At cluster scale this loop runs on one node (the writer
 is single-writer by write.lock); ingestion itself is distributed Ray
 Data work.
+
+Exactly-once accounting: the ingested-file ledger is the generation's
+``meta`` dict, persisted in the SAME atomic generations.json swap that
+publishes the generation — a crash leaves either (generation + its
+files recorded) or (neither), never a half state, and merges carry the
+ledger forward.  The backlog digest folds into the build fingerprint,
+so a retry whose backlog GREW rebuilds the generation's stages instead
+of resuming checkpoints that are missing the new files.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
@@ -31,26 +40,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_SEEN = "stream_ingested.json"
 
-
-def _seen_path(root: str) -> str:
-    return os.path.join(root, _SEEN)
-
-
-def _load_seen(root: str) -> set[str]:
-    p = _seen_path(root)
-    if os.path.exists(p):
-        with open(p) as f:
-            return set(json.load(f)["files"])
-    return set()
-
-
-def _save_seen(root: str, seen: set[str]) -> None:
-    tmp = _seen_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"files": sorted(seen)}, f)
-    os.replace(tmp, _seen_path(root))
+def _seen(writer) -> set[str]:
+    out: set[str] = set()
+    for m in writer.meta().values():
+        out |= set(m.get("ingested_files", []))
+    return out
 
 
 def drain_once(writer, watch_dir: str, max_generations: int) -> dict:
@@ -59,20 +54,21 @@ def drain_once(writer, watch_dir: str, max_generations: int) -> dict:
     summary dict (files, generation, merged)."""
     import ray.data
 
-    seen = _load_seen(writer.root)
-    backlog = sorted(
-        os.path.join(watch_dir, f)
-        for f in os.listdir(watch_dir)
+    seen = _seen(writer)
+    names = sorted(
+        f for f in os.listdir(watch_dir)
         if f.endswith(".parquet") and f not in seen
     )
-    if not backlog:
+    if not names:
         return {"files": 0, "generation": None, "merged": None}
-    gen = writer.add_documents(ray.data.read_parquet(backlog),
-                               input_kind="pages")
-    # record AFTER the publish: a crash in between re-ingests the batch
-    # into the SAME generation (resume), never a duplicate one
-    seen |= {os.path.basename(f) for f in backlog}
-    _save_seen(writer.root, seen)
+    backlog = [os.path.join(watch_dir, f) for f in names]
+    digest = hashlib.blake2b(
+        "\0".join(names).encode(), digest_size=8).hexdigest()
+    gen = writer.add_documents(
+        ray.data.read_parquet(backlog), input_kind="pages",
+        fingerprint_extra=digest,
+        meta={"ingested_files": names, "watch_dir": watch_dir},
+    )
     merged = writer.maybe_merge(max_generations=max_generations)
     if merged:
         writer.prune()

@@ -524,6 +524,57 @@ def test_snapshot_is_consistent_and_independent(ray_session,
     assert len(live.gen_dirs) == 1 and live.n_live == before.n_live - 1
 
 
+def test_stream_ingest_crash_with_grown_backlog(ray_session,
+                                                tmp_path_factory):
+    """Crash after the delta's stages checkpoint but before the state
+    swap, then MORE files arrive: the retry must rebuild the generation
+    over the grown backlog (the backlog digest folds into the build
+    fingerprint), not resume checkpoints missing the new files — and
+    the ledger publishes atomically with the generation (no sidecar to
+    desynchronize)."""
+    import sys
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from stream_ingest import drain_once
+
+    watch = str(tmp_path_factory.mktemp("gwatch"))
+    root = str(tmp_path_factory.mktemp("gstream"))
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8)
+    pages_slice(0, 30).write_parquet(os.path.join(watch, "c0"))
+    for f in os.listdir(os.path.join(watch, "c0")):
+        os.rename(os.path.join(watch, "c0", f),
+                  os.path.join(watch, f"c0-{f}"))
+    # crash the state swap: generation dir builds fully, publish fails
+    orig = w._write_state
+    w._write_state = lambda *_a, **_k: (_ for _ in ()).throw(
+        OSError("crash before swap"))
+    with pytest.raises(OSError):
+        drain_once(w, watch, max_generations=8)
+    w._write_state = orig
+    assert w.generations() == []
+    # new files arrive while the ingester is down
+    pages_slice(30, 50).write_parquet(os.path.join(watch, "c1"))
+    for f in os.listdir(os.path.join(watch, "c1")):
+        os.rename(os.path.join(watch, "c1", f),
+                  os.path.join(watch, f"c1-{f}"))
+    out = drain_once(w, watch, max_generations=8)
+    assert out["generation"] == "gen-00000"
+    ix = BM25Index(root)
+    ref = build_oneshot(str(tmp_path_factory.mktemp("gref")), 0, 50)
+    rx = BM25Index(ref)
+    # every file of the GROWN backlog made it in (no stale checkpoint)
+    assert ix.n_docs == rx.n_docs
+    # and the ledger matches the published generation exactly
+    meta = w.meta()["gen-00000"]
+    assert len(meta["ingested_files"]) == out["files"]
+    assert drain_once(w, watch, 8)["files"] == 0  # nothing re-ingested
+
+
 def test_write_lock_excludes_and_breaks_stale(ray_session,
                                               tmp_path_factory):
     """Lucene write.lock analog: a live foreign writer blocks mutating
