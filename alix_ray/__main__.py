@@ -173,6 +173,38 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Point-in-time hard-link snapshot (SnapshotDeletionPolicy)."""
+    from .index.incremental import IndexWriter
+
+    info = IndexWriter(args.index).snapshot(args.out)
+    print(json.dumps(info))
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Index state summary: generations, sizes, tombstones, configs."""
+    import os
+
+    from .index.engine import _generation_dirs, _load_tombstones
+
+    gens = _generation_dirs(args.index)
+    out = {"index": args.index, "generations": [], "n_deleted": 0}
+    for g in gens:
+        with open(os.path.join(g, "config.json")) as f:
+            cfg = json.load(f)
+        out["generations"].append({
+            "dir": g, "n_docs": cfg["n_docs"],
+            "max_doc_id": cfg["max_doc_id"], "avgdl": cfg["avgdl"],
+            "analyzer": cfg["analyzer"],
+        })
+    out["n_docs"] = sum(g["n_docs"] for g in out["generations"])
+    out["n_deleted"] = int(len(_load_tombstones(args.index)))
+    out["n_live"] = out["n_docs"] - out["n_deleted"]
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_check(args) -> int:
     """Artifact integrity verification (CheckIndex analog)."""
     ray = _ray_session()
@@ -283,6 +315,15 @@ def main(argv=None) -> int:
     ck = sub.add_parser("check", help="artifact integrity verification")
     ck.add_argument("--index", required=True)
     ck.set_defaults(fn=cmd_check)
+
+    sn = sub.add_parser("snapshot", help="point-in-time index snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    inf = sub.add_parser("info", help="index state summary")
+    inf.add_argument("--index", required=True)
+    inf.set_defaults(fn=cmd_info)
 
     sv = sub.add_parser("serve", help="HTTP op facade over indexes")
     sv.add_argument("--index", action="append", required=True,

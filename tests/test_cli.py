@@ -79,6 +79,16 @@ def test_cli_incremental_lifecycle(ray_session, tmp_path, capsys):
     assert res["total"] == 16  # 18 docs - 2 deleted
     assert not {3, 100} & {h["doc_id"] for h in res["hits"]}
 
+    assert main(["info", "--index", idx]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["n_live"] == 16 and len(info["generations"]) == 1
+
+    snap = str(tmp_path / "snap")
+    assert main(["snapshot", "--index", idx, "--out", snap]) == 0
+    capsys.readouterr()
+    assert main(["search", "--index", snap, "--q", "alpha", "-k", "3"]) == 0
+    assert json.loads(capsys.readouterr().out)["total"] == 3
+
 
 @pytest.mark.slow
 def test_build_job_submit_and_resume(tmp_path):
