@@ -716,6 +716,31 @@ class BM25Index:
         self._analyzer = None
         self._contrib_cache: dict = {}
         self._topk_cache: dict = {}
+        # captured at open for reopen_if_changed (snapshot identity)
+        self._opened_token = self._snapshot_token()
+
+    def _snapshot_token(self) -> tuple:
+        """Identity of the on-disk index state this handle captured:
+        the generations.json content (or its absence) + the tombstone
+        file list.  Cheap to recompute (two small reads)."""
+        gj = os.path.join(self.dir, "generations.json")
+        state = None
+        if os.path.exists(gj):
+            with open(gj) as f:
+                state = f.read()
+        tdir = os.path.join(self.dir, "tombstones")
+        tombs = tuple(sorted(os.listdir(tdir))) \
+            if os.path.isdir(tdir) else ()
+        return (state, tombs)
+
+    def reopen_if_changed(self) -> "BM25Index":
+        """Fresh handle if the index state advanced since this handle
+        opened, else ``self`` — ``DirectoryReader.openIfChanged``.  A
+        serving replica polls this between batches; unchanged state
+        keeps every warm cache."""
+        if self._snapshot_token() == self._opened_token:
+            return self
+        return BM25Index(self.dir)
 
     # -- scoring primitives -------------------------------------------
     def idf(self, term: str) -> float:

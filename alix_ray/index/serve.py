@@ -47,6 +47,19 @@ class QueryActor:
         out = suggest(self.ix.suggest_frame(), prefix, k)
         return list(zip(out["term"], out["cf"]))
 
+    def refresh(self, warm_top_n: int = 512) -> bool:
+        """Swap to the latest index state if a writer advanced it
+        (``DirectoryReader.openIfChanged``): unchanged state keeps
+        every warm cache; a changed state reopens + re-warms.  Returns
+        True when a new snapshot was adopted."""
+        new = self.ix.reopen_if_changed()
+        if new is self.ix:
+            return False
+        if warm_top_n:
+            new.warm(warm_top_n)
+        self.ix = new
+        return True
+
 
 class QueryService:
     """Round-robin facade over an actor pool; fire-and-gather batching."""

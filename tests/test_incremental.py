@@ -494,6 +494,30 @@ def test_stream_ingest_drain(ray_session, tmp_path_factory):
             by_url(rx, rx.search_exact(q, 10))
 
 
+def test_reopen_if_changed(ray_session, tmp_path_factory):
+    """DirectoryReader.openIfChanged semantics: same handle while the
+    state is unchanged (warm caches kept), fresh handle after a writer
+    mutation, and the fresh handle sees the mutation."""
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+
+    root = str(tmp_path_factory.mktemp("reopen"))
+    w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                    num_buckets=8)
+    w.add_documents(pages_slice(0, 40))
+    ix = BM25Index(root)
+    assert ix.reopen_if_changed() is ix  # unchanged → same handle
+    w.add_documents(pages_slice(40, 60))
+    ix2 = ix.reopen_if_changed()
+    assert ix2 is not ix and len(ix2.gen_dirs) == 2
+    assert ix2.n_docs > ix.n_docs
+    assert ix2.reopen_if_changed() is ix2
+    w.delete_documents(doc_ids=[int(ix2.search_exact(
+        ix2.cf.top(1), 1)[0][0])])
+    ix3 = ix2.reopen_if_changed()
+    assert ix3 is not ix2 and len(ix3.deleted) == 1
+
+
 def test_snapshot_is_consistent_and_independent(ray_session,
                                                 tmp_path_factory):
     """snapshot() captures a queryable point-in-time copy; subsequent

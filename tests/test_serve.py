@@ -44,3 +44,25 @@ def test_suggest_via_actor(served):
     svc, _ = served
     out = ray.get(svc.actors[0].suggest_prefix.remote("do", 5))
     assert out and all(t.startswith("do") for t, _ in out)
+
+
+def test_actor_refresh_adopts_writer_changes(served, ray_session):
+    """A replica's refresh() swaps to the latest snapshot only when
+    the writer advanced the index (openIfChanged semantics)."""
+    import ray
+
+    from alix_ray.index.incremental import IndexWriter
+
+    svc, out = served
+    actor = svc.actors[0]
+    assert ray.get(actor.refresh.remote()) is False  # unchanged
+    w = IndexWriter(out)
+    import ray.data
+
+    w.add_documents(ray.data.from_items(
+        [{"doc_id": 100 + i, "text": f"zqxfresh alpha z{i}"}
+         for i in range(5)]), input_kind="documents")
+    assert ray.get(actor.refresh.remote()) is True
+    hits = ray.get(actor.search_terms.remote(["zqxfresh"], 10))
+    assert len(hits) == 5
+    assert ray.get(actor.refresh.remote()) is False
