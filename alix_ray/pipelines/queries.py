@@ -2121,3 +2121,53 @@ ORDER BY doc_id, pos
 
 QUERIES.update({"substring_dups": q_substring_dups})
 ORACLES.update({"substring_dups": SQL_SUBSTRING_DUPS})
+
+
+# ---------------------------------------------------------------------
+# bigram-LM perplexity quality scoring — CCNet (Wenzek et al. 2020)
+# ---------------------------------------------------------------------
+
+LM_ADD_K = 0.5
+
+
+def q_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Per-doc add-k bigram perplexity under the corpus's own LM
+    (ops/lm.py: one-pass partial counts -> one sum shuffle -> broadcast
+    or gram-partitioned-join scoring)."""
+    from ..ops.lm import perplexity
+
+    df = perplexity(_docs_text(sf_dir), add_k=LM_ADD_K).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS l FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM arr),
+big AS (
+  SELECT doc_id,
+    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+    term AS w2
+  FROM toks QUALIFY w1 IS NOT NULL),
+uni AS (SELECT term AS w, count(*)::DOUBLE AS c1 FROM toks GROUP BY term),
+bi AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY w1, w2),
+v AS (SELECT count(*)::DOUBLE AS nv FROM uni),
+scored AS (
+  SELECT b.doc_id,
+    ln((bi.c2 + {LM_ADD_K}) / (uni.c1 + {LM_ADD_K} * v.nv)) AS logp
+  FROM big b
+  JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+  JOIN uni ON uni.w = b.w1
+  CROSS JOIN v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+  round(sum(logp) / count(*), 6) AS avg_logprob,
+  round(exp(-sum(logp) / count(*)), 6) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES.update({"lm_perplexity": q_lm_perplexity})
+ORACLES.update({"lm_perplexity": SQL_LM_PERPLEXITY})

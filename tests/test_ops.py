@@ -458,3 +458,73 @@ class TestVideoFrames:
                 pa.table({"media_id": pa.array([1], pa.int64()),
                           "payload": pa.array([b"x"], pa.binary())})
             )
+
+
+class TestBigramLM:
+    def _docs(self):
+        return pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat",
+                "the cat sat on the cat",
+                "zebra quark flux",   # rare grams → high ppl
+                "x",                  # single token → no bigrams
+            ],
+        })
+
+    def test_counts_and_hand_probability(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.lm import perplexity, train_bigram_counts
+
+        ds = ray.data.from_pandas(self._docs()).repartition(3)
+        counts = counts_df = train_bigram_counts(ds).to_pandas()
+        uni = counts_df[counts_df["order"] == 1].set_index("gram")["cnt"]
+        bi = counts_df[counts_df["order"] == 2].set_index("gram")["cnt"]
+        assert uni["the"] == 4 and uni["cat"] == 3
+        assert bi["the cat"] == 3 and bi["cat sat"] == 2
+        v = (counts_df["order"] == 1).sum()
+        got = perplexity(ds, add_k=0.5, mode="broadcast").to_pandas()
+        got = got.set_index("doc_id")
+        # doc 4 has one token → excluded
+        assert 4 not in got.index and len(got) == 3
+        # hand-check doc 1: bigrams the-cat cat-sat sat-on on-the the-mat
+        logs = [
+            np.log((bi["the cat"] + 0.5) / (uni["the"] + 0.5 * v)),
+            np.log((bi["cat sat"] + 0.5) / (uni["cat"] + 0.5 * v)),
+            np.log((bi["sat on"] + 0.5) / (uni["sat"] + 0.5 * v)),
+            np.log((bi["on the"] + 0.5) / (uni["on"] + 0.5 * v)),
+            np.log((bi["the mat"] + 0.5) / (uni["the"] + 0.5 * v)),
+        ]
+        avg = float(np.mean(logs))
+        assert got.loc[1, "avg_logprob"] == pytest.approx(avg, abs=1e-6)
+        assert got.loc[1, "ppl"] == pytest.approx(np.exp(-avg), rel=1e-6)
+        # repeated common bigrams beat the rare-gram doc
+        assert got.loc[2, "ppl"] < got.loc[3, "ppl"]
+
+    def test_join_path_matches_broadcast(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.lm import perplexity, train_bigram_counts
+
+        ds = ray.data.from_pandas(self._docs()).repartition(3)
+        counts = train_bigram_counts(ds).materialize()
+        b = (perplexity(ds, counts=counts, mode="broadcast").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        j = (perplexity(ds, counts=counts, mode="join").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(b, j[b.columns], check_dtype=False)
+
+    def test_foreign_lm_unseen_grams(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.lm import perplexity, train_bigram_counts
+
+        train = ray.data.from_pandas(self._docs())
+        counts = train_bigram_counts(train).materialize()
+        score = ray.data.from_pandas(pd.DataFrame({
+            "doc_id": [9], "text": ["wholly novel tokens here"]}))
+        got = perplexity(score, counts=counts, mode="broadcast").to_pandas()
+        # every gram unseen → P = k / (0 + k·V) = 1/V per bigram
+        v = counts.to_pandas().pipe(lambda d: (d["order"] == 1).sum())
+        assert got["ppl"].iloc[0] == pytest.approx(float(v), rel=1e-6)
