@@ -2171,3 +2171,70 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 QUERIES.update({"lm_perplexity": q_lm_perplexity})
 ORACLES.update({"lm_perplexity": SQL_LM_PERPLEXITY})
+
+
+# ---------------------------------------------------------------------
+# DSIR hashed-n-gram importance weights — Xie et al. 2023
+# ---------------------------------------------------------------------
+
+DSIR_BUCKETS = 8192
+DSIR_ADD = 1.0
+
+
+def q_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """Importance weight of every doc toward the lang='en' target
+    distribution via hashed unigram+bigram features (ops/dsir.py:
+    one bincount-partial counting pass, broadcast log-ratio table,
+    one scoring pass — token occurrences never shuffle)."""
+    from ..ops.dsir import dsir_weights
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    ).repartition(64)
+    df = dsir_weights(docs, buckets=DSIR_BUCKETS, add=DSIR_ADD).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS l FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos
+  FROM arr),
+big AS (
+  SELECT doc_id,
+    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+    term AS w2
+  FROM toks QUALIFY w1 IS NOT NULL),
+grams AS (
+  SELECT doc_id, term AS g FROM toks
+  UNION ALL
+  SELECT doc_id, w1 || ' ' || w2 AS g FROM big),
+hashed AS (
+  SELECT doc_id, (md5_number_lower(g) % {DSIR_BUCKETS})::BIGINT AS b
+  FROM grams),
+raw_cnt AS (SELECT b, count(*)::DOUBLE AS rc FROM hashed GROUP BY b),
+tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+tgt_cnt AS (
+  SELECT b, count(*)::DOUBLE AS tc FROM hashed
+  JOIN tgt USING (doc_id) GROUP BY b),
+tot AS (SELECT
+  (SELECT count(*) FROM hashed)::DOUBLE AS rt,
+  (SELECT count(*) FROM hashed JOIN tgt USING (doc_id))::DOUBLE AS tt)
+SELECT h.doc_id, count(*)::BIGINT AS n_grams,
+  round(sum(ln((coalesce(tc.tc, 0) + {DSIR_ADD})
+              / (tot.tt + {DSIR_ADD} * {DSIR_BUCKETS}))
+          - ln((rc.rc + {DSIR_ADD})
+              / (tot.rt + {DSIR_ADD} * {DSIR_BUCKETS}))), 6) AS logw
+FROM hashed h
+JOIN raw_cnt rc USING (b)
+LEFT JOIN tgt_cnt tc USING (b)
+CROSS JOIN tot
+GROUP BY h.doc_id ORDER BY h.doc_id
+"""
+
+
+QUERIES.update({"dsir_weights": q_dsir_weights})
+ORACLES.update({"dsir_weights": SQL_DSIR_WEIGHTS})

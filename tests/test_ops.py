@@ -528,3 +528,32 @@ class TestBigramLM:
         # every gram unseen → P = k / (0 + k·V) = 1/V per bigram
         v = counts.to_pandas().pipe(lambda d: (d["order"] == 1).sum())
         assert got["ppl"].iloc[0] == pytest.approx(float(v), rel=1e-6)
+
+
+class TestDsir:
+    def test_target_affinity_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.dsir import dsir_weights
+
+        df = pd.DataFrame({
+            "doc_id": range(8),
+            "text": (["the quick brown fox jumps the fence"] * 3
+                     + ["le chat noir dort sur le tapis"] * 3
+                     + ["the quick cat", "le brown fox"]),
+            "lang": ["en"] * 3 + ["fr"] * 3 + ["xx", "xx"],
+        })
+        ds = ray.data.from_pandas(df).repartition(4)
+        got = dsir_weights(ds, buckets=512).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == 8
+        # doc 6 shares grams with the en target, doc 7 with the fr
+        # non-target docs → target-affine doc scores strictly higher
+        w = got.set_index("doc_id")["logw"]
+        assert w[6] > w[7]
+        assert all(w[i] > w[j] for i in (0, 1, 2) for j in (3, 4, 5))
+        # pure function of content — identical under another partitioning
+        got2 = dsir_weights(ray.data.from_pandas(df).repartition(2),
+                            buckets=512).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, got2)
