@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -219,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    driver_max_pairs: int = 100_000,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -334,10 +336,60 @@ def minhash_lsh_pairs(
         )
 
     # candidate pairs, possibly repeated across bands — deduped inside
-    # the attach stage's doc_id partition (all copies co-locate there)
+    # the attach stage's doc_id partition (all copies co-locate there).
+    # Materialized: the pair set is tiny relative to the corpus by LSH
+    # construction and both verify strategies consume it.
     cand = banded.groupby("pkey").map_groups(
         part_bucket_pairs, batch_format="pandas"
-    )
+    ).materialize()
+
+    # ---- small-pair-set fast path (the connected_components /
+    # docids auto-select precedent): up to driver_max_pairs the verify
+    # runs on the driver — one filtered pass over sigs fetches the
+    # involved docs' shingle sets (pc.is_in against a broadcast id
+    # set), skipping the union + two groupby exchanges entirely.
+    # Identical output by construction; the distributed join below is
+    # the >driver_max_pairs path.
+    if cand.count() <= driver_max_pairs:
+        import pandas as pd
+
+        pairs = cand.to_pandas()
+        if len(pairs) == 0:
+            return ray.data.from_pandas(pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}))
+        pairs = pairs.drop_duplicates(["doc_a", "doc_b"])
+        involved = np.unique(
+            np.concatenate([pairs["doc_a"].to_numpy(np.int64),
+                            pairs["doc_b"].to_numpy(np.int64)]))
+        inv_ref = ray.put(pa.array(involved, pa.int64()))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch[id_col], value_set=ray.get(inv_ref)))
+
+        sh = sigs.select_columns([id_col, "shingles"]).map_batches(
+            pick, batch_format="pyarrow").to_pandas()
+        lut = dict(zip(sh[id_col].to_numpy(np.int64), sh["shingles"]))
+        out_a, out_b, out_j = [], [], []
+        for a_, b_ in zip(pairs["doc_a"].to_numpy(np.int64),
+                          pairs["doc_b"].to_numpy(np.int64)):
+            sa_ = np.frombuffer(lut.get(a_) or b"", np.int64)
+            sb_ = np.frombuffer(lut.get(b_) or b"", np.int64)
+            if not (len(sa_) or len(sb_)):
+                continue
+            inter = len(np.intersect1d(sa_, sb_, assume_unique=True))
+            union = len(sa_) + len(sb_) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(a_)
+                out_b.append(b_)
+                out_j.append(j)
+        return ray.data.from_pandas(pd.DataFrame(
+            {"doc_a": pd.Series(out_a, dtype="int64"),
+             "doc_b": pd.Series(out_b, dtype="int64"),
+             "jaccard": pd.Series(out_j, dtype="float64")}))
 
     # ---- exact verify via repartition join on doc_id ----------------
     def pair_sides(batch: pa.Table) -> pa.Table:

@@ -98,6 +98,13 @@ class TestRayOps:
         ds = ray.data.from_items(rows)
         pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
         assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 99)).any()
+        # the >driver_max_pairs distributed verify join returns the
+        # identical pair set (driver_max_pairs=0 forces it)
+        dist = minhash_lsh_pairs(ds, threshold=0.5,
+                                 driver_max_pairs=0).to_pandas()
+        key = ["doc_a", "doc_b", "jaccard"]
+        assert (pairs[key].sort_values(key).values.tolist()
+                == dist[key].sort_values(key).values.tolist())
 
     def test_brute_force_topk_matches_numpy(self, ray_session):
         import ray.data
