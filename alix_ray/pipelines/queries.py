@@ -2238,3 +2238,44 @@ GROUP BY h.doc_id ORDER BY h.doc_id
 
 QUERIES.update({"dsir_weights": q_dsir_weights})
 ORACLES.update({"dsir_weights": SQL_DSIR_WEIGHTS})
+
+
+# ---------------------------------------------------------------------
+# sequence-packing offsets — distributed exclusive prefix sum
+# ---------------------------------------------------------------------
+
+PACK_SEQ_LEN = 512
+
+
+def q_pack_offsets(sf_dir: str) -> pd.DataFrame:
+    """Every doc's position in the concatenated training token stream
+    (ops/packing.py: hierarchical scan — per-shard partials, driver
+    scan over shard totals, broadcast bases; one slim shuffle)."""
+    from ..ops.packing import pack_offsets
+
+    df = pack_offsets(_docs_text(sf_dir), seq_len=PACK_SEQ_LEN,
+                      shard_size=100).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PACK_OFFSETS = f"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS "offset"
+  FROM c)
+SELECT doc_id, n_tokens, "offset",
+  ("offset" // {PACK_SEQ_LEN})::BIGINT AS chunk_id,
+  ("offset" % {PACK_SEQ_LEN})::BIGINT AS chunk_pos
+FROM s ORDER BY doc_id
+"""
+
+
+QUERIES.update({"pack_offsets": q_pack_offsets})
+ORACLES.update({"pack_offsets": SQL_PACK_OFFSETS})

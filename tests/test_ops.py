@@ -564,3 +564,27 @@ class TestDsir:
                             buckets=512).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, got2)
+
+
+class TestPacking:
+    def test_offsets_exact_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.packing import pack_offsets
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["a b c", "", "d e", "f g h i j", "k"],
+        })
+        got = pack_offsets(ray.data.from_pandas(df).repartition(3),
+                           seq_len=4, shard_size=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got["n_tokens"].tolist() == [3, 0, 2, 5, 1]
+        assert got["offset"].tolist() == [0, 3, 3, 5, 10]
+        assert got["chunk_id"].tolist() == [0, 0, 0, 1, 2]
+        assert got["chunk_pos"].tolist() == [0, 3, 3, 1, 2]
+        # scan is deterministic under any partitioning / shard size
+        got2 = pack_offsets(ray.data.from_pandas(df).repartition(5),
+                            seq_len=4, shard_size=1000).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, got2)
