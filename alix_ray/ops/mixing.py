@@ -76,3 +76,37 @@ def mix_sample(ds: ray.data.Dataset, weights: dict[str, float],
         return df.loc[np.asarray(h, np.int64) < thr]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def hash_split(ds: ray.data.Dataset, fractions: dict[str, float],
+               id_col: str = "doc_id",
+               salt: str = "split") -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: the splits partition
+    the md5 hash line into contiguous integer ranges in the given
+    order (fractions must sum to 1).  Pure function of the row id —
+    reproducible across runs, cluster sizes, and partitionings; no
+    shuffle, no RNG state; every row lands in exactly one split.
+    Adds a ``split`` column (``mix_sample``'s hashing convention, so
+    the DuckDB oracle reproduces it bit-for-bit)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    bounds = np.cumsum([int(fractions[n] * MIX_RESOLUTION)
+                        for n in names])
+    bounds[-1] = MIX_RESOLUTION  # absorb integer-truncation remainder
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            df = df.copy()
+            df["split"] = pd.Series([], dtype="object")
+            return df
+        from .dedup import md5_lower64
+
+        h = md5_lower64([f"{salt}:{i}" for i in df[id_col]]) % MIX_RESOLUTION
+        idx = np.searchsorted(bounds, np.asarray(h, np.int64), side="right")
+        df = df.copy()
+        df["split"] = np.array(names, dtype=object)[idx]
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -2279,3 +2279,41 @@ FROM s ORDER BY doc_id
 
 QUERIES.update({"pack_offsets": q_pack_offsets})
 ORACLES.update({"pack_offsets": SQL_PACK_OFFSETS})
+
+
+# ---------------------------------------------------------------------
+# deterministic train/val/test hash split
+# ---------------------------------------------------------------------
+
+SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic split assignment by md5 hash ranges
+    (ops/mixing.py hash_split — shuffle-free, partition-invariant)."""
+    from ..ops.mixing import hash_split
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).repartition(16)
+    df = hash_split(docs, SPLIT_FRACS).to_pandas()
+    return (df[["doc_id", "source", "split"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_HASH_SPLIT = """
+SELECT doc_id, source,
+  CASE
+    WHEN md5_number_lower('split:' || doc_id) % 1000000 < 900000
+      THEN 'train'
+    WHEN md5_number_lower('split:' || doc_id) % 1000000 < 950000
+      THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES.update({"hash_split": q_hash_split})
+ORACLES.update({"hash_split": SQL_HASH_SPLIT})

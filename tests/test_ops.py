@@ -588,3 +588,26 @@ class TestPacking:
                             seq_len=4, shard_size=1000).to_pandas() \
             .sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, got2)
+
+
+class TestHashSplit:
+    def test_partition_and_proportions(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.mixing import hash_split
+
+        df = pd.DataFrame({"doc_id": range(2000)})
+        got = hash_split(ray.data.from_pandas(df).repartition(7),
+                         {"train": 0.8, "val": 0.1, "test": 0.1}) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        frac = got["split"].value_counts(normalize=True)
+        assert 0.75 < frac["train"] < 0.85
+        assert 0.06 < frac["val"] < 0.14
+        assert 0.06 < frac["test"] < 0.14
+        # every row in exactly one split; invariant under partitioning
+        got2 = hash_split(ray.data.from_pandas(df).repartition(2),
+                          {"train": 0.8, "val": 0.1, "test": 0.1}) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["split"].tolist() == got2["split"].tolist()
+        with pytest.raises(ValueError):
+            hash_split(ray.data.from_pandas(df), {"a": 0.5, "b": 0.4})
