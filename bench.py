@@ -173,7 +173,8 @@ def run_bench() -> dict:
     from alix_ray.pipelines import queries as q
 
     pipeline_secs = {}
-    for name in ("term_stats", "bm25_top10", "minhash_pairs", "ann_topk"):
+    for name in ("term_stats", "bm25_top10", "minhash_pairs", "ann_topk",
+                 "lm_perplexity"):
         t0 = time.time()
         q.QUERIES[name](SF_DIR)
         pipeline_secs[name] = round(time.time() - t0, 3)
