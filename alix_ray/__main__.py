@@ -125,6 +125,28 @@ def cmd_w2v(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Vocabulary reports (Keywords/Unknowns/Names/Expressions CLI
+    analogs; ops/reports.py)."""
+    ray = _ray_session()
+    import ray.data
+
+    from .ops import reports
+
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    if args.kind == "keywords":
+        df = reports.keywords_report(ds, k=args.k).to_pandas()
+    elif args.kind == "unknowns":
+        df = reports.unknowns_report(ds, k=args.k)
+    elif args.kind == "names":
+        df = reports.names_report(ds, k=args.k)
+    else:
+        df = reports.expressions_report(ds, k=args.k)
+    print(df.to_csv(sep="\t", index=False), end="")
+    ray.shutdown()
+    return 0
+
+
 def cmd_add(args) -> int:
     """Incremental add: index new parquet input as a delta generation
     (IndexWriter.addDocuments analog)."""
@@ -287,6 +309,15 @@ def main(argv=None) -> int:
     w.add_argument("--input", required=True)
     w.add_argument("--out", required=True)
     w.set_defaults(fn=cmd_w2v)
+
+    rp = sub.add_parser("report", help="vocabulary reports "
+                        "(keywords/unknowns/names/expressions)")
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--kind", default="keywords",
+                    choices=["keywords", "unknowns", "names",
+                             "expressions"])
+    rp.add_argument("-k", type=int, default=100)
+    rp.set_defaults(fn=cmd_report)
 
     a = sub.add_parser("add", help="incremental add (delta generation)")
     a.add_argument("--index", required=True)

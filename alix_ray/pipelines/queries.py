@@ -2317,3 +2317,101 @@ FROM documents ORDER BY doc_id
 
 QUERIES.update({"hash_split": q_hash_split})
 ORACLES.update({"hash_split": SQL_HASH_SPLIT})
+
+
+# ---------------------------------------------------------------------
+# vocabulary reports — cli/Keywords.java, Unknowns.java, Names.java,
+# Expressions.java re-expressed (ops/reports.py)
+# ---------------------------------------------------------------------
+
+KW_K = 10
+
+
+def q_keywords(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-10 keywords under the reference's three Distrib
+    scorers (freq / G test / freq·idf), stop words excluded — the
+    Keywords CLI report on the SQL-mirrorable simple profile."""
+    from ..ops.reports import keywords_report
+
+    df = keywords_report(_docs_text(sf_dir), k=KW_K).to_pandas()
+    return (df.sort_values(["doc_id", "metric", "rank"])
+            .reset_index(drop=True))
+
+
+SQL_KEYWORDS = f"""
+WITH toks AS ({TOKS}),
+nost AS (SELECT doc_id, term FROM toks WHERE term NOT IN ({_STOP_EN})),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM nost GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+cfdf AS (SELECT term, sum(tf) AS cf, count(*)::DOUBLE AS df
+         FROM tf GROUP BY term),
+tot AS (SELECT sum(tf) AS total FROM tf),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+cells AS (
+  SELECT t.doc_id, t.term, t.tf, d.dl, c.cf, c.df,
+    c.cf - t.tf AS ot, x.total - d.dl AS ot_tokens,
+    d.dl - t.tf AS fnon, (x.total - d.dl) - (c.cf - t.tf) AS onon,
+    x.total AS allt, c.cf AS term_t,
+    x.total - c.cf AS non_t
+  FROM tf t JOIN dl d USING (doc_id) JOIN cfdf c USING (term)
+  CROSS JOIN tot x),
+g AS (
+  SELECT doc_id, term, tf, df,
+    (CASE WHEN tf > 0 AND dl * term_t / allt > 0
+      THEN 2 * tf * ln(tf / (dl * term_t / allt)) ELSE 0 END) +
+    (CASE WHEN ot > 0 AND ot_tokens * term_t / allt > 0
+      THEN 2 * ot * ln(ot / (ot_tokens * term_t / allt)) ELSE 0 END) +
+    (CASE WHEN fnon > 0 AND dl * non_t / allt > 0
+      THEN 2 * fnon * ln(fnon / (dl * non_t / allt)) ELSE 0 END) +
+    (CASE WHEN onon > 0 AND ot_tokens * non_t / allt > 0
+      THEN 2 * onon * ln(onon / (ot_tokens * non_t / allt)) ELSE 0 END)
+    AS raw,
+    CASE WHEN tf / dl >= ot / ot_tokens THEN 1 ELSE -1 END AS sgn
+  FROM cells),
+scored AS (
+  SELECT doc_id, 'freq' AS metric, term, round(tf, 6) AS score FROM g
+  UNION ALL
+  SELECT doc_id, 'g', term, round(sgn * raw, 6) FROM g
+  UNION ALL
+  SELECT doc_id, 'freq_idf', term,
+    round(tf * ln((SELECT n_docs FROM nd) / greatest(df, 1)), 6) FROM g),
+ranked AS (
+  SELECT doc_id, metric, term, score,
+    row_number() OVER (PARTITION BY doc_id, metric
+                       ORDER BY score DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, metric, rank, term, score FROM ranked
+WHERE rank <= {KW_K} ORDER BY doc_id, metric, rank
+"""
+
+
+def q_unknowns(sf_dir: str) -> pd.DataFrame:
+    """Freqlist of lexicon-unknown forms (Unknowns CLI; French chain
+    — rows-only, the chain is non-SQL)."""
+    from ..ops.reports import unknowns_report
+
+    return unknowns_report(_docs_text(sf_dir), k=200)
+
+
+def q_names(sf_dir: str) -> pd.DataFrame:
+    """Freqlist of maximal proper-name runs (Names CLI; French chain
+    — rows-only).  Runs over the self-generated pages corpus, whose
+    special fragments plant real name shapes (M. Martin,
+    J.-J. Rousseau); the documents table is all-lowercase."""
+    from ..corpus import pages_dataset
+    from ..ops.reports import names_report
+
+    pages = pages_dataset(2000).map_batches(
+        lambda t: t.select(["text"]).append_column(
+            "doc_id", pa.array(range(len(t)), pa.int64())),
+        batch_format="pyarrow")
+    return names_report(pages, k=200)
+
+
+QUERIES.update({
+    "keywords": q_keywords,
+    "unknowns": q_unknowns,
+    "names": q_names,
+})
+ORACLES.update({"keywords": SQL_KEYWORDS})

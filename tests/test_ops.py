@@ -611,3 +611,56 @@ class TestHashSplit:
         assert got["split"].tolist() == got2["split"].tolist()
         with pytest.raises(ValueError):
             hash_split(ray.data.from_pandas(df), {"a": 0.5, "b": 0.4})
+
+
+class TestVocabReports:
+    def test_keywords_hand_check(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.reports import keywords_report
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["zebra zebra zebra apple",
+                     "apple banana apple banana cherry",
+                     "the the the of of zebra"],
+        })
+        got = keywords_report(ray.data.from_pandas(df), k=2) \
+            .to_pandas()
+        freq1 = got[(got["doc_id"] == 1) & (got["metric"] == "freq")]
+        assert freq1["term"].tolist() == ["zebra", "apple"]
+        assert freq1["score"].tolist() == [3.0, 1.0]
+        # stop words (en profile) never appear
+        assert not got["term"].isin(["the", "of"]).any()
+        # G promotes the doc-distinctive term
+        g2_doc2 = got[(got["doc_id"] == 2) & (got["metric"] == "g")]
+        assert g2_doc2["term"].iloc[0] in ("banana", "apple")
+        # freq_idf: df(zebra)=2, df(cherry)=1 → cherry has higher idf
+        fi2 = got[(got["doc_id"] == 2) & (got["metric"] == "freq_idf")]
+        assert "cherry" in fi2["term"].tolist()
+
+    def test_names_and_unknowns_rules(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.reports import (
+            expressions_report,
+            names_report,
+            unknowns_report,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["Jean Valjean rencontre Cosette et Jean Valjean",
+                     "le blorptag du flumzor reste un blorptag xyzq123"],
+        })
+        ds = ray.data.from_pandas(df)
+        names = names_report(ds, k=10)
+        assert names.iloc[0]["form"] == "Jean Valjean"
+        assert names.iloc[0]["n"] == 2
+        unk = unknowns_report(ds, k=10)
+        forms = unk["form"].tolist()
+        assert "blorptag" in forms and "flumzor" in forms
+        # digit-final and <3-char forms excluded (Unknowns.java rules)
+        assert "xyzq123" not in forms
+        expr = expressions_report(ds, k=10, width=2)
+        assert (expr["n"] > 0).all() if len(expr) else True
