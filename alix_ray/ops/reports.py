@@ -267,3 +267,71 @@ def expressions_report(ds: ray.data.Dataset, k: int = 2000,
                 yield " ".join(run)
                 run = []
     return _freqlist(ds, forms, k)
+
+
+# ---------------------------------------------------------------------
+# Balinoms — tag person names inside XML (cli/Balinoms.java:175-245)
+# ---------------------------------------------------------------------
+
+
+def _tag_names_one(fa, xml: str) -> tuple[str, int]:
+    """Splice ``<persName key="…">…</persName>`` around name tokens
+    using their source offsets; every byte outside the injected tags is
+    the original document (Balinoms.java prints the inter-token
+    substrings verbatim).  Returns (tagged_xml, n_names)."""
+    parts: list[str] = []
+    begin = 0
+    n = 0
+    for t in fa._chain(xml):
+        if t.cls != "WORD" or not t.text:
+            continue
+        is_name = (t.pos == "PROPN"
+                   or (t.text[:1].isupper() and not t.lex
+                       and len(t.text) > 1
+                       and t.text.lower() not in fa.stopwords))
+        if not is_name:
+            continue
+        key = t.lemma or t.text
+        parts.append(xml[begin:t.start])
+        parts.append(f'<persName key="{key}">')
+        parts.append(xml[t.start:t.end])
+        parts.append("</persName>")
+        begin = t.end
+        n += 1
+    parts.append(xml[begin:])
+    return "".join(parts), n
+
+
+def balinoms(ds: ray.data.Dataset, text_col: str = "text",
+             id_col: str = "doc_id",
+             concurrency: int | None = None) -> ray.data.Dataset:
+    """Distributed Balinoms: rows ``(doc_id, tagged, n_names)`` — the
+    XML with person-name tokens wrapped in ``<persName key=lemma>``
+    elements (pers-initial merging on, so "M. Martin" tags as one
+    name).  Actor-pool stage, analyzer loaded once per worker."""
+
+    class Tag:
+        def __init__(self):
+            from ..analysis import FrenchAnalyzer
+
+            self.fa = FrenchAnalyzer(pers_initial=True)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tagged, counts = [], []
+            for xml in batch[text_col].to_pylist():
+                t, n = _tag_names_one(self.fa, xml or "")
+                tagged.append(t)
+                counts.append(n)
+            return pa.table({
+                id_col: batch[id_col],
+                "tagged": pa.array(tagged, pa.large_string()),
+                "n_names": pa.array(counts, pa.int64()),
+            })
+
+    import ray as _ray
+
+    if concurrency is None:
+        ncpu = int(_ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, min(8, ncpu // 2))
+    return ds.map_batches(Tag, batch_format="pyarrow",
+                          concurrency=concurrency)

@@ -2415,3 +2415,34 @@ QUERIES.update({
     "names": q_names,
 })
 ORACLES.update({"keywords": SQL_KEYWORDS})
+
+
+def q_balinoms(sf_dir: str) -> pd.DataFrame:
+    """Person-name XML tagging over the pages corpus (Balinoms CLI;
+    rows-only — French chain).  Returns per-doc name counts; the
+    splice-byte-identity invariant is asserted inline."""
+    import re as _re
+
+    import numpy as _np
+
+    from ..corpus import pages_batch
+    from ..ops.reports import balinoms
+
+    # stable ids: generate the audit slice once, driver-side (500 rows)
+    t = pages_batch(_np.arange(500)).select(["text"]).append_column(
+        "doc_id", pa.array(range(500), pa.int64()))
+    pages = ray.data.from_arrow(t).repartition(8)
+    out = balinoms(pages).to_pandas()
+    src = t.to_pandas().set_index("doc_id")["text"]
+    stripped = out["tagged"].map(
+        lambda s: _re.sub(r"</?persName[^>]*>", "", s))
+    bad = int((stripped.to_numpy()
+               != src.loc[out["doc_id"]].to_numpy()).sum())
+    if bad:
+        raise AssertionError(
+            f"{bad} rows violate Balinoms splice byte-identity")
+    return (out[["doc_id", "n_names"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+QUERIES.update({"balinoms": q_balinoms})

@@ -664,3 +664,26 @@ class TestVocabReports:
         assert "xyzq123" not in forms
         expr = expressions_report(ds, k=10, width=2)
         assert (expr["n"] > 0).all() if len(expr) else True
+
+
+class TestBalinoms:
+    def test_tagging_and_byte_identity(self, ray_session):
+        import re
+
+        import ray.data
+
+        from alix_ray.ops.reports import balinoms
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["<p>Selon M. Martin et Cosette, la table.</p>",
+                     "le chat dort sur la table"],
+        })
+        got = balinoms(ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got["n_names"].tolist() == [2, 0]
+        assert '<persName key="M. Martin">M. Martin</persName>' \
+            in got["tagged"].iloc[0]
+        for i in range(2):
+            assert re.sub(r"</?persName[^>]*>", "",
+                          got["tagged"].iloc[i]) == df["text"].iloc[i]
