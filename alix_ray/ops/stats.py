@@ -1,0 +1,64 @@
+"""Distributed corpus statistics.
+
+:func:`exact_quantiles` — EXACT rank-based quantiles of a column
+without sorting or materializing it: one pass of per-batch
+``value_counts`` partials, one tiny ``groupby(value).sum`` exchange,
+driver cumsum over the distinct-value histogram.  The quantile
+definition is pinned to the classic lower quantile — the smallest
+value whose cumulative count reaches ``ceil(q·n)`` — expressed
+identically in the DuckDB oracle as ``max`` over the first
+``ceil(q·n)`` ordered rows, so both sides agree by construction
+(no dependence on any engine's quantile interpolation flavor).
+
+Scale shape: shuffle bytes ∝ distinct values per batch, driver state
+∝ global distinct values.  Quality-metric columns (token counts,
+ratios rounded to 6 decimals, year buckets) have bounded domains at
+any corpus size; for genuinely unbounded double columns the histogram
+guard raises and the caller widens ``max_distinct`` or pre-buckets —
+an explicit failure, never a silent approximation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str,
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    max_distinct: int = 5_000_000) -> "pd.DataFrame":
+    """Rows ``(q, value, rank, n)``: for each quantile fraction the
+    exact column value at rank ``ceil(q·n)`` (1-based) among all
+    non-null values in ascending order."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.drop_null(batch[col]))
+        return pa.table({
+            "value": vc.field(0),
+            "cnt": vc.field(1).cast(pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("value").sum("cnt").to_pandas())
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"{len(hist)} distinct values exceeds max_distinct="
+            f"{max_distinct}; pre-bucket the column or raise the bound")
+    hist = hist.sort_values("value").reset_index(drop=True)
+    counts = hist["sum(cnt)"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile fraction out of (0, 1]: {q}")
+        k = max(1, math.ceil(q * n))
+        i = int(np.searchsorted(cum, k, side="left"))
+        rows.append({"q": q, "value": hist["value"].iloc[i],
+                     "rank": k, "n": n})
+    return pd.DataFrame(rows)

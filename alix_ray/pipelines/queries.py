@@ -2446,3 +2446,128 @@ def q_balinoms(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES.update({"balinoms": q_balinoms})
+
+
+# ---------------------------------------------------------------------
+# exact distributed quantiles — histogram scan, no sort
+# ---------------------------------------------------------------------
+
+QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact rank-based quantiles of n_chars (ops/stats.py: one
+    value_counts pass + tiny distinct-value groupby; pinned lower-
+    quantile semantics shared with the oracle by construction)."""
+    from ..ops.stats import exact_quantiles
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"],
+    ).repartition(16)
+    df = exact_quantiles(docs, "n_chars", QUANTILE_QS)
+    df["value"] = df["value"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("q").reset_index(drop=True)
+
+
+SQL_QUANTILES = """
+WITH ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+         count(*) OVER () AS n
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT q, value, rank, n FROM (
+  SELECT 0.5 AS q, max(n_chars) AS value,
+    ceil(0.5 * any_value(n))::BIGINT AS rank, any_value(n)::BIGINT AS n
+  FROM ranked WHERE rn <= ceil(0.5 * n)
+  UNION ALL
+  SELECT 0.9, max(n_chars), ceil(0.9 * any_value(n))::BIGINT,
+    any_value(n)::BIGINT
+  FROM ranked WHERE rn <= ceil(0.9 * n)
+  UNION ALL
+  SELECT 0.99, max(n_chars), ceil(0.99 * any_value(n))::BIGINT,
+    any_value(n)::BIGINT
+  FROM ranked WHERE rn <= ceil(0.99 * n)
+) ORDER BY q
+"""
+
+
+QUERIES.update({"quantiles": q_quantiles})
+ORACLES.update({"quantiles": SQL_QUANTILES})
+
+
+# ---------------------------------------------------------------------
+# flagship corpus-curation pipeline — quality filter → exact dedup →
+# hash split → sequence packing, one streaming composition
+# ---------------------------------------------------------------------
+
+CURATE_MIN_TOKENS = 32
+CURATE_MIN_ALPHA = 0.8
+CURATE_SEQ_LEN = 512
+
+
+def q_curate(sf_dir: str) -> pd.DataFrame:
+    """End-to-end training-data curation over documents: vectorized
+    quality gate (map-side, no join), content-hash keep-first dedup,
+    deterministic train split, packing offsets for the training
+    stream.  Every stage is an existing oracle-checked operator; the
+    composition itself is oracled as one SQL CTE chain."""
+    from ..ops.dedup import exact_dedup
+    from ..ops.mixing import hash_split
+    from ..ops.packing import pack_offsets
+    from ..ops.textstats import round_half_away
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        from ..analysis import SimpleAnalyzer
+
+        lists = SimpleAnalyzer.tokens_arrays(batch["text"])
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        texts = batch["text"]
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(texts, "[^A-Za-z]", "")
+        ).to_numpy(zero_copy_only=False)
+        ratio = round_half_away(alpha / np.maximum(n_chars, 1))
+        keep = (n_tok >= CURATE_MIN_TOKENS) & (ratio >= CURATE_MIN_ALPHA)
+        return batch.filter(pa.array(keep))
+
+    docs = _docs_text(sf_dir).map_batches(
+        quality_gate, batch_format="pyarrow")
+    clean = exact_dedup(docs).select_columns(["doc_id", "text"])
+    split = hash_split(clean, SPLIT_FRACS)
+    train = split.filter(expr="split == 'train'")
+    df = pack_offsets(train, seq_len=CURATE_SEQ_LEN,
+                      shard_size=100).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CURATE = f"""
+WITH arr AS (
+  SELECT doc_id, text,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS n_tokens,
+    round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+          greatest(len(text), 1), 6) AS alpha
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM arr
+  WHERE n_tokens >= {CURATE_MIN_TOKENS} AND alpha >= {CURATE_MIN_ALPHA}),
+firsts AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+train AS (
+  SELECT k.doc_id, k.n_tokens FROM kept k JOIN firsts USING (doc_id)
+  WHERE md5_number_lower('split:' || k.doc_id) % 1000000 < 900000),
+s AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS "offset"
+  FROM train)
+SELECT doc_id, n_tokens, "offset",
+  ("offset" // {CURATE_SEQ_LEN})::BIGINT AS chunk_id,
+  ("offset" % {CURATE_SEQ_LEN})::BIGINT AS chunk_pos
+FROM s ORDER BY doc_id
+"""
+
+
+QUERIES.update({"curate": q_curate})
+ORACLES.update({"curate": SQL_CURATE})
