@@ -2571,3 +2571,14 @@ FROM s ORDER BY doc_id
 
 QUERIES.update({"curate": q_curate})
 ORACLES.update({"curate": SQL_CURATE})
+
+
+def q_expressions(sf_dir: str) -> pd.DataFrame:
+    """Freqlist of 3-word open-class expression chunks (Expressions
+    CLI; French chain — rows-only)."""
+    from ..ops.reports import expressions_report
+
+    return expressions_report(_docs_text(sf_dir), k=200)
+
+
+QUERIES.update({"expressions": q_expressions})
