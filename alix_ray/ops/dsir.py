@@ -28,11 +28,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ._util import broadcast_cached
 from .dedup import md5_lower64
 from .lm import _bigram_rows
 from .textstats import round_half_away
-
-_DSIR_CACHE: dict[str, np.ndarray] = {}  # per-worker log-ratio table
 
 
 def _hashed_grams(batch: pa.Table, text_col: str, buckets: int):
@@ -90,11 +89,7 @@ def dsir_weights(ds: ray.data.Dataset, text_col: str = "text",
     ratio_ref = ray.put(logratio)
 
     def score(batch: pa.Table) -> pa.Table:
-        key = ratio_ref.hex()
-        lr = _DSIR_CACHE.get(key)
-        if lr is None:  # once per worker process
-            _DSIR_CACHE.clear()
-            lr = _DSIR_CACHE[key] = ray.get(ratio_ref)
+        lr = broadcast_cached(ratio_ref)
         gowner, b = _hashed_grams(batch, text_col, buckets)
         n_rows = len(batch)
         n_grams = np.bincount(gowner, minlength=n_rows)

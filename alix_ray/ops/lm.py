@@ -30,10 +30,10 @@ import ray
 import ray.data
 
 from ..analysis import SimpleAnalyzer
+from ._util import broadcast_cached
 from .textstats import round_half_away
 
 _LM_PARTS = 64  # coarse hash partitions for the join path
-_LM_CACHE: dict[str, tuple] = {}  # per-worker broadcast model cache
 
 
 def _bigram_rows(batch: pa.Table, text_col: str):
@@ -147,12 +147,7 @@ def _ppl_broadcast(ds, counts, text_col, add_k):
     ))
 
     def score(batch: pa.Table) -> pa.Table:
-        key = model_ref.hex()
-        model = _LM_CACHE.get(key)
-        if model is None:  # once per worker process
-            _LM_CACHE.clear()
-            model = _LM_CACHE[key] = ray.get(model_ref)
-        uni_g, uni_c, bi_g, bi_c = model
+        uni_g, uni_c, bi_g, bi_c = broadcast_cached(model_ref)
         owner, idx, _, w1, w2 = _bigram_rows(batch, text_col)
         gram = pc.binary_join_element_wise(w1, w2, " ")
         i1 = pc.fill_null(pc.index_in(w1, value_set=uni_g), -1)
@@ -257,4 +252,18 @@ def _ppl_join(ds, counts, text_col, add_k):
             "ppl": round_half_away(np.exp(-avg)),
         })
 
-    return step2.groupby("doc_id").map_groups(finish, batch_format="pandas")
+    # final sum groups by a COARSE doc-hash partition (the repo-wide
+    # map_groups discipline — one pandas dispatch per raw doc_id would
+    # be millions of tiny groups); finish() re-groups exactly inside
+    def doc_pkey(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return tbl.append_column(
+            "dkey", pa.array((ids % _LM_PARTS).astype(np.int64)))
+
+    return (
+        step2.map_batches(doc_pkey, batch_format="pyarrow")
+        .groupby("dkey")
+        .map_groups(lambda g: finish(g.drop(columns=["dkey"])),
+                    batch_format="pandas")
+    )

@@ -92,7 +92,10 @@ def hash_split(ds: ray.data.Dataset, fractions: dict[str, float],
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
     names = list(fractions)
-    bounds = np.cumsum([int(fractions[n] * MIX_RESOLUTION)
+    # round, not int(): float products of exact decimal fractions can
+    # land one ulp below the intended integer bound
+    # (int(0.0157 * 1e6) == 15699)
+    bounds = np.cumsum([round(fractions[n] * MIX_RESOLUTION)
                         for n in names])
     bounds[-1] = MIX_RESOLUTION  # absorb integer-truncation remainder
 

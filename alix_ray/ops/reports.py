@@ -30,10 +30,9 @@ import ray
 import ray.data
 
 from ..analysis import SimpleAnalyzer
+from ._util import broadcast_cached, default_concurrency
 from .analytics import keyness_g2
 from .textstats import round_half_away
-
-_KW_CACHE: dict[str, tuple] = {}
 
 # closed-class POS the Expressions chunker breaks on
 # (Expressions.java:343-353: PUN | VERB | DET | CONN | PRO | ADV)
@@ -101,16 +100,13 @@ def keywords_report(ds: ray.data.Dataset, k: int = 10,
     model_ref = ray.put((terms_arr, cf_arr, df_arr, total, n_docs))
 
     def score(batch: pa.Table) -> pa.Table:
-        key = model_ref.hex()
-        model = _KW_CACHE.get(key)
-        if model is None:
-            _KW_CACHE.clear()
-            model = _KW_CACHE[key] = ray.get(model_ref)
-        terms_a, cf_a, df_a, tot, nd = model
+        terms_a, cf_a, df_a, tot, nd = broadcast_cached(model_ref)
         lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        rows = {"doc_id": [], "metric": [], "rank": [], "term": [],
-                "score": []}
+        # per-doc distinct (term, tf), collected batch-wide so the
+        # corpus-vocabulary hash lookup (index_in builds a table over
+        # value_set per CALL) runs ONCE per batch, not once per doc
+        doc_terms, doc_tfs, doc_rows = [], [], []
         for i in range(len(ids)):
             toks = lists.slice(i, 1).flatten()
             toks = toks.filter(
@@ -118,12 +114,32 @@ def keywords_report(ds: ray.data.Dataset, k: int = 10,
             if len(toks) == 0:
                 continue
             vc = pc.value_counts(toks)
-            t_terms = vc.field(0)
-            tf = vc.field(1).to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
+            doc_terms.append(vc.field(0))
+            doc_tfs.append(vc.field(1).to_numpy(zero_copy_only=False)
+                           .astype(np.float64))
+            doc_rows.append(i)
+        rows = {"doc_id": [], "metric": [], "rank": [], "term": [],
+                "score": []}
+        if not doc_rows:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "metric": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            })
+        all_terms = pa.concat_arrays(
+            [t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+             for t in doc_terms])
+        all_ix = pc.index_in(all_terms, value_set=terms_a) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(
+            ([0], np.cumsum([len(t) for t in doc_terms])))
+        for j, i in enumerate(doc_rows):
+            t_terms = doc_terms[j]
+            tf = doc_tfs[j]
             dl = float(tf.sum())
-            ix = pc.index_in(t_terms, value_set=terms_a) \
-                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ix = all_ix[offs[j]:offs[j + 1]]
             cf = cf_a[ix]
             dfv = df_a[ix]
             t_list = np.asarray(t_terms.to_pylist(), dtype=object)
@@ -178,11 +194,8 @@ def _freqlist(ds: ray.data.Dataset, forms_fn, k: int,
                 "n": pa.array(list(c.values()), pa.int64()),
             })
 
-    import ray as _ray
-
     if concurrency is None:
-        ncpu = int(_ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, min(8, ncpu // 2))
+        concurrency = default_concurrency()
     counts = (
         ds.map_batches(Extract, batch_format="pyarrow",
                        concurrency=concurrency)
@@ -328,10 +341,7 @@ def balinoms(ds: ray.data.Dataset, text_col: str = "text",
                 "n_names": pa.array(counts, pa.int64()),
             })
 
-    import ray as _ray
-
     if concurrency is None:
-        ncpu = int(_ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, min(8, ncpu // 2))
+        concurrency = default_concurrency()
     return ds.map_batches(Tag, batch_format="pyarrow",
                           concurrency=concurrency)

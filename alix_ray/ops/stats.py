@@ -21,6 +21,7 @@ an explicit failure, never a silent approximation.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 import numpy as np
 import pyarrow as pa
@@ -49,15 +50,21 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
         raise ValueError(
             f"{len(hist)} distinct values exceeds max_distinct="
             f"{max_distinct}; pre-bucket the column or raise the bound")
+    if len(hist) == 0 or "value" not in hist.columns:
+        raise ValueError(f"no non-null values in column {col!r}")
     hist = hist.sort_values("value").reset_index(drop=True)
     counts = hist["sum(cnt)"].to_numpy(np.int64)
     cum = np.cumsum(counts)
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     rows = []
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantile fraction out of (0, 1]: {q}")
-        k = max(1, math.ceil(q * n))
+        # exact-decimal rank: float64 q·n can overshoot an exact
+        # integer (0.55·100 = 55.000000000000007 → ceil 56), while the
+        # SQL oracle's DECIMAL arithmetic is exact — Fraction(str(q))
+        # pins the decimal literal the caller wrote
+        k = max(1, math.ceil(Fraction(str(q)) * n))
         i = int(np.searchsorted(cum, k, side="left"))
         rows.append({"q": q, "value": hist["value"].iloc[i],
                      "rank": k, "n": n})
