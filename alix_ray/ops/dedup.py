@@ -997,3 +997,44 @@ def embedding_dup_pairs(ds: ray.data.Dataset, threshold: float = 0.95,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_cross_pairs(corpus: ray.data.Dataset, ref: ray.data.Dataset,
+                        text_col="text", id_col="doc_id",
+                        offset: int | None = None,
+                        **kw) -> ray.data.Dataset:
+    """Near-dup pairs ACROSS two corpora — the near-duplicate form of
+    benchmark decontamination (a training doc that is a fuzzy copy of
+    an eval doc escapes exact n-gram matching; LSH banding over the
+    UNION catches it).  Returns ``(doc_id, ref_id, jaccard)`` with the
+    exact verified Jaccard ≥ threshold.
+
+    Composition: ref ids shift above the corpus id range (id-disjoint
+    union), one :func:`minhash_lsh_pairs` run over the union — the
+    banding, slim shuffle, and verify paths are shared, costing the
+    same as near-dup over the combined corpus — then only
+    cross-boundary pairs survive.  ``offset`` defaults to
+    ``max(corpus.doc_id) + 1`` (one tiny aggregate)."""
+    if offset is None:
+        offset = int(corpus.max(id_col)) + 1
+
+    def shift(batch: pa.Table) -> pa.Table:
+        ids = pc.add(batch[id_col].cast(pa.int64()), offset)
+        return pa.table({id_col: ids, text_col: batch[text_col]})
+
+    both = corpus.select_columns([id_col, text_col]).union(
+        ref.map_batches(shift, batch_format="pyarrow"))
+    pairs = minhash_lsh_pairs(both, text_col=text_col, id_col=id_col,
+                              **kw)
+
+    def cross_only(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        m = (a < offset) & (b >= offset)  # doc_a<doc_b ⇒ ref is b
+        return pa.table({
+            id_col: pa.array(a[m], pa.int64()),
+            "ref_id": pa.array(b[m] - offset, pa.int64()),
+            "jaccard": batch["jaccard"].filter(pa.array(m)),
+        })
+
+    return pairs.map_batches(cross_only, batch_format="pyarrow")

@@ -2582,3 +2582,70 @@ def q_expressions(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES.update({"expressions": q_expressions})
+
+
+# ---------------------------------------------------------------------
+# cross-corpus near-dup decontamination — minhash over the union
+# ---------------------------------------------------------------------
+
+
+def q_cross_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs between the corpus slice and the benchmark slice
+    (doc_id % 23 == 0, the decontaminate partition) — fuzzy-copy
+    contamination that exact n-gram matching misses
+    (ops/dedup.py minhash_cross_pairs)."""
+    from ..ops.dedup import minhash_cross_pairs
+
+    docs = _docs_text(sf_dir)
+
+    def part(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % DECON_MOD == 0) == keep_bench
+            return batch.filter(pa.array(m))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    df = minhash_cross_pairs(part(False), part(True),
+                             threshold=0.5).to_pandas()
+    df["jaccard"] = df["jaccard"].round(6)
+    return (df.sort_values(["doc_id", "ref_id"])
+            .reset_index(drop=True))
+
+
+SQL_CROSS_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS arr
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM base),
+cnt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c3.term AS s
+  FROM tok a
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tok c3 ON a.doc_id = c3.doc_id AND c3.pos = a.pos + 2
+  UNION
+  SELECT DISTINCT t.doc_id, t.term AS s
+  FROM tok t JOIN cnt ON t.doc_id = cnt.doc_id WHERE cnt.c < 3),
+sz AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::DOUBLE AS i
+  FROM sh x JOIN sh y ON x.s = y.s
+  WHERE x.doc_id % {DECON_MOD} <> 0 AND y.doc_id % {DECON_MOD} = 0
+  GROUP BY a, b)
+SELECT inter.a AS doc_id, inter.b AS ref_id,
+       round(inter.i / (sa.n + sb.n - inter.i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.a = sa.doc_id
+JOIN sz sb ON inter.b = sb.doc_id
+WHERE inter.i / (sa.n + sb.n - inter.i) >= 0.5
+ORDER BY doc_id, ref_id
+"""
+
+
+QUERIES.update({"cross_dedup": q_cross_dedup})
+ORACLES.update({"cross_dedup": SQL_CROSS_DEDUP})

@@ -687,3 +687,26 @@ class TestBalinoms:
         for i in range(2):
             assert re.sub(r"</?persName[^>]*>", "",
                           got["tagged"].iloc[i]) == df["text"].iloc[i]
+
+
+class TestCrossDedup:
+    def test_planted_cross_duplicate(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.dedup import minhash_cross_pairs
+
+        words = [f"w{i}" for i in range(60)]
+        base = " ".join(words)
+        corpus = ray.data.from_items([
+            {"doc_id": 0, "text": base},                     # fuzzy copy
+            {"doc_id": 1, "text": " ".join(reversed(words))},
+            {"doc_id": 2, "text": "totally different words here"},
+        ])
+        ref = ray.data.from_items([
+            {"doc_id": 0, "text": base + " extra"},          # eval doc
+            {"doc_id": 1, "text": "unrelated benchmark row"},
+        ])
+        got = minhash_cross_pairs(corpus, ref, threshold=0.5).to_pandas()
+        assert len(got) == 1
+        assert got.iloc[0]["doc_id"] == 0 and got.iloc[0]["ref_id"] == 0
+        assert got.iloc[0]["jaccard"] > 0.9
