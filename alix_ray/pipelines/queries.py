@@ -2649,3 +2649,81 @@ ORDER BY doc_id, ref_id
 
 QUERIES.update({"cross_dedup": q_cross_dedup})
 ORACLES.update({"cross_dedup": SQL_CROSS_DEDUP})
+
+
+# ---------------------------------------------------------------------
+# corpus card — per (source, split) mix report
+# ---------------------------------------------------------------------
+
+
+def q_corpus_card(sf_dir: str) -> pd.DataFrame:
+    """Training-mix report: docs / tokens / mean alpha ratio per
+    (source, split) — the dataset-card numbers.  Per-batch partial
+    aggregates (pandas groupby inside the batch) → one tiny keyed sum;
+    nothing but (source, split, partials) rows ever shuffle."""
+    from ..ops.mixing import hash_split
+    from ..ops.textstats import round_half_away
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    ).repartition(32)
+    split = hash_split(docs, SPLIT_FRACS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..analysis import SimpleAnalyzer
+
+        lists = SimpleAnalyzer.tokens_arrays(batch["text"])
+        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        texts = batch["text"]
+        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(texts, "[^A-Za-z]", "")
+        ).to_numpy(zero_copy_only=False) / np.maximum(n_chars, 1)
+        g = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "split": batch["split"].to_pylist(),
+            "n_docs": 1,
+            "tok_sum": n_tok.astype(np.int64),
+            "alpha_sum": alpha,
+        }).groupby(["source", "split"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (split.map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "split"])
+           .sum(["n_docs", "tok_sum", "alpha_sum"]).to_pandas())
+    out = pd.DataFrame({
+        "source": agg["source"],
+        "split": agg["split"],
+        "n_docs": agg["sum(n_docs)"].astype("int64"),
+        "n_tokens": agg["sum(tok_sum)"].astype("int64"),
+        "mean_alpha": round_half_away(
+            agg["sum(alpha_sum)"] / agg["sum(n_docs)"]),
+    })
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+SQL_CORPUS_CARD = """
+WITH s AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN md5_number_lower('split:' || doc_id) % 1000000 < 900000
+        THEN 'train'
+      WHEN md5_number_lower('split:' || doc_id) % 1000000 < 950000
+        THEN 'val'
+      ELSE 'test'
+    END AS split,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS n_tokens,
+    len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+      greatest(len(text), 1) AS alpha
+  FROM documents)
+SELECT source, split, count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS n_tokens,
+  round(sum(alpha) / count(*), 6) AS mean_alpha
+FROM s GROUP BY source, split ORDER BY source, split
+"""
+
+
+QUERIES.update({"corpus_card": q_corpus_card})
+ORACLES.update({"corpus_card": SQL_CORPUS_CARD})
