@@ -74,3 +74,43 @@ def pack_offsets(ds: ray.data.Dataset, seq_len: int = 2048,
         })
 
     return slim.groupby("shard").map_groups(finish, batch_format="pandas")
+
+
+def pack_chunks(ds: ray.data.Dataset, seq_len: int = 2048,
+                text_col: str = "text", id_col: str = "doc_id",
+                shard_size: int = 1_000_000) -> ray.data.Dataset:
+    """Chunk manifest: one row per (doc, training window) the doc
+    overlaps — ``(doc_id, chunk_id, tok_start, tok_end)`` where
+    ``[tok_start, tok_end)`` is the doc-relative token span that lands
+    in ``chunk_id``.  This is the dataloader's read plan: a window's
+    content is exactly the spans of every row with its chunk_id.
+    Zero-token docs emit nothing.  Vectorized expansion over
+    :func:`pack_offsets` output (repeat + cumsum enumeration — no
+    per-doc Python loop)."""
+    offsets = pack_offsets(ds, seq_len=seq_len, text_col=text_col,
+                           id_col=id_col, shard_size=shard_size)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        o = batch["offset"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = n > 0
+        n, o, ids = n[m], o[m], ids[m]
+        first = o // seq_len
+        last = (o + n - 1) // seq_len
+        reps = (last - first + 1).astype(np.int64)
+        owner = np.repeat(np.arange(len(n)), reps)
+        # per-doc chunk ordinal 0..reps-1 via cumsum reset
+        pos = np.arange(len(owner)) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        chunk = first[owner] + pos
+        tok_start = np.maximum(0, chunk * seq_len - o[owner])
+        tok_end = np.minimum(n[owner], (chunk + 1) * seq_len - o[owner])
+        return pa.table({
+            id_col: pa.array(ids[owner], pa.int64()),
+            "chunk_id": pa.array(chunk.astype(np.int64)),
+            "tok_start": pa.array(tok_start.astype(np.int64)),
+            "tok_end": pa.array(tok_end.astype(np.int64)),
+        })
+
+    return offsets.map_batches(expand, batch_format="pyarrow")

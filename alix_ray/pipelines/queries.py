@@ -2727,3 +2727,42 @@ FROM s GROUP BY source, split ORDER BY source, split
 
 QUERIES.update({"corpus_card": q_corpus_card})
 ORACLES.update({"corpus_card": SQL_CORPUS_CARD})
+
+
+def q_pack_chunks(sf_dir: str) -> pd.DataFrame:
+    """Dataloader chunk manifest: per-(doc, window) token spans
+    (ops/packing.py pack_chunks — vectorized expansion over the
+    distributed prefix sum)."""
+    from ..ops.packing import pack_chunks
+
+    df = pack_chunks(_docs_text(sf_dir), seq_len=PACK_SEQ_LEN,
+                     shard_size=100).to_pandas()
+    return (df.sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True))
+
+
+SQL_PACK_CHUNKS = f"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS o
+  FROM c WHERE n_tokens > 0),
+x AS (
+  SELECT doc_id, n_tokens, o, unnest(generate_series(
+    o // {PACK_SEQ_LEN}, (o + n_tokens - 1) // {PACK_SEQ_LEN})) AS chunk_id
+  FROM s)
+SELECT doc_id, chunk_id,
+  greatest(0, chunk_id * {PACK_SEQ_LEN} - o)::BIGINT AS tok_start,
+  least(n_tokens, (chunk_id + 1) * {PACK_SEQ_LEN} - o)::BIGINT AS tok_end
+FROM x ORDER BY doc_id, chunk_id
+"""
+
+
+QUERIES.update({"pack_chunks": q_pack_chunks})
+ORACLES.update({"pack_chunks": SQL_PACK_CHUNKS})

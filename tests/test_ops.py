@@ -710,3 +710,33 @@ class TestCrossDedup:
         assert len(got) == 1
         assert got.iloc[0]["doc_id"] == 0 and got.iloc[0]["ref_id"] == 0
         assert got.iloc[0]["jaccard"] > 0.9
+
+
+class TestPackChunks:
+    def test_spans_reassemble_windows(self, ray_session):
+        import ray.data
+
+        from alix_ray.ops.packing import pack_chunks
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c", "", "d e f g h i j", "k l"],
+        })
+        got = pack_chunks(ray.data.from_pandas(df).repartition(2),
+                          seq_len=4, shard_size=2).to_pandas() \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        # offsets: doc0 @0 (3 toks), doc1 empty, doc2 @3 (7), doc3 @10 (2)
+        rows = got.to_records(index=False).tolist()
+        assert rows == [
+            (0, 0, 0, 3),          # doc0 fully in window 0
+            (2, 0, 0, 1),          # doc2 tokens 0:1 fill window 0
+            (2, 1, 1, 5),          # tokens 1:5 fill window 1
+            (2, 2, 5, 7),          # tokens 5:7 start window 2
+            (3, 2, 0, 2),          # doc3 completes window 2
+        ]
+        # spans tile each window exactly: per chunk, span lengths sum
+        # to seq_len (except the final partial window)
+        per_chunk = got.assign(w=got["tok_end"] - got["tok_start"]) \
+            .groupby("chunk_id")["w"].sum()
+        assert per_chunk.loc[0] == 4 and per_chunk.loc[1] == 4
+        assert per_chunk.loc[2] == 4  # 2 from doc2 + 2 from doc3
