@@ -1016,7 +1016,8 @@ def minhash_cross_pairs(corpus: ray.data.Dataset, ref: ray.data.Dataset,
     cross-boundary pairs survive.  ``offset`` defaults to
     ``max(corpus.doc_id) + 1`` (one tiny aggregate)."""
     if offset is None:
-        offset = int(corpus.max(id_col)) + 1
+        mx = corpus.max(id_col)  # None when the corpus side is empty
+        offset = 0 if mx is None else int(mx) + 1
 
     def shift(batch: pa.Table) -> pa.Table:
         ids = pc.add(batch[id_col].cast(pa.int64()), offset)

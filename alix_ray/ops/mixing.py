@@ -64,7 +64,9 @@ def mix_sample(ds: ray.data.Dataset, weights: dict[str, float],
     sizes, and partitionings, with no shuffle and no RNG state — and
     bit-identical to the DuckDB oracle expression.  Keys absent from
     ``weights`` default to keep-everything."""
-    thresholds = {k: int(w * MIX_RESOLUTION) for k, w in weights.items()}
+    # round, not int(): see hash_split — int() truncates float products
+    # of exact decimal weights one below the oracle's DECIMAL bound
+    thresholds = {k: round(w * MIX_RESOLUTION) for k, w in weights.items()}
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

@@ -96,6 +96,13 @@ def pack_chunks(ds: ray.data.Dataset, seq_len: int = 2048,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = n > 0
         n, o, ids = n[m], o[m], ids[m]
+        if len(n) == 0:  # batch of only zero-token docs
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "tok_start": pa.array([], pa.int64()),
+                "tok_end": pa.array([], pa.int64()),
+            })
         first = o // seq_len
         last = (o + n - 1) // seq_len
         reps = (last - first + 1).astype(np.int64)

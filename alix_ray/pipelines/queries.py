@@ -1899,12 +1899,10 @@ DECON_N = 3       # 13 in production; testdata docs are short and the
 DECON_MOD = 23    # vocab tiny, so 3-grams give a meaningful overlap set
 
 
-def q_decontaminate(sf_dir: str) -> pd.DataFrame:
-    """Benchmark decontamination: distinct shared token n-grams per
-    scanned doc vs the deterministic benchmark slice doc_id %% 23 == 0
-    (ops/cleaning.py:decontaminate)."""
-    from ..ops.cleaning import decontaminate
-
+def _decon_parts(sf_dir: str):
+    """(corpus, benchmark) slices of documents under the deterministic
+    decontamination partition doc_id % DECON_MOD == 0 — shared by the
+    exact-n-gram and near-dup decontamination queries."""
     docs = _docs_text(sf_dir)
 
     def part(keep_bench: bool):
@@ -1915,7 +1913,17 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
 
         return docs.map_batches(f, batch_format="pyarrow")
 
-    df = decontaminate(part(False), part(True), n=DECON_N).to_pandas()
+    return part(False), part(True)
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: distinct shared token n-grams per
+    scanned doc vs the deterministic benchmark slice doc_id %% 23 == 0
+    (ops/cleaning.py:decontaminate)."""
+    from ..ops.cleaning import decontaminate
+
+    corpus, bench = _decon_parts(sf_dir)
+    df = decontaminate(corpus, bench, n=DECON_N).to_pandas()
     df["n_contaminated"] = df["n_contaminated"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -2593,21 +2601,16 @@ def q_cross_dedup(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs between the corpus slice and the benchmark slice
     (doc_id % 23 == 0, the decontaminate partition) — fuzzy-copy
     contamination that exact n-gram matching misses
-    (ops/dedup.py minhash_cross_pairs)."""
+    (ops/dedup.py minhash_cross_pairs).  Banding is 64 bands × 2 rows
+    so the all-pairs SQL oracle is sound at the query threshold:
+    P(miss) = (1 - J²)⁶⁴ ≤ 1e-8 for J ≥ 0.5 — fuzzy contamination
+    lives exactly in the mid-Jaccard band the default 16×4 banding
+    would miss with probability up to 0.36."""
     from ..ops.dedup import minhash_cross_pairs
 
-    docs = _docs_text(sf_dir)
-
-    def part(keep_bench: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            m = (ids % DECON_MOD == 0) == keep_bench
-            return batch.filter(pa.array(m))
-
-        return docs.map_batches(f, batch_format="pyarrow")
-
-    df = minhash_cross_pairs(part(False), part(True),
-                             threshold=0.5).to_pandas()
+    corpus, bench = _decon_parts(sf_dir)
+    df = minhash_cross_pairs(corpus, bench, threshold=0.5,
+                             num_perm=128, bands=64).to_pandas()
     df["jaccard"] = df["jaccard"].round(6)
     return (df.sort_values(["doc_id", "ref_id"])
             .reset_index(drop=True))
