@@ -147,6 +147,23 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Corpus curation: quality gate -> dedup -> split -> packing,
+    one Parquet directory per split (pipelines/curate.py)."""
+    ray = _ray_session()
+    import ray.data
+
+    from .pipelines.curate import curate_to_dir
+
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    counts = curate_to_dir(ds, args.out, seq_len=args.seq_len,
+                           min_tokens=args.min_tokens,
+                           min_alpha=args.min_alpha)
+    print(json.dumps({"out": args.out, "splits": counts}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_add(args) -> int:
     """Incremental add: index new parquet input as a delta generation
     (IndexWriter.addDocuments analog)."""
@@ -318,6 +335,15 @@ def main(argv=None) -> int:
                              "expressions"])
     rp.add_argument("-k", type=int, default=100)
     rp.set_defaults(fn=cmd_report)
+
+    cu = sub.add_parser("curate", help="quality gate -> dedup -> split "
+                        "-> packing, parquet dir per split")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-tokens", type=int, default=32)
+    cu.add_argument("--min-alpha", type=float, default=0.8)
+    cu.add_argument("--seq-len", type=int, default=2048)
+    cu.set_defaults(fn=cmd_curate)
 
     a = sub.add_parser("add", help="incremental add (delta generation)")
     a.add_argument("--index", required=True)

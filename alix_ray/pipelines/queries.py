@@ -2520,29 +2520,11 @@ def q_curate(sf_dir: str) -> pd.DataFrame:
     deterministic train split, packing offsets for the training
     stream.  Every stage is an existing oracle-checked operator; the
     composition itself is oracled as one SQL CTE chain."""
-    from ..ops.dedup import exact_dedup
-    from ..ops.mixing import hash_split
     from ..ops.packing import pack_offsets
-    from ..ops.textstats import round_half_away
+    from .curate import curate
 
-    def quality_gate(batch: pa.Table) -> pa.Table:
-        from ..analysis import SimpleAnalyzer
-
-        lists = SimpleAnalyzer.tokens_arrays(batch["text"])
-        n_tok = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        texts = batch["text"]
-        n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
-        alpha = pc.utf8_length(
-            pc.replace_substring_regex(texts, "[^A-Za-z]", "")
-        ).to_numpy(zero_copy_only=False)
-        ratio = round_half_away(alpha / np.maximum(n_chars, 1))
-        keep = (n_tok >= CURATE_MIN_TOKENS) & (ratio >= CURATE_MIN_ALPHA)
-        return batch.filter(pa.array(keep))
-
-    docs = _docs_text(sf_dir).map_batches(
-        quality_gate, batch_format="pyarrow")
-    clean = exact_dedup(docs).select_columns(["doc_id", "text"])
-    split = hash_split(clean, SPLIT_FRACS)
+    split = curate(_docs_text(sf_dir), min_tokens=CURATE_MIN_TOKENS,
+                   min_alpha=CURATE_MIN_ALPHA, fractions=SPLIT_FRACS)
     train = split.filter(expr="split == 'train'")
     df = pack_offsets(train, seq_len=CURATE_SEQ_LEN,
                       shard_size=100).to_pandas()
