@@ -64,21 +64,38 @@ def curate_to_dir(ds: ray.data.Dataset, out_dir: str,
                   **kw) -> dict:
     """Materialize the curated corpus as one Parquet directory per
     split (``<out>/train`` …), plus packing offsets for the training
-    stream (``<out>/train_offsets``).  Per-split directories are the
-    resume unit: a rerun that finds a split directory complete can
-    skip it.  Returns per-split row counts."""
+    stream (``<out>/train_offsets``).  Each directory publishes
+    atomically (write to ``<dir>.tmp`` → rename, the repo's build
+    convention) and is the resume unit: a rerun SKIPS any directory
+    already published, so a crash mid-run redoes only the unfinished
+    splits.  Returns per-split row counts (``-1`` for skipped splits —
+    they were not recounted)."""
     import os
+    import shutil
+
+    def publish(dataset: ray.data.Dataset, name: str) -> int:
+        final = os.path.join(out_dir, name)
+        if os.path.isdir(final):  # published by a previous run
+            return -1
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        dataset.write_parquet(tmp)
+        n = dataset.count()
+        # an empty split writes no files — publish the empty dir so the
+        # layout is uniform and the resume skip still applies
+        os.makedirs(tmp, exist_ok=True)
+        os.rename(tmp, final)
+        return n
 
     split = curate(ds, **kw).materialize()
     counts: dict[str, int] = {}
     names = (kw.get("fractions") or DEFAULT_FRACS).keys()
     for name in names:
-        part = split.filter(expr=f"split == '{name}'")
-        part.write_parquet(os.path.join(out_dir, name))
-        counts[name] = part.count()
+        counts[name] = publish(
+            split.filter(expr=f"split == '{name}'"), name)
     from ..ops.packing import pack_offsets
 
     train = split.filter(expr="split == 'train'")
-    pack_offsets(train, seq_len=seq_len, shard_size=shard_size) \
-        .write_parquet(os.path.join(out_dir, "train_offsets"))
+    publish(pack_offsets(train, seq_len=seq_len,
+                         shard_size=shard_size), "train_offsets")
     return counts

@@ -131,3 +131,27 @@ def test_build_job_submit_and_resume(tmp_path):
     stage_walls = [v for k, v in second.items()
                    if k.startswith("stage_") and isinstance(v, (int, float))]
     assert second.get("resumed") or t_second < t_first
+
+
+def test_curate_to_dir_resume(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from alix_ray.pipelines.curate import curate_to_dir
+
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["alpha beta gamma delta " * 12] * 40,  # one survivor
+    })
+    # distinct docs so dedup keeps them all
+    df["text"] = df["text"] + df["doc_id"].astype(str).radd("doc ")
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = str(tmp_path / "cur")
+    c1 = curate_to_dir(ds, out, seq_len=8, min_tokens=10, min_alpha=0.5)
+    assert c1["train"] > 0 and (tmp_path / "cur" / "train").is_dir()
+    assert (tmp_path / "cur" / "train_offsets").is_dir()
+    # rerun: every published split is SKIPPED (-1), nothing rewritten
+    before = sorted((tmp_path / "cur" / "train").iterdir())
+    c2 = curate_to_dir(ds, out, seq_len=8, min_tokens=10, min_alpha=0.5)
+    assert all(v == -1 for v in c2.values())
+    assert sorted((tmp_path / "cur" / "train").iterdir()) == before
