@@ -2751,3 +2751,33 @@ FROM x ORDER BY doc_id, chunk_id
 
 QUERIES.update({"pack_chunks": q_pack_chunks})
 ORACLES.update({"pack_chunks": SQL_PACK_CHUNKS})
+
+
+# ---------------------------------------------------------------------
+# BPE tokenizer training — Sennrich et al. 2016 over the corpus
+# ---------------------------------------------------------------------
+
+BPE_MERGES = 60
+
+
+def q_bpe_vocab(sf_dir: str) -> pd.DataFrame:
+    """Learned BPE merge table + per-doc encoded token counts summary
+    (ops/bpe.py: word-count precompute, merge rounds over the word
+    table only; rows-only — merges are not SQL-expressible).  The
+    driver/distributed engine identity and the worked-example merges
+    are unit-tested (tests/test_bpe.py)."""
+    from ..ops.bpe import encode_counts, train_bpe
+
+    docs = _docs_text(sf_dir)
+    merges = train_bpe(docs, n_merges=BPE_MERGES)
+    enc = encode_counts(docs, merges).to_pandas()
+    out = pd.DataFrame({
+        "rank": range(len(merges)),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+    })
+    out["total_bpe_tokens"] = int(enc["n_bpe"].sum())
+    return out
+
+
+QUERIES.update({"bpe_vocab": q_bpe_vocab})
