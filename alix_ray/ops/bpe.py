@@ -11,7 +11,9 @@ Two equivalent engines (auto-selected on distinct-word count, tested
 identical):
 
 * driver — the word table fits comfortably in driver memory
-  (≤ ``max_driver_words``); classic exact loop, vectorized recount.
+  (≤ ``max_driver_words``, deliberately conservative: the loop is an
+  exact full recount per round — incremental pair-index updates are
+  the known optimization if the bound ever needs raising).
 * distributed — the word table stays a Dataset; each round is one
   ``map_batches`` partial pair-count + one tiny ``groupby`` reduce to
   pick the argmax pair (count desc, pair asc — fully deterministic),
@@ -97,7 +99,7 @@ def _apply_merge(s: tuple, pair: tuple) -> tuple:
 
 def train_bpe(ds: ray.data.Dataset, n_merges: int = 200,
               text_col: str = "text",
-              max_driver_words: int = 5_000_000) -> list[tuple]:
+              max_driver_words: int = 250_000) -> list[tuple]:
     """Learn ``n_merges`` merge rules from the corpus.  Returns the
     ordered merge list (rank = priority for encoding)."""
     counts = word_counts(ds, text_col).materialize()
@@ -111,7 +113,10 @@ def train_bpe(ds: ray.data.Dataset, n_merges: int = 200,
             if pair is None:
                 break
             merges.append(pair)
-            syms = [_apply_merge(s, pair) for s in syms]
+            # cheap containment precheck skips rebuilding the (vast)
+            # majority of words the merged pair never occurs in
+            syms = [_apply_merge(s, pair) if pair[0] in s else s
+                    for s in syms]
         return merges
     return _train_distributed(counts, n_merges)
 
@@ -139,7 +144,14 @@ def _train_distributed(counts: ray.data.Dataset,
             df = _pair_counts_df(
                 [tuple(s) for s in batch["syms"].to_pylist()],
                 np.asarray(batch["cnt"].to_pylist(), np.int64))
-            return pa.Table.from_pandas(df, preserve_index=False)
+            # explicit schema: an all-merged block yields an EMPTY
+            # frame whose object columns would otherwise arrive as
+            # double and break Ray's schema unification
+            return pa.table({
+                "a": pa.array(df["a"], pa.string()),
+                "b": pa.array(df["b"], pa.string()),
+                "c": pa.array(df["c"], pa.int64()),
+            })
 
         pairs = (table.map_batches(pair_partial, batch_format="pyarrow")
                  .groupby(["a", "b"]).sum("c").to_pandas()

@@ -2770,13 +2770,13 @@ def q_bpe_vocab(sf_dir: str) -> pd.DataFrame:
 
     docs = _docs_text(sf_dir)
     merges = train_bpe(docs, n_merges=BPE_MERGES)
-    enc = encode_counts(docs, merges).to_pandas()
+    total = int(encode_counts(docs, merges).sum("n_bpe"))
     out = pd.DataFrame({
         "rank": range(len(merges)),
         "left": [m[0] for m in merges],
         "right": [m[1] for m in merges],
     })
-    out["total_bpe_tokens"] = int(enc["n_bpe"].sum())
+    out["total_bpe_tokens"] = total
     return out
 
 
