@@ -164,6 +164,28 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_bpe(args) -> int:
+    """Train a BPE merge table on a corpus and write it as TSV
+    (rank, left, right); optionally report total encoded tokens."""
+    ray = _ray_session()
+    import ray.data
+
+    from .ops.bpe import encode_counts, train_bpe
+
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    merges = train_bpe(ds, n_merges=args.merges)
+    with open(args.out, "w") as f:
+        for i, (a, b) in enumerate(merges):
+            f.write(f"{i}\t{a}\t{b}\n")
+    result = {"out": args.out, "merges": len(merges)}
+    if args.count:
+        result["total_bpe_tokens"] = int(
+            encode_counts(ds, merges).sum("n_bpe"))
+    print(json.dumps(result))
+    ray.shutdown()
+    return 0
+
+
 def cmd_add(args) -> int:
     """Incremental add: index new parquet input as a delta generation
     (IndexWriter.addDocuments analog)."""
@@ -344,6 +366,14 @@ def main(argv=None) -> int:
     cu.add_argument("--min-alpha", type=float, default=0.8)
     cu.add_argument("--seq-len", type=int, default=2048)
     cu.set_defaults(fn=cmd_curate)
+
+    bp = sub.add_parser("bpe", help="train a BPE merge table (TSV out)")
+    bp.add_argument("--input", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--merges", type=int, default=200)
+    bp.add_argument("--count", action="store_true",
+                    help="also report total encoded tokens")
+    bp.set_defaults(fn=cmd_bpe)
 
     a = sub.add_parser("add", help="incremental add (delta generation)")
     a.add_argument("--index", required=True)
