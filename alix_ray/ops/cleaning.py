@@ -419,3 +419,36 @@ def line_dedup(ds: ray.data.Dataset, text_col: str = "text",
         ds.map_batches(explode, batch_format="pyarrow"),
         id_col=id_col, line_sep=line_sep,
     )
+
+
+# ---------------------------------------------------------------------
+# blocklist (bad-words) filter — the C4 "dirty word" gate
+# ---------------------------------------------------------------------
+
+
+def blocklist_filter(ds: ray.data.Dataset,
+                     patterns: tuple[str, ...],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """Flag documents containing any blocklist word/phrase
+    (C4, Raffel et al. 2020 §2.2: drop pages with any "bad word").
+
+    Whole-word semantics: the RE2 pattern ``\\b(p1|p2|...)\\b`` over
+    the lowercased text, shared VERBATIM with the DuckDB oracle (both
+    engines are RE2; counts are leftmost non-overlapping on both
+    sides).  Embarrassingly parallel — one zero-copy Arrow kernel per
+    batch, no shuffle.  Output ``(id, n_bad, kept)`` so callers can
+    either filter (``kept``) or threshold on the count."""
+    rx = r"\b(" + "|".join(patterns) + r")\b"
+
+    def flag(batch: pa.Table) -> pa.Table:
+        col = _arr(batch[text_col]).cast(pa.string())
+        txt = pc.utf8_lower(pc.fill_null(col, ""))
+        n = pc.count_substring_regex(txt, rx).cast(pa.int64())
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bad": n,
+            "kept": pc.equal(n, 0),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

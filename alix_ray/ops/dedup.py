@@ -23,6 +23,7 @@ byte per Python op.  Values are bit-identical to the scalar loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -1039,3 +1040,95 @@ def minhash_cross_pairs(corpus: ray.data.Dataset, ref: ray.data.Dataset,
         })
 
     return pairs.map_batches(cross_only, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# cluster representative selection (the "which dup to keep" step)
+# ---------------------------------------------------------------------
+
+
+def cluster_representatives(labels: ray.data.Dataset,
+                            docs: ray.data.Dataset,
+                            quality_col: str = "n_chars",
+                            id_col: str = "doc_id",
+                            broadcast_max: int = 5_000_000,
+                            ) -> ray.data.Dataset:
+    """Elect one representative per near-dup cluster: the member with
+    the highest ``quality_col``, ties to the lowest id — the step after
+    :func:`connected_components` that decides WHICH duplicate survives
+    (quality-aware keep, not keep-first).
+
+    ``labels`` is (doc_id, cluster_id) — by construction only docs that
+    appear in a near-dup pair, i.e. a small fraction of the corpus.
+    The quality join auto-selects by label count (the docids/minhash
+    convention): a broadcast doc→cluster dict under ``broadcast_max``
+    (corpus streams, zero shuffles), else a coarse-pkey repartition
+    join.  Either way the final election is one groupby over the
+    LABELED rows only — never corpus-wide.  Output
+    ``(cluster_id, rep_doc_id, n_docs)``."""
+    from ._util import broadcast_cached
+
+    def elect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([quality_col, id_col], ascending=[False, True])
+        top = g.groupby("cluster_id", sort=True).agg(
+            rep_doc_id=(id_col, "first"), n_docs=(id_col, "size"),
+        ).reset_index()
+        return top.drop(columns=["cpk"], errors="ignore")
+
+    n = labels.count()
+    if n <= broadcast_max:
+        lab = labels.to_pandas()
+        ref = ray.put(dict(zip(lab[id_col].astype(np.int64),
+                               lab["cluster_id"].astype(np.int64))))
+
+        def tag(batch: pa.Table) -> pa.Table:
+            m = broadcast_cached(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cl = pd.Series(ids).map(m)
+            keep = cl.notna().to_numpy()
+            return pa.table({
+                id_col: pa.array(ids[keep], pa.int64()),
+                "cluster_id": pa.array(
+                    cl.to_numpy(np.float64)[keep].astype(np.int64)),
+                quality_col: _coln(batch, quality_col)[keep],
+                "cpk": pa.array(_partition_key(
+                    cl.to_numpy(np.float64)[keep].astype(np.uint64))),
+            })
+
+        tagged = docs.select_columns([id_col, quality_col]).map_batches(
+            tag, batch_format="pyarrow")
+    else:
+        # distributed: coarse-pkey union join (minhash-verify shape)
+        def side(is_label: bool):
+            def f(batch: pa.Table) -> pa.Table:
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                return pa.table({
+                    id_col: pa.array(ids, pa.int64()),
+                    "cluster_id": batch["cluster_id"].cast(pa.int64())
+                    if is_label else pa.array(
+                        np.full(len(ids), -1, np.int64)),
+                    quality_col: pa.array(np.zeros(len(ids), np.int64))
+                    if is_label else _coln(batch, quality_col),
+                    "pk": pa.array(_partition_key(ids.astype(np.uint64))),
+                })
+            return f
+
+        both = labels.map_batches(side(True), batch_format="pyarrow").union(
+            docs.select_columns([id_col, quality_col]).map_batches(
+                side(False), batch_format="pyarrow"))
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["cluster_id"] >= 0][[id_col, "cluster_id"]]
+            qual = g[g["cluster_id"] < 0][[id_col, quality_col]]
+            out = lab.merge(qual, on=id_col, how="inner")
+            out["cpk"] = _partition_key(
+                out["cluster_id"].to_numpy(np.uint64))
+            return out
+
+        tagged = both.groupby("pk").map_groups(join, batch_format="pandas")
+
+    return tagged.groupby("cpk").map_groups(elect, batch_format="pandas")
+
+
+def _coln(batch: pa.Table, col: str) -> np.ndarray:
+    return batch[col].to_numpy(zero_copy_only=False)

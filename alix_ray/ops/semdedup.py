@@ -1,0 +1,174 @@
+"""Embedding-space corpus clustering + semantic dedup (SemDeDup).
+
+Two operators a 100-TB curation pipeline runs between embedding
+extraction and training-mix assembly:
+
+* :func:`kmeans_assign` — fixed-iteration distributed Lloyd's k-means
+  over an embedding column.  Each iteration is ONE streaming pass:
+  centroids are broadcast once (``ray.put`` + per-worker cache), every
+  batch emits k·dim partial-sum rows (cluster, dim index, sum, count),
+  and the driver folds those tiny partials into the next centroid set
+  — O(k·dim) driver state, zero shuffles, the corpus never moves.
+  Seeds are the k smallest ids (deterministic and independent of
+  partitioning/parallelism, so results are bit-stable across cluster
+  sizes — the BASELINE scaling contract).
+
+* :func:`semdedup_prune` — SemDeDup (Abbas et al. 2023,
+  arXiv:2303.09540): within each cluster, drop every vector whose
+  cosine similarity to ANY earlier (lower-id) vector in the same
+  cluster reaches ``tau``; keep-first-by-id is the deterministic
+  stand-in for the paper's keep-one policy.  The pairwise rule (earlier
+  vector, kept or not) is what the SQL oracle mirrors with a plain
+  EXISTS — no sequential greedy state.  Work is a per-cluster blocked
+  matmul (rows stream in ``block`` × n tiles), so memory is
+  O(block · cluster) not O(cluster²); the quadratic FLOP cost per
+  cluster is intrinsic to SemDeDup and bounded by choosing k so
+  clusters stay ~1e5 vectors (the paper's own operating point) —
+  ``max_group`` fails fast when a cluster exceeds that assumption.
+
+Both operators read the ``list<float>`` embedding column zero-copy
+(flatten → reshape; no per-row ``to_pylist``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ._util import broadcast_cached
+
+
+def _matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy (vec_count, dim) matrix from a list<float> column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
+    widths = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+    if widths.min() != widths.max():
+        raise ValueError("ragged embedding column — fixed dim required")
+    return flat.reshape(len(arr), int(widths[0]))
+
+
+def _assign(E: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Nearest centroid per row: euclidean, ties to the lowest cluster
+    id (argmin scans clusters in id order and keeps the first min)."""
+    # direct (e - c)^2 sum — same floating summation shape as the
+    # DuckDB oracle's list_distance, keeping round-6 outputs identical
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    a = d2.argmin(1)
+    return a, np.sqrt(d2[np.arange(len(E)), a])
+
+
+def _seed_centroids(emb: ray.data.Dataset, k: int, id_col: str,
+                    vec_col: str) -> np.ndarray:
+    """The k smallest-id vectors, without sorting the corpus: each
+    batch forwards its local k smallest (tiny), the driver keeps k."""
+
+    def local_k(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[(id_col, "ascending")])
+        return batch.take(idx[:k]).select([id_col, vec_col])
+
+    parts = emb.map_batches(local_k, batch_format="pyarrow").take_all()
+    parts.sort(key=lambda r: r[id_col])
+    if len(parts) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(parts)}")
+    return np.asarray([r[vec_col] for r in parts[:k]], np.float64)
+
+
+def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> ray.data.Dataset:
+    """Fixed-iteration Lloyd's k-means; returns (id, cluster, dist).
+
+    ``iters`` centroid updates follow the seed assignment; the returned
+    assignment/distance is against the LAST updated centroids.  An
+    empty cluster keeps its previous centroid (both engines agree: the
+    oracle's per-cluster AVG simply has no row to replace it)."""
+    C = _seed_centroids(emb, k, id_col, vec_col)
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Cw = broadcast_cached(ref)
+            E = _matrix(batch[vec_col])
+            a, _ = _assign(E, Cw)
+            cnt = np.bincount(a, minlength=k)
+            sums = np.zeros((k, dim))
+            for j in np.flatnonzero(cnt):
+                sums[j] = E[a == j].sum(0)
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(k), dim), pa.int32()),
+                "dim": pa.array(np.tile(np.arange(dim), k), pa.int32()),
+                "s": pa.array(sums.ravel()),
+                "c": pa.array(np.repeat(cnt, dim).astype(np.int64)),
+            })
+
+        # k·dim rows per batch — the driver fold is O(k·dim), never
+        # corpus-sized, so materializing the partials is the
+        # scale-correct reduce
+        df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        acc_s = (df.groupby(["cluster", "dim"])["s"].sum().unstack(fill_value=0.0)
+                 .reindex(index=range(k), columns=range(dim), fill_value=0.0)
+                 .to_numpy())
+        acc_c = (df[df["dim"] == 0].groupby("cluster")["c"].sum()
+                 .reindex(range(k), fill_value=0).to_numpy())
+        live = acc_c > 0
+        C = C.copy()
+        C[live] = acc_s[live] / acc_c[live, None]
+
+    ref = ray.put(C)
+
+    def final(batch: pa.Table) -> pa.Table:
+        Cw = broadcast_cached(ref)
+        E = _matrix(batch[vec_col])
+        a, d = _assign(E, Cw)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist": pa.array(d),
+        })
+
+    return emb.map_batches(final, batch_format="pyarrow")
+
+
+def semdedup_prune(emb: ray.data.Dataset, tau: float,
+                   cluster_col: str = "label", id_col: str = "vec_id",
+                   vec_col: str = "embedding", block: int = 1024,
+                   max_group: int = 100_000) -> ray.data.Dataset:
+    """SemDeDup within-cluster prune → (id, cluster, kept).
+
+    One groupby on the cluster id (clusters are the unit of work by
+    construction); inside a group a blocked upper-triangular matmul
+    flags every row with an earlier ``cosine >= tau`` neighbor."""
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_group:
+            raise ValueError(
+                f"cluster of {len(g)} rows exceeds max_group={max_group}; "
+                "SemDeDup assumes k keeps clusters ~1e5 — raise k (or "
+                "max_group if the quadratic cost is acceptable)")
+        g = g.sort_values(id_col)
+        E = np.asarray(list(g[vec_col]), np.float64)
+        n = np.linalg.norm(E, axis=1)
+        n[n == 0.0] = 1.0
+        N = E / n[:, None]
+        kept = np.ones(len(g), bool)
+        for a in range(0, len(g), block):
+            b = min(a + block, len(g))
+            S = N[a:b] @ N[:b].T
+            earlier = np.arange(b)[None, :] < np.arange(a, b)[:, None]
+            kept[a:b] = ~((S >= tau) & earlier).any(1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g[cluster_col].to_numpy().astype(np.int64),
+            "kept": kept,
+        })
+
+    return emb.groupby(cluster_col).map_groups(prune, batch_format="pandas")

@@ -2781,3 +2781,175 @@ def q_bpe_vocab(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES.update({"bpe_vocab": q_bpe_vocab})
+
+
+# ---------------------------------------------------------------------
+# embedding k-means (fixed-iteration Lloyd's) — full oracle
+# ---------------------------------------------------------------------
+
+KMEANS_K = 4
+
+
+def q_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means (k=4, one centroid update, seeds =
+    the 4 smallest vec_ids) over the embeddings table; output the final
+    assignment + distance.  The oracle replays the identical schedule
+    in SQL: seed CTE → window argmin → per-dimension AVG → final window
+    argmin — tie rule (distance, cluster id) pinned on both sides."""
+    from ..ops.semdedup import kmeans_assign
+    from ..ops.textstats import round_half_away
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = kmeans_assign(emb, k=KMEANS_K, iters=1).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["dist"] = round_half_away(df["dist"].to_numpy())
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_KMEANS = f"""
+WITH c0 AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < {KMEANS_K}),
+d1 AS (
+  SELECT e.vec_id, c0.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], c0.cv),
+                    c0.cluster) AS rnk
+  FROM embeddings e CROSS JOIN c0),
+a1 AS (SELECT vec_id, cluster FROM d1 WHERE rnk = 1),
+m AS (
+  SELECT a1.cluster, u.idx, avg(u.val) AS v
+  FROM a1 JOIN embeddings e ON a1.vec_id = e.vec_id,
+  LATERAL (SELECT unnest(e.embedding::DOUBLE[]) AS val,
+                  generate_subscripts(e.embedding, 1) AS idx) u
+  GROUP BY a1.cluster, u.idx),
+c1 AS (SELECT cluster, list(v ORDER BY idx) AS cv FROM m GROUP BY cluster),
+d2 AS (
+  SELECT e.vec_id, c1.cluster,
+         round(list_distance(e.embedding::DOUBLE[], c1.cv), 6) AS dist,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], c1.cv),
+                    c1.cluster) AS rnk
+  FROM embeddings e CROSS JOIN c1)
+SELECT vec_id, cluster::BIGINT AS cluster, dist
+FROM d2 WHERE rnk = 1 ORDER BY vec_id
+"""
+
+QUERIES.update({"kmeans": q_kmeans})
+ORACLES.update({"kmeans": SQL_KMEANS})
+
+
+# ---------------------------------------------------------------------
+# SemDeDup — within-cluster cosine prune, full oracle
+# ---------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+
+
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table using the
+    stored ``label`` as the cluster (q_kmeans is the companion that
+    PRODUCES such a clustering): drop every vector with an earlier
+    same-cluster neighbor at cosine ≥ τ.  Pairwise earlier-neighbor
+    semantics — exactly the oracle's NOT EXISTS."""
+    from ..ops.semdedup import semdedup_prune
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    df = semdedup_prune(emb, tau=SEMDEDUP_TAU).to_pandas()
+    df["vec_id"] = df["vec_id"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_SEMDEDUP = f"""
+SELECT e.vec_id, e.label::BIGINT AS cluster,
+  NOT EXISTS (
+    SELECT 1 FROM embeddings b
+    WHERE b.label = e.label AND b.vec_id < e.vec_id
+      AND list_cosine_similarity(e.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= {SEMDEDUP_TAU}
+  ) AS kept
+FROM embeddings e ORDER BY vec_id
+"""
+
+QUERIES.update({"semdedup": q_semdedup})
+ORACLES.update({"semdedup": SQL_SEMDEDUP})
+
+
+# ---------------------------------------------------------------------
+# blocklist (bad-words) filter — full oracle
+# ---------------------------------------------------------------------
+
+BLOCKLIST = ("dup", "big data")
+_BLOCKLIST_RX = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+
+
+def q_blocklist(sf_dir: str) -> pd.DataFrame:
+    """C4-style bad-word gate: per-doc blocklist match count + keep
+    flag; the RE2 pattern is shared verbatim with the oracle."""
+    from ..ops.cleaning import blocklist_filter
+
+    df = blocklist_filter(_docs_text(sf_dir), BLOCKLIST).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BLOCKLIST = f"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{_BLOCKLIST_RX}'))::BIGINT AS n_bad,
+  len(regexp_extract_all(lower(text), '{_BLOCKLIST_RX}')) = 0 AS kept
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES.update({"blocklist": q_blocklist})
+ORACLES.update({"blocklist": SQL_BLOCKLIST})
+
+
+# ---------------------------------------------------------------------
+# near-dup cluster representative election — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_cluster_reps(sf_dir: str) -> pd.DataFrame:
+    """The step after near-dup clustering: per cluster keep the member
+    with the most characters (ties → lowest doc id).  Pipeline =
+    minhash pairs → connected components → quality-join → election;
+    oracle = the recursive-CTE closure + one window."""
+    from ..ops.dedup import (cluster_representatives, connected_components,
+                             minhash_lsh_pairs)
+
+    pairs = minhash_lsh_pairs(_docs_text(sf_dir), threshold=0.5)
+    labels = connected_components(pairs)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+    df = cluster_representatives(labels, docs).to_pandas()
+    for c in ("cluster_id", "rep_doc_id", "n_docs"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("cluster_id").reset_index(drop=True)
+
+
+SQL_CLUSTER_REPS = f"""
+WITH RECURSIVE pairs AS (
+  {SQL_MINHASH_PAIRS.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+  FROM reach GROUP BY u),
+ranked AS (
+  SELECT l.cluster_id, l.doc_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+           ORDER BY d.n_chars DESC, l.doc_id) AS rnk,
+         count(*) OVER (PARTITION BY l.cluster_id) AS n
+  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id::BIGINT AS rep_doc_id,
+       n::BIGINT AS n_docs
+FROM ranked WHERE rnk = 1 ORDER BY cluster_id
+"""
+
+QUERIES.update({"cluster_reps": q_cluster_reps})
+ORACLES.update({"cluster_reps": SQL_CLUSTER_REPS})

@@ -1,0 +1,154 @@
+"""Unit tests: kmeans_assign, semdedup_prune, blocklist_filter,
+cluster_representatives."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _emb_ds(ray, E, labels=None):
+    import ray.data
+
+    n = len(E)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+        "label": pa.array(
+            (labels if labels is not None else np.zeros(n)).astype(np.int32)),
+    })
+    return ray.data.from_arrow(t).repartition(3)
+
+
+def _kmeans_mirror(E, k, iters):
+    E = E.astype(np.float64)
+    C = E[:k].copy()
+    for _ in range(iters):
+        d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = E[a == j].mean(0)
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    return d2.argmin(1), np.sqrt(d2.min(1))
+
+
+@pytest.mark.parametrize("iters", [1, 2])
+def test_kmeans_matches_numpy(ray_session, iters):
+    from alix_ray.ops.semdedup import kmeans_assign
+
+    rng = np.random.default_rng(7)
+    E = rng.normal(size=(60, 8)).astype(np.float32)
+    df = kmeans_assign(_emb_ds(ray_session, E), k=3, iters=iters) \
+        .to_pandas().sort_values("vec_id")
+    a, d = _kmeans_mirror(E, 3, iters)
+    assert (df["cluster"].to_numpy() == a).all()
+    assert np.allclose(df["dist"].to_numpy(), d)
+
+
+def test_kmeans_empty_cluster_keeps_seed(ray_session):
+    # two identical seed vectors: the tie goes to cluster 0, cluster 1
+    # empties at the update and must keep its seed centroid
+    from alix_ray.ops.semdedup import kmeans_assign
+
+    E = np.array([[0.0, 0.0], [0.0, 0.0], [4.0, 0.0], [4.1, 0.0]],
+                 np.float32)
+    df = kmeans_assign(_emb_ds(ray_session, E), k=2, iters=1) \
+        .to_pandas().sort_values("vec_id")
+    # all rows tie/fall to cluster 0 at the update, cluster 1 empties
+    # and keeps its seed (0,0) — so rows 0/1 land on cluster 1 finally
+    assert list(df["cluster"]) == [1, 1, 0, 0]
+    a, d = _kmeans_mirror_keep_empty(E, 2)
+    assert (df["cluster"].to_numpy() == a).all()
+    assert np.allclose(df["dist"].to_numpy(), d)
+
+
+def _kmeans_mirror_keep_empty(E, k):
+    E = E.astype(np.float64)
+    C = E[:k].copy()
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    a = d2.argmin(1)
+    for j in range(k):
+        if (a == j).any():
+            C[j] = E[a == j].mean(0)
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    return d2.argmin(1), np.sqrt(d2.min(1))
+
+
+def test_semdedup_pairwise_rule(ray_session):
+    from alix_ray.ops.semdedup import semdedup_prune
+
+    v = np.array([1.0, 0.0, 0.0])
+    w = np.array([0.0, 1.0, 0.0])
+    # cluster 0: rows 0,1 identical (drop 1), row 2 orthogonal (keep)
+    # cluster 1: row 3 identical to row 0 but OTHER cluster → kept
+    E = np.stack([v, v, w, v]).astype(np.float32)
+    labels = np.array([0, 0, 0, 1])
+    df = semdedup_prune(_emb_ds(ray_session, E, labels), tau=0.9) \
+        .to_pandas().sort_values("vec_id")
+    assert list(df["kept"]) == [True, False, True, True]
+    assert list(df["cluster"]) == [0, 0, 0, 1]
+
+
+def test_semdedup_blocked_equals_unblocked(ray_session):
+    from alix_ray.ops.semdedup import semdedup_prune
+
+    rng = np.random.default_rng(3)
+    E = rng.normal(size=(50, 4)).astype(np.float32)
+    labels = (np.arange(50) % 2).astype(np.int64)
+    a = semdedup_prune(_emb_ds(ray_session, E, labels), tau=0.5, block=4) \
+        .to_pandas().sort_values("vec_id")
+    b = semdedup_prune(_emb_ds(ray_session, E, labels), tau=0.5, block=512) \
+        .to_pandas().sort_values("vec_id")
+    assert list(a["kept"]) == list(b["kept"])
+
+
+def test_semdedup_max_group_guard(ray_session):
+    from alix_ray.ops.semdedup import semdedup_prune
+
+    E = np.zeros((5, 2), np.float32)
+    with pytest.raises(Exception, match="max_group"):
+        semdedup_prune(_emb_ds(ray_session, E), tau=0.5,
+                       max_group=3).to_pandas()
+
+
+def test_blocklist_word_boundaries(ray_session):
+    import ray.data
+
+    from alix_ray.ops.cleaning import blocklist_filter
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "a dup here and dup there"},
+        {"doc_id": 1, "text": "dupx is not a match"},
+        {"doc_id": 2, "text": "Big Data is flagged case-insensitively"},
+        {"doc_id": 3, "text": None},
+    ])
+    df = blocklist_filter(ds, ("dup", "big data")).to_pandas() \
+        .sort_values("doc_id")
+    assert list(df["n_bad"]) == [2, 0, 1, 0]
+    assert list(df["kept"]) == [False, True, False, True]
+
+
+@pytest.mark.parametrize("broadcast_max", [5_000_000, 0])
+def test_cluster_representatives(ray_session, broadcast_max):
+    import ray.data
+
+    from alix_ray.ops.dedup import cluster_representatives
+
+    labels = ray.data.from_items([
+        {"doc_id": 1, "cluster_id": 1}, {"doc_id": 2, "cluster_id": 1},
+        {"doc_id": 5, "cluster_id": 1},
+        {"doc_id": 7, "cluster_id": 7}, {"doc_id": 9, "cluster_id": 7},
+    ])
+    docs = ray.data.from_items([
+        {"doc_id": i, "n_chars": c}
+        for i, c in [(1, 10), (2, 99), (3, 1), (5, 99), (7, 4), (9, 4)]
+    ])
+    df = cluster_representatives(labels, docs,
+                                 broadcast_max=broadcast_max) \
+        .to_pandas().sort_values("cluster_id")
+    # cluster 1: 2 and 5 tie at 99 chars → lowest id 2; cluster 7: tie → 7
+    assert list(df["cluster_id"]) == [1, 7]
+    assert list(df["rep_doc_id"]) == [2, 7]
+    assert list(df["n_docs"]) == [3, 2]
