@@ -170,3 +170,114 @@ class LshIndexedSearch:
             expr=f"bucket in {probe_list}"
         )
         return brute_force_topk(sub, Q, k, vec_col=vec_col, id_col=id_col)
+
+
+# ---------------------------------------------------------------------
+# sparse all-pairs tf-idf cosine (the DISCO / prefix-filter shape)
+# ---------------------------------------------------------------------
+
+
+def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
+                       df_cap: int = 100, text_col: str = "text",
+                       id_col: str = "doc_id") -> ray.data.Dataset:
+    """All document pairs with tf-idf cosine ≥ ``threshold`` — sparse
+    lexical near-dup/similarity over DISTINCTIVE vocabulary (terms with
+    df ≤ ``df_cap``; dropping ubiquitous terms is the classic
+    DISCO/prefix-filter pruning, and it is also what bounds the
+    quadratic per-term pair fan-out to df_cap²/2).
+
+    Weights: ``ln(1+tf) · ln((N+1)/(df+1))``, L2-normalized per doc;
+    cosine = Σ over shared terms of the normalized weight products.
+
+    Fully distributed — four slim shuffles, no broadcast table, no
+    driver state beyond the corpus count:
+
+    1. term-pkey groupby: global df per term, idf attach, df-cap prune;
+    2. doc-pkey groupby: per-doc L2 norm, normalize;
+    3. term-pkey groupby: per-term pairwise partial products
+       (vectorized self-merge);
+    4. pair-pkey groupby: sum partials, threshold.
+
+    Every shuffled row is (ids, term, one float) — token payloads never
+    move; text leaves a worker only as per-(doc,term) counts."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..analysis import SimpleAnalyzer
+    from .dedup import _partition_key, md5_lower64
+
+    n_docs = float(ds.count())
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        lists = SimpleAnalyzer.tokens_arrays(batch[text_col])
+        lengths = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "doc_id": pa.array(np.repeat(ids, lengths), pa.int64()),
+            "term": lists.flatten(),
+        })
+        g = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        terms = g["term"].to_pylist()
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": pc.cast(g["term_count"], pa.float64()),
+            "tpk": pa.array(_partition_key(md5_lower64(terms))),
+        })
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+
+    def idf_join(g: pd.DataFrame) -> pd.DataFrame:
+        # the partition holds EVERY row of each of its terms → the
+        # per-term row count IS the global df
+        df = g.groupby("term")["doc_id"].transform("size")
+        g = g[df <= df_cap].copy()
+        dfk = df[df <= df_cap]
+        g["w"] = np.log1p(g["tf"].to_numpy()) * np.log(
+            (n_docs + 1.0) / (dfk.to_numpy() + 1.0))
+        g["dpk"] = _partition_key(g["doc_id"].to_numpy().astype(np.uint64))
+        return g[["doc_id", "term", "w", "tpk", "dpk"]]
+
+    w = tf.groupby("tpk").map_groups(idf_join, batch_format="pandas")
+
+    def normalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["w2"] = g["w"].to_numpy() ** 2
+        nn = np.sqrt(g.groupby("doc_id")["w2"].transform("sum").to_numpy())
+        g["w"] = g["w"].to_numpy() / nn
+        return g[["doc_id", "term", "w", "tpk"]]
+
+    wn = w.groupby("dpk").map_groups(normalize, batch_format="pandas")
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="term")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if m.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "p": pd.Series(dtype="float64"),
+                "ppk": pd.Series(dtype="int64"),
+            })
+        a = m["doc_id_x"].to_numpy()
+        b = m["doc_id_y"].to_numpy()
+        pk = _partition_key(a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                            + b.astype(np.uint64))
+        return pd.DataFrame({
+            "doc_a": a, "doc_b": b,
+            "p": m["w_x"].to_numpy() * m["w_y"].to_numpy(),
+            "ppk": pk,
+        })
+
+    parts = wn.groupby("tpk").map_groups(pair_partials, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["doc_a", "doc_b"])["p"].sum().reset_index()
+        s = s[s["p"] >= threshold]
+        return pd.DataFrame({
+            "doc_a": s["doc_a"].astype("int64"),
+            "doc_b": s["doc_b"].astype("int64"),
+            "cosine": s["p"].astype("float64"),
+        })
+
+    return parts.groupby("ppk").map_groups(fold, batch_format="pandas")

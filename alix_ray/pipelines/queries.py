@@ -2953,3 +2953,51 @@ FROM ranked WHERE rnk = 1 ORDER BY cluster_id
 
 QUERIES.update({"cluster_reps": q_cluster_reps})
 ORACLES.update({"cluster_reps": SQL_CLUSTER_REPS})
+
+
+# ---------------------------------------------------------------------
+# sparse all-pairs tf-idf cosine — full oracle
+# ---------------------------------------------------------------------
+
+TFIDF_PAIR_THRESHOLD = 0.5
+TFIDF_DF_CAP = 100
+
+
+def q_tfidf_pairs(sf_dir: str) -> pd.DataFrame:
+    """Lexical near-dup pairs by tf-idf cosine over distinctive terms
+    (df ≤ cap) — the DISCO shape: four slim shuffles, no broadcast.
+    Oracle = the identical weight formula as plain SQL joins."""
+    from ..ops.similarity import tfidf_cosine_pairs
+    from ..ops.textstats import round_half_away
+
+    df = tfidf_cosine_pairs(_docs_text(sf_dir),
+                            threshold=TFIDF_PAIR_THRESHOLD,
+                            df_cap=TFIDF_DF_CAP).to_pandas()
+    df["doc_a"] = df["doc_a"].astype("int64")
+    df["doc_b"] = df["doc_b"].astype("int64")
+    df["cosine"] = round_half_away(df["cosine"].to_numpy())
+    return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+SQL_TFIDF_PAIRS = f"""
+WITH toks AS ({TOKS}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM toks GROUP BY doc_id, term),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (SELECT tf.doc_id, tf.term,
+             ln(1 + tf.tf) * ln((n.n + 1) / (dft.df + 1)) AS w
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+      WHERE dft.df <= {TFIDF_DF_CAP}),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
+wn AS (SELECT w.doc_id, w.term, w.w / nrm.nn AS w
+       FROM w JOIN nrm USING (doc_id)),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS c
+      FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, round(c, 6) AS cosine FROM p
+WHERE c >= {TFIDF_PAIR_THRESHOLD} ORDER BY doc_a, doc_b
+"""
+
+QUERIES.update({"tfidf_pairs": q_tfidf_pairs})
+ORACLES.update({"tfidf_pairs": SQL_TFIDF_PAIRS})

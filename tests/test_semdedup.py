@@ -152,3 +152,56 @@ def test_cluster_representatives(ray_session, broadcast_max):
     assert list(df["cluster_id"]) == [1, 7]
     assert list(df["rep_doc_id"]) == [2, 7]
     assert list(df["n_docs"]) == [3, 2]
+
+
+def test_tfidf_cosine_pairs(ray_session):
+    import ray.data
+
+    from alix_ray.ops.similarity import tfidf_cosine_pairs
+
+    docs = [
+        {"doc_id": 0, "text": "apple banana cherry"},
+        {"doc_id": 1, "text": "apple banana cherry"},      # exact dup of 0
+        {"doc_id": 2, "text": "apple banana melon"},       # partial overlap
+        {"doc_id": 3, "text": "xylo zulu"},                # disjoint
+    ]
+    ds = ray.data.from_items(docs).repartition(2)
+    df = tfidf_cosine_pairs(ds, threshold=0.2, df_cap=100) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # numpy mirror of the exact formula
+    import numpy as np
+    from collections import Counter
+    toks = [d["text"].split() for d in docs]
+    vocab = sorted({t for ts in toks for t in ts})
+    dfs = {v: sum(v in set(ts) for ts in toks) for v in vocab}
+    n = float(len(docs))
+    W = np.zeros((len(docs), len(vocab)))
+    for i, ts in enumerate(toks):
+        for t, c in Counter(ts).items():
+            W[i, vocab.index(t)] = np.log1p(c) * np.log((n + 1) / (dfs[t] + 1))
+    W /= np.linalg.norm(W, axis=1, keepdims=True)
+    S = W @ W.T
+    want = sorted((a, b, S[a, b]) for a in range(4) for b in range(a + 1, 4)
+                  if S[a, b] >= 0.2)
+    got = list(zip(df["doc_a"], df["doc_b"], df["cosine"]))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    assert np.allclose([c for *_, c in got], [c for *_, c in want])
+    # the exact dup pair scores 1.0
+    assert any(a == 0 and b == 1 and abs(c - 1.0) < 1e-9 for a, b, c in got)
+
+
+def test_tfidf_df_cap_prunes_hot_terms(ray_session):
+    import ray.data
+
+    from alix_ray.ops.similarity import tfidf_cosine_pairs
+
+    # "the" appears in all 3 docs; with df_cap=2 it cannot create pairs
+    docs = [
+        {"doc_id": 0, "text": "the unique0"},
+        {"doc_id": 1, "text": "the unique1"},
+        {"doc_id": 2, "text": "the unique2"},
+    ]
+    ds = ray.data.from_items(docs)
+    df = tfidf_cosine_pairs(ds, threshold=0.0, df_cap=2).to_pandas()
+    assert len(df) == 0
