@@ -2970,9 +2970,16 @@ def q_tfidf_pairs(sf_dir: str) -> pd.DataFrame:
     from ..ops.similarity import tfidf_cosine_pairs
     from ..ops.textstats import round_half_away
 
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    cap = max(TFIDF_DF_CAP, n // 5)  # mirrors the oracle's greatest()
     df = tfidf_cosine_pairs(_docs_text(sf_dir),
                             threshold=TFIDF_PAIR_THRESHOLD,
-                            df_cap=TFIDF_DF_CAP).to_pandas()
+                            df_cap=cap).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
     df["doc_a"] = df["doc_a"].astype("int64")
     df["doc_b"] = df["doc_b"].astype("int64")
     df["cosine"] = round_half_away(df["cosine"].to_numpy())
@@ -2988,7 +2995,7 @@ n AS (SELECT count(*)::DOUBLE AS n FROM documents),
 w AS (SELECT tf.doc_id, tf.term,
              ln(1 + tf.tf) * ln((n.n + 1) / (dft.df + 1)) AS w
       FROM tf JOIN dft USING (term) CROSS JOIN n
-      WHERE dft.df <= {TFIDF_DF_CAP}),
+      WHERE dft.df <= greatest({TFIDF_DF_CAP}, n.n // 5)),
 nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id),
 wn AS (SELECT w.doc_id, w.term, w.w / nrm.nn AS w
        FROM w JOIN nrm USING (doc_id)),
