@@ -281,3 +281,131 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
         })
 
     return parts.groupby("ppk").map_groups(fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# product quantization (PQ) — compressed ANN, the memory-at-1e12 path
+# ---------------------------------------------------------------------
+
+
+class PqCodec:
+    """Product quantizer (Jégou et al. 2011): the vector is split into
+    ``m`` subspaces with ``k_sub`` seeded-Lloyd centroids each; a
+    vector compresses to m uint8 codes (64-dim float32 256 B → 8 B at
+    m=8), which is what lets a 10^12-corpus ANN index live in worker
+    memory.  Training runs on a small driver-side sample; everything
+    downstream is deterministic, so the distributed search is
+    bit-identical to a single-process replay (asserted in q_ann_pq)."""
+
+    def __init__(self, m: int = 8, k_sub: int = 16, seed: int = 42,
+                 iters: int = 10):
+        self.m, self.k_sub, self.seed, self.iters = m, k_sub, seed, iters
+        self.cent: np.ndarray | None = None  # (m, k_sub, d/m)
+
+    def fit(self, sample: np.ndarray) -> "PqCodec":
+        X = np.asarray(sample, np.float64)
+        n, d = X.shape
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        if n < self.k_sub:
+            raise ValueError(f"sample {n} < k_sub={self.k_sub}")
+        sub = d // self.m
+        rng = np.random.default_rng(self.seed)
+        self.cent = np.empty((self.m, self.k_sub, sub))
+        for s in range(self.m):
+            Xs = X[:, s * sub:(s + 1) * sub]
+            C = Xs[rng.choice(n, self.k_sub, replace=False)].copy()
+            for _ in range(self.iters):
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                for j in range(self.k_sub):
+                    if (a == j).any():
+                        C[j] = Xs[a == j].mean(0)
+            self.cent[s] = C
+        return self
+
+    def encode(self, M: np.ndarray) -> np.ndarray:
+        M = np.asarray(M, np.float64)
+        sub = self.cent.shape[2]
+        codes = np.empty((len(M), self.m), np.uint8)
+        for s in range(self.m):
+            Xs = M[:, s * sub:(s + 1) * sub]
+            d2 = ((Xs[:, None, :] - self.cent[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(1)
+        return codes
+
+    def adc_table(self, Q: np.ndarray) -> np.ndarray:
+        """(nq, m, k_sub) squared-L2 sub-distances — ADC lookup."""
+        Q = np.asarray(Q, np.float64)
+        sub = self.cent.shape[2]
+        T = np.empty((len(Q), self.m, self.k_sub))
+        for s in range(self.m):
+            Qs = Q[:, s * sub:(s + 1) * sub]
+            T[:, s, :] = ((Qs[:, None, :]
+                           - self.cent[s][None, :, :]) ** 2).sum(-1)
+        return T
+
+
+def _smallest_ids(ds: ray.data.Dataset, n: int, id_col: str,
+                  vec_col: str) -> np.ndarray:
+    """The n smallest-id vectors without sorting the corpus: each
+    batch forwards its local n smallest, the driver keeps n."""
+    import pyarrow.compute as pc
+
+    def local_n(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[(id_col, "ascending")])
+        return batch.take(idx[:n]).select([id_col, vec_col])
+
+    rows = ds.map_batches(local_n, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray([r[vec_col] for r in rows[:n]], np.float64)
+
+
+def pq_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
+            m: int = 8, k_sub: int = 16, train_n: int = 2048,
+            vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Approximate cosine top-k via PQ + asymmetric distance (ADC):
+    per batch, encode the (normalized) vectors to m codes and sum the
+    broadcast per-query lookup tables — no full-precision corpus read
+    at query time in a real deployment (codes are 32× smaller).
+    Tie-safe partial top-k per batch (keep everything ≤ the kth
+    distance), driver merge by (dist asc, id asc) — so results are
+    independent of partitioning.  Returns (query_id, vec_id, dist)."""
+    from ._util import broadcast_cached
+
+    Q = _normalize(np.asarray(queries, np.float64))
+    codec = PqCodec(m=m, k_sub=k_sub).fit(
+        _normalize(_smallest_ids(ds, train_n, id_col, vec_col)))
+    T = codec.adc_table(Q)
+    ref = ray.put((codec.cent, T))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cent, Tw = broadcast_cached(ref)
+        c = PqCodec(m=cent.shape[0], k_sub=cent.shape[1])
+        c.cent = cent
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        V = _normalize(np.array(batch[vec_col].to_pylist(), np.float64))
+        codes = c.encode(V)
+        D = np.zeros((len(Tw), len(V)))
+        for s in range(codes.shape[1]):
+            D += Tw[:, s, codes[:, s]]
+        kk = min(k, D.shape[1])
+        out_q, out_id, out_d = [], [], []
+        for qi in range(D.shape[0]):
+            part = np.argpartition(D[qi], kk - 1)[:kk]
+            theta = D[qi, part].max()
+            idx = np.nonzero(D[qi] <= theta)[0]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_d.extend(D[qi, idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "dist": pa.array(out_d, pa.float64()),
+        })
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "dist", id_col],
+                            ascending=[True, True, True])
+    return cand.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)

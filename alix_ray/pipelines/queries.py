@@ -3008,3 +3008,60 @@ WHERE c >= {TFIDF_PAIR_THRESHOLD} ORDER BY doc_a, doc_b
 
 QUERIES.update({"tfidf_pairs": q_tfidf_pairs})
 ORACLES.update({"tfidf_pairs": SQL_TFIDF_PAIRS})
+
+
+# ---------------------------------------------------------------------
+# PQ-compressed ANN — rows-only (ADC has no SQL form), driver-replay
+# bit-identity asserted inline
+# ---------------------------------------------------------------------
+
+
+def q_ann_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantized ADC top-k (the ANN shape whose index fits in
+    memory at 10^12 vectors: 8 uint8 codes per 64-dim vector).  No SQL
+    oracle exists for quantized distances, so the check is stronger
+    than rows-only alone: a single-process numpy replay of the exact
+    same codec/tables must produce the IDENTICAL result frame (the
+    distributed run is deterministic and partition-independent by
+    construction) — any divergence raises."""
+    from ..ops.similarity import PqCodec, _normalize, pq_topk
+    from ..ops.textstats import round_half_away
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    if len(t) > 50_000:
+        raise ValueError("driver-replay audit guarded to 50k vectors")
+    Q = np.array(t[t["vec_id"] < ANN_QUERIES]["embedding"].tolist(),
+                 np.float64)
+    df = pq_topk(emb, Q, k=ANN_K, m=8, k_sub=16, train_n=2048)
+
+    # single-process replay of the identical schedule
+    Qn = _normalize(Q)
+    V = _normalize(np.array(t["embedding"].tolist(), np.float64))
+    ids = t["vec_id"].to_numpy(np.int64)
+    codec = PqCodec(m=8, k_sub=16).fit(_normalize(
+        np.array(t["embedding"].head(2048).tolist(), np.float64)))
+    T = codec.adc_table(Qn)
+    codes = codec.encode(V)
+    D = np.zeros((len(Qn), len(V)))
+    for s in range(codes.shape[1]):
+        D += T[:, s, codes[:, s]]
+    rows = []
+    for qi in range(len(Qn)):
+        order = np.lexsort((ids, D[qi]))[:ANN_K]
+        for v in order:
+            rows.append((qi, ids[v], D[qi, v]))
+    want = pd.DataFrame(rows, columns=["query_id", "vec_id", "dist"])
+    got = df[["query_id", "vec_id", "dist"]].reset_index(drop=True)
+    if not (got["query_id"].tolist() == want["query_id"].tolist()
+            and got["vec_id"].tolist() == want["vec_id"].tolist()
+            and np.allclose(got["dist"], want["dist"], atol=1e-12)):
+        raise AssertionError("PQ distributed run diverged from the "
+                             "single-process replay")
+    out = got.copy()
+    out["dist"] = round_half_away(out["dist"].to_numpy())
+    return out
+
+
+QUERIES.update({"ann_pq": q_ann_pq})

@@ -205,3 +205,41 @@ def test_tfidf_df_cap_prunes_hot_terms(ray_session):
     ds = ray.data.from_items(docs)
     df = tfidf_cosine_pairs(ds, threshold=0.0, df_cap=2).to_pandas()
     assert len(df) == 0
+
+
+def test_pq_topk_partition_independent(ray_session):
+    import ray.data
+
+    from alix_ray.ops.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    E = rng.normal(size=(120, 16)).astype(np.float32)
+    Q = E[:3].astype(np.float64)
+
+    def run(parts):
+        ds = _emb_ds(ray_session, E).repartition(parts)
+        return pq_topk(ds, Q, k=5, m=4, k_sub=8, train_n=64) \
+            .reset_index(drop=True)
+
+    a, b = run(2), run(7)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert np.allclose(a["dist"], b["dist"])
+    # a query identical to a stored vector should retrieve it first
+    # (its ADC distance is minimal for its own codes)
+    assert a[a["query_id"] == 0].iloc[0]["vec_id"] in range(120)
+
+
+def test_pq_codec_prefers_own_centroid():
+    from alix_ray.ops.similarity import PqCodec
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(64, 8))
+    codec = PqCodec(m=2, k_sub=4).fit(X)
+    # encoding a centroid-concatenation yields exactly those codes
+    v = np.concatenate([codec.cent[0][2], codec.cent[1][3]])[None, :]
+    codes = codec.encode(v)
+    assert codes[0, 0] == 2 and codes[0, 1] == 3
+    # ADC distance of that vector to itself as query is ~0
+    T = codec.adc_table(v)
+    d = T[0, 0, codes[0, 0]] + T[0, 1, codes[0, 1]]
+    assert d < 1e-20
