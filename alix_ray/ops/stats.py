@@ -69,3 +69,49 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
         rows.append({"q": q, "value": hist["value"].iloc[i],
                      "rank": k, "n": n})
     return pd.DataFrame(rows)
+
+
+def grouped_quantiles(ds: ray.data.Dataset, group_col: str, col: str,
+                      qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                      max_cells: int = 5_000_000) -> "pd.DataFrame":
+    """Per-group exact quantiles — :func:`exact_quantiles` stratified
+    by ``group_col`` (the per-SOURCE quality-threshold primitive: a
+    curation pipeline sets a different keep bar per domain/source).
+
+    Identical shape: per-batch (group, value) count partials, one
+    multi-key ``groupby((group, value)).sum`` exchange of slim rows,
+    driver cumsum per group.  Driver state ∝ Σ per-group distinct
+    values — the same bounded-histogram assumption, enforced by
+    ``max_cells``.  Rows: ``(group, q, value, rank, n)`` with the same
+    pinned lower-quantile rank ``ceil(q·n_group)``."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col], "value": batch[col]})
+        t = t.filter(pc.is_valid(t["value"]))
+        agg = t.group_by(["g", "value"]).aggregate([("value", "count")])
+        return pa.table({"g": agg["g"], "value": agg["value"],
+                         "cnt": agg["value_count"].cast(pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["g", "value"]).sum("cnt").to_pandas())
+    if len(hist) > max_cells:
+        raise ValueError(
+            f"{len(hist)} (group, value) cells exceed max_cells="
+            f"{max_cells}; pre-bucket the column or raise the bound")
+    if len(hist) == 0:
+        raise ValueError(f"no non-null values in column {col!r}")
+    hist = hist.sort_values(["g", "value"]).reset_index(drop=True)
+    rows = []
+    for g, sub in hist.groupby("g", sort=True):
+        counts = sub["sum(cnt)"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        for q in qs:
+            if not 0.0 < q <= 1.0:
+                raise ValueError(f"quantile fraction out of (0, 1]: {q}")
+            k = max(1, math.ceil(Fraction(str(q)) * n))
+            i = int(np.searchsorted(cum, k, side="left"))
+            rows.append({group_col: g, "q": q,
+                         "value": sub["value"].iloc[i], "rank": k, "n": n})
+    return pd.DataFrame(rows)

@@ -3065,3 +3065,50 @@ def q_ann_pq(sf_dir: str) -> pd.DataFrame:
 
 
 QUERIES.update({"ann_pq": q_ann_pq})
+
+
+# ---------------------------------------------------------------------
+# per-source stratified quantiles — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_quantiles_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact n_chars quantiles PER SOURCE (the per-domain keep-bar
+    primitive); same pinned lower-quantile semantics as `quantiles`,
+    stratified via one multi-key (source, value) count shuffle."""
+    from ..ops.stats import grouped_quantiles
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"]).repartition(16)
+    df = grouped_quantiles(docs, "source", "n_chars", QUANTILE_QS)
+    df["value"] = df["value"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["source", "q"]).reset_index(drop=True)
+
+
+SQL_QUANTILES_BY_SOURCE = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source, q, value, rank, n FROM (
+  SELECT source, 0.5 AS q, max(n_chars) AS value,
+    greatest(1, ceil(0.5 * any_value(n)))::BIGINT AS rank,
+    any_value(n)::BIGINT AS n
+  FROM ranked WHERE rn <= greatest(1, ceil(0.5 * n)) GROUP BY source
+  UNION ALL
+  SELECT source, 0.9, max(n_chars),
+    greatest(1, ceil(0.9 * any_value(n)))::BIGINT, any_value(n)::BIGINT
+  FROM ranked WHERE rn <= greatest(1, ceil(0.9 * n)) GROUP BY source
+  UNION ALL
+  SELECT source, 0.99, max(n_chars),
+    greatest(1, ceil(0.99 * any_value(n)))::BIGINT, any_value(n)::BIGINT
+  FROM ranked WHERE rn <= greatest(1, ceil(0.99 * n)) GROUP BY source
+) ORDER BY source, q
+"""
+
+QUERIES.update({"quantiles_by_source": q_quantiles_by_source})
+ORACLES.update({"quantiles_by_source": SQL_QUANTILES_BY_SOURCE})

@@ -243,3 +243,23 @@ def test_pq_codec_prefers_own_centroid():
     T = codec.adc_table(v)
     d = T[0, 0, codes[0, 0]] + T[0, 1, codes[0, 1]]
     assert d < 1e-20
+
+
+def test_grouped_quantiles_matches_per_group(ray_session):
+    import ray.data
+
+    from alix_ray.ops.stats import exact_quantiles, grouped_quantiles
+
+    rng = np.random.default_rng(9)
+    rows = [{"g": ["a", "b", "c"][i % 3], "v": int(rng.integers(0, 40))}
+            for i in range(300)]
+    ds = ray.data.from_items(rows).repartition(5)
+    got = grouped_quantiles(ds, "g", "v", (0.5, 0.9)) \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    for g in ("a", "b", "c"):
+        sub = ray.data.from_items([r for r in rows if r["g"] == g])
+        want = exact_quantiles(sub, "v", (0.5, 0.9))
+        mine = got[got["g"] == g].reset_index(drop=True)
+        assert mine["value"].tolist() == want["value"].tolist()
+        assert mine["rank"].tolist() == want["rank"].tolist()
+        assert mine["n"].tolist() == want["n"].tolist()
