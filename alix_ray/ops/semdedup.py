@@ -87,8 +87,12 @@ def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
 
     ``iters`` centroid updates follow the seed assignment; the returned
     assignment/distance is against the LAST updated centroids.  An
-    empty cluster keeps its previous centroid (both engines agree: the
-    oracle's per-cluster AVG simply has no row to replace it)."""
+    empty cluster keeps its previous centroid (standard Lloyd's
+    convention; covered by test).  NOTE the SQL oracle instead drops an
+    empty cluster from its final argmin — the two agree in the oracle's
+    operating regime because each seed is a corpus member at distance 0
+    to its own centroid, so no cluster empties at the single update
+    q_kmeans runs (iters=1)."""
     C = _seed_centroids(emb, k, id_col, vec_col)
     dim = C.shape[1]
 
