@@ -27,3 +27,20 @@ def default_concurrency(cap: int = 8, floor: int = 2) -> int:
     CPUs, clamped — leaves headroom for the surrounding pipeline."""
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     return max(floor, min(cap, ncpu // 2))
+
+
+def smallest_id_rows(ds, n: int, id_col: str, vec_col: str):
+    """The ``n`` smallest-id vectors of an embedding Dataset as a
+    float64 matrix, WITHOUT sorting the corpus: every batch forwards
+    its local n smallest (tiny), the driver merges and keeps n.
+    Shared by k-means seeding and PQ training-sample selection."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def local_n(batch):
+        idx = pc.sort_indices(batch, sort_keys=[(id_col, "ascending")])
+        return batch.take(idx[:n]).select([id_col, vec_col])
+
+    rows = ds.map_batches(local_n, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray([r[vec_col] for r in rows[:n]], np.float64)

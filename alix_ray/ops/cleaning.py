@@ -426,6 +426,32 @@ def line_dedup(ds: ray.data.Dataset, text_col: str = "text",
 # ---------------------------------------------------------------------
 
 
+def blocklist_regex(patterns: tuple[str, ...]) -> str:
+    """The shared whole-word RE2 pattern for a blocklist — metachars
+    escaped per entry (real C4/LDNOOBW lists contain '$', '.', '(' …),
+    so every entry matches literally on BOTH engines.  ``re.escape``
+    output uses only backslash escapes, which RE2 (Arrow and DuckDB
+    alike) accepts unchanged.
+
+    A ``\\b`` anchor is only attached where the entry EDGE is a word
+    character — RE2 has no lookarounds, and ``\\b`` after a non-word
+    edge (``a$$`` + space) can never match, which would silently let
+    the entry through; a non-word-edged entry matches as a literal
+    substring instead (the whole-word proxy real filters use)."""
+    import re
+
+    if not patterns:
+        raise ValueError("empty blocklist — a bare alternation would "
+                         "flag every document")
+
+    def atom(p: str) -> str:
+        lead = r"\b" if p and (p[0].isalnum() or p[0] == "_") else ""
+        trail = r"\b" if p and (p[-1].isalnum() or p[-1] == "_") else ""
+        return lead + re.escape(p) + trail
+
+    return "(?:" + "|".join(atom(p) for p in patterns) + ")"
+
+
 def blocklist_filter(ds: ray.data.Dataset,
                      patterns: tuple[str, ...],
                      text_col: str = "text",
@@ -433,13 +459,13 @@ def blocklist_filter(ds: ray.data.Dataset,
     """Flag documents containing any blocklist word/phrase
     (C4, Raffel et al. 2020 §2.2: drop pages with any "bad word").
 
-    Whole-word semantics: the RE2 pattern ``\\b(p1|p2|...)\\b`` over
-    the lowercased text, shared VERBATIM with the DuckDB oracle (both
-    engines are RE2; counts are leftmost non-overlapping on both
-    sides).  Embarrassingly parallel — one zero-copy Arrow kernel per
-    batch, no shuffle.  Output ``(id, n_bad, kept)`` so callers can
-    either filter (``kept``) or threshold on the count."""
-    rx = r"\b(" + "|".join(patterns) + r")\b"
+    Whole-word semantics: :func:`blocklist_regex` over the lowercased
+    text, shared VERBATIM with the DuckDB oracle (both engines are
+    RE2; counts are leftmost non-overlapping on both sides).
+    Embarrassingly parallel — one zero-copy Arrow kernel per batch, no
+    shuffle.  Output ``(id, n_bad, kept)`` so callers can either
+    filter (``kept``) or threshold on the count."""
+    rx = blocklist_regex(patterns)
 
     def flag(batch: pa.Table) -> pa.Table:
         col = _arr(batch[text_col]).cast(pa.string())

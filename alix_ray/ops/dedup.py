@@ -1064,51 +1064,59 @@ def cluster_representatives(labels: ray.data.Dataset,
     convention): a broadcast doc→cluster dict under ``broadcast_max``
     (corpus streams, zero shuffles), else a coarse-pkey repartition
     join.  Either way the final election is one groupby over the
-    LABELED rows only — never corpus-wide.  Output
+    LABELED rows only — never corpus-wide.  Quality values ride as
+    float64 in the distributed union (both sides must share one
+    schema); ints beyond 2^53 would lose ordering precision there —
+    quality metrics are small by nature.  Output
     ``(cluster_id, rep_doc_id, n_docs)``."""
     from ._util import broadcast_cached
 
     def elect(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([quality_col, id_col], ascending=[False, True])
-        top = g.groupby("cluster_id", sort=True).agg(
+        return g.groupby("cluster_id", sort=True).agg(
             rep_doc_id=(id_col, "first"), n_docs=(id_col, "size"),
         ).reset_index()
-        return top.drop(columns=["cpk"], errors="ignore")
 
+    labels = labels.materialize()  # consumed twice (count + join input)
     n = labels.count()
     if n <= broadcast_max:
-        lab = labels.to_pandas()
-        ref = ray.put(dict(zip(lab[id_col].astype(np.int64),
-                               lab["cluster_id"].astype(np.int64))))
+        lab = labels.to_pandas().sort_values(id_col)
+        # sorted (keys, values) arrays — int64 end-to-end, no dict and
+        # no float64 detour that would corrupt ids above 2^53
+        ref = ray.put((lab[id_col].to_numpy(np.int64),
+                       lab["cluster_id"].to_numpy(np.int64)))
 
         def tag(batch: pa.Table) -> pa.Table:
-            m = broadcast_cached(ref)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            cl = pd.Series(ids).map(m)
-            keep = cl.notna().to_numpy()
+            keys, vals = broadcast_cached(ref)
+            ids = _coln(batch, id_col).astype(np.int64)
+            pos = np.searchsorted(keys, ids)
+            pos[pos >= len(keys)] = 0
+            keep = keys[pos] == ids if len(keys) else np.zeros(len(ids), bool)
+            cl = vals[pos[keep]]
             return pa.table({
                 id_col: pa.array(ids[keep], pa.int64()),
-                "cluster_id": pa.array(
-                    cl.to_numpy(np.float64)[keep].astype(np.int64)),
+                "cluster_id": pa.array(cl),
                 quality_col: _coln(batch, quality_col)[keep],
-                "cpk": pa.array(_partition_key(
-                    cl.to_numpy(np.float64)[keep].astype(np.uint64))),
+                "cpk": pa.array(_partition_key(cl.astype(np.uint64))),
             })
 
         tagged = docs.select_columns([id_col, quality_col]).map_batches(
             tag, batch_format="pyarrow")
     else:
-        # distributed: coarse-pkey union join (minhash-verify shape)
+        # distributed: coarse-pkey union join (minhash-verify shape);
+        # one shared schema — quality as float64 on both sides
         def side(is_label: bool):
             def f(batch: pa.Table) -> pa.Table:
-                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                ids = _coln(batch, id_col).astype(np.int64)
                 return pa.table({
                     id_col: pa.array(ids, pa.int64()),
                     "cluster_id": batch["cluster_id"].cast(pa.int64())
                     if is_label else pa.array(
                         np.full(len(ids), -1, np.int64)),
-                    quality_col: pa.array(np.zeros(len(ids), np.int64))
-                    if is_label else _coln(batch, quality_col),
+                    quality_col: pa.array(
+                        np.full(len(ids), np.nan)) if is_label
+                    else pa.array(_coln(batch, quality_col)
+                                  .astype(np.float64)),
                     "pk": pa.array(_partition_key(ids.astype(np.uint64))),
                 })
             return f

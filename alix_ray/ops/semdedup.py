@@ -33,7 +33,6 @@ Both operators read the ``list<float>`` embedding column zero-copy
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -66,18 +65,13 @@ def _assign(E: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def _seed_centroids(emb: ray.data.Dataset, k: int, id_col: str,
                     vec_col: str) -> np.ndarray:
-    """The k smallest-id vectors, without sorting the corpus: each
-    batch forwards its local k smallest (tiny), the driver keeps k."""
+    """The k smallest-id vectors (shared local-top-n helper)."""
+    from ._util import smallest_id_rows
 
-    def local_k(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(batch, sort_keys=[(id_col, "ascending")])
-        return batch.take(idx[:k]).select([id_col, vec_col])
-
-    parts = emb.map_batches(local_k, batch_format="pyarrow").take_all()
-    parts.sort(key=lambda r: r[id_col])
-    if len(parts) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(parts)}")
-    return np.asarray([r[vec_col] for r in parts[:k]], np.float64)
+    C = smallest_id_rows(emb, k, id_col, vec_col)
+    if len(C) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(C)}")
+    return C
 
 
 def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
@@ -100,6 +94,11 @@ def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
         ref = ray.put(C)
 
         def partial(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:  # empty block (filter/over-partition)
+                return pa.table({"cluster": pa.array([], pa.int32()),
+                                 "dim": pa.array([], pa.int32()),
+                                 "s": pa.array([], pa.float64()),
+                                 "c": pa.array([], pa.int64())})
             Cw = broadcast_cached(ref)
             E = _matrix(batch[vec_col])
             a, _ = _assign(E, Cw)
@@ -130,6 +129,10 @@ def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
     ref = ray.put(C)
 
     def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
         Cw = broadcast_cached(ref)
         E = _matrix(batch[vec_col])
         a, d = _assign(E, Cw)
@@ -152,14 +155,14 @@ def semdedup_prune(emb: ray.data.Dataset, tau: float,
     construction); inside a group a blocked upper-triangular matmul
     flags every row with an earlier ``cosine >= tau`` neighbor."""
 
-    def prune(g: pd.DataFrame) -> pd.DataFrame:
+    def prune(g: pa.Table) -> pa.Table:
         if len(g) > max_group:
             raise ValueError(
                 f"cluster of {len(g)} rows exceeds max_group={max_group}; "
                 "SemDeDup assumes k keeps clusters ~1e5 — raise k (or "
                 "max_group if the quadratic cost is acceptable)")
-        g = g.sort_values(id_col)
-        E = np.asarray(list(g[vec_col]), np.float64)
+        g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
+        E = _matrix(g[vec_col])  # zero-copy flatten → reshape
         n = np.linalg.norm(E, axis=1)
         n[n == 0.0] = 1.0
         N = E / n[:, None]
@@ -169,10 +172,10 @@ def semdedup_prune(emb: ray.data.Dataset, tau: float,
             S = N[a:b] @ N[:b].T
             earlier = np.arange(b)[None, :] < np.arange(a, b)[:, None]
             kept[a:b] = ~((S >= tau) & earlier).any(1)
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            "cluster": g[cluster_col].to_numpy().astype(np.int64),
-            "kept": kept,
+        return pa.table({
+            id_col: g[id_col],
+            "cluster": g[cluster_col].cast(pa.int64()),
+            "kept": pa.array(kept),
         })
 
-    return emb.groupby(cluster_col).map_groups(prune, batch_format="pandas")
+    return emb.groupby(cluster_col).map_groups(prune, batch_format="pyarrow")

@@ -346,21 +346,6 @@ class PqCodec:
         return T
 
 
-def _smallest_ids(ds: ray.data.Dataset, n: int, id_col: str,
-                  vec_col: str) -> np.ndarray:
-    """The n smallest-id vectors without sorting the corpus: each
-    batch forwards its local n smallest, the driver keeps n."""
-    import pyarrow.compute as pc
-
-    def local_n(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(batch, sort_keys=[(id_col, "ascending")])
-        return batch.take(idx[:n]).select([id_col, vec_col])
-
-    rows = ds.map_batches(local_n, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r[id_col])
-    return np.asarray([r[vec_col] for r in rows[:n]], np.float64)
-
-
 def pq_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
             m: int = 8, k_sub: int = 16, train_n: int = 2048,
             vec_col: str = "embedding", id_col: str = "vec_id"):
@@ -371,15 +356,19 @@ def pq_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     Tie-safe partial top-k per batch (keep everything ≤ the kth
     distance), driver merge by (dist asc, id asc) — so results are
     independent of partitioning.  Returns (query_id, vec_id, dist)."""
-    from ._util import broadcast_cached
+    from ._util import broadcast_cached, smallest_id_rows
 
     Q = _normalize(np.asarray(queries, np.float64))
     codec = PqCodec(m=m, k_sub=k_sub).fit(
-        _normalize(_smallest_ids(ds, train_n, id_col, vec_col)))
+        _normalize(smallest_id_rows(ds, train_n, id_col, vec_col)))
     T = codec.adc_table(Q)
     ref = ray.put((codec.cent, T))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty block (filter/over-partition)
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
         cent, Tw = broadcast_cached(ref)
         c = PqCodec(m=cent.shape[0], k_sub=cent.shape[1])
         c.cent = cent

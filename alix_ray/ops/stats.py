@@ -86,8 +86,17 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, col: str,
     pinned lower-quantile rank ``ceil(q·n_group)``."""
     import pandas as pd
 
+    # a NULL group key is a stratum of its own (SQL GROUP BY
+    # semantics), but Ray's sort shuffle cannot order None against
+    # strings — string group keys ride the shuffle under a sentinel
+    sentinel = "\x00<null>"
+
     def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"g": batch[group_col], "value": batch[col]})
+        gcol = batch[group_col]
+        gtype = gcol.type
+        if pa.types.is_string(gtype) or pa.types.is_large_string(gtype):
+            gcol = pc.fill_null(gcol, sentinel)
+        t = pa.table({"g": gcol, "value": batch[col]})
         t = t.filter(pc.is_valid(t["value"]))
         agg = t.group_by(["g", "value"]).aggregate([("value", "count")])
         return pa.table({"g": agg["g"], "value": agg["value"],
@@ -95,15 +104,21 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, col: str,
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["g", "value"]).sum("cnt").to_pandas())
+    if hist["g"].dtype == object:
+        hist.loc[hist["g"] == sentinel, "g"] = None
     if len(hist) > max_cells:
         raise ValueError(
             f"{len(hist)} (group, value) cells exceed max_cells="
             f"{max_cells}; pre-bucket the column or raise the bound")
     if len(hist) == 0:
         raise ValueError(f"no non-null values in column {col!r}")
-    hist = hist.sort_values(["g", "value"]).reset_index(drop=True)
+    # stable two-pass sort so a NULL group keeps correct value order
+    # (SQL's GROUP BY emits the NULL stratum — this must too)
+    hist = (hist.sort_values("value")
+            .sort_values("g", kind="stable", na_position="last")
+            .reset_index(drop=True))
     rows = []
-    for g, sub in hist.groupby("g", sort=True):
+    for g, sub in hist.groupby("g", sort=True, dropna=False):
         counts = sub["sum(cnt)"].to_numpy(np.int64)
         cum = np.cumsum(counts)
         n = int(cum[-1])

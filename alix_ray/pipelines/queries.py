@@ -2878,8 +2878,12 @@ ORACLES.update({"semdedup": SQL_SEMDEDUP})
 # blocklist (bad-words) filter — full oracle
 # ---------------------------------------------------------------------
 
+from ..ops.cleaning import blocklist_regex as _blocklist_regex
+
+# entries must not contain a single quote (the RX is embedded in a SQL
+# literal); metachars are fine — _blocklist_regex escapes them
 BLOCKLIST = ("dup", "big data")
-_BLOCKLIST_RX = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+_BLOCKLIST_RX = _blocklist_regex(BLOCKLIST)
 
 
 def q_blocklist(sf_dir: str) -> pd.DataFrame:
@@ -2894,8 +2898,10 @@ def q_blocklist(sf_dir: str) -> pd.DataFrame:
 
 SQL_BLOCKLIST = f"""
 SELECT doc_id,
-  len(regexp_extract_all(lower(text), '{_BLOCKLIST_RX}'))::BIGINT AS n_bad,
-  len(regexp_extract_all(lower(text), '{_BLOCKLIST_RX}')) = 0 AS kept
+  len(regexp_extract_all(lower(coalesce(text, '')),
+      '{_BLOCKLIST_RX}'))::BIGINT AS n_bad,
+  len(regexp_extract_all(lower(coalesce(text, '')),
+      '{_BLOCKLIST_RX}')) = 0 AS kept
 FROM documents ORDER BY doc_id
 """
 

@@ -224,9 +224,11 @@ def test_pq_topk_partition_independent(ray_session):
     a, b = run(2), run(7)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     assert np.allclose(a["dist"], b["dist"])
-    # a query identical to a stored vector should retrieve it first
-    # (its ADC distance is minimal for its own codes)
-    assert a[a["query_id"] == 0].iloc[0]["vec_id"] in range(120)
+    # a query identical to a stored vector retrieves that vector first:
+    # codes(v) minimize every per-subspace distance to q=v, so no other
+    # code combination can beat it, and ties break by id asc
+    for qi in range(3):
+        assert int(a[a["query_id"] == qi].iloc[0]["vec_id"]) == qi
 
 
 def test_pq_codec_prefers_own_centroid():
@@ -263,3 +265,39 @@ def test_grouped_quantiles_matches_per_group(ray_session):
         assert mine["value"].tolist() == want["value"].tolist()
         assert mine["rank"].tolist() == want["rank"].tolist()
         assert mine["n"].tolist() == want["n"].tolist()
+
+
+def test_blocklist_escapes_metacharacters(ray_session):
+    import ray.data
+
+    from alix_ray.ops.cleaning import blocklist_filter, blocklist_regex
+
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": "watch your a$$ mister"},
+        {"doc_id": 1, "text": "ass assonance as"},          # no literal a$$
+        {"doc_id": 2, "text": "c.o.c.k spelled out"},
+        {"doc_id": 3, "text": "cxoxcxk must not match"},    # dots are literal
+    ])
+    df = blocklist_filter(ds, ("a$$", "c.o.c.k")).to_pandas() \
+        .sort_values("doc_id")
+    assert list(df["n_bad"]) == [1, 0, 1, 0]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty blocklist"):
+        blocklist_regex(())
+
+
+def test_grouped_quantiles_null_group(ray_session):
+    import ray.data
+
+    from alix_ray.ops.stats import grouped_quantiles
+
+    rows = ([{"g": "a", "v": i} for i in range(1, 11)]
+            + [{"g": None, "v": i} for i in (5, 6, 7)])
+    ds = ray.data.from_items(rows).repartition(3)
+    got = grouped_quantiles(ds, "g", "v", (0.5,))
+    # the NULL stratum is a group of its own (SQL GROUP BY semantics)
+    a = got[got["g"] == "a"].iloc[0]
+    nul = got[got["g"].isna()].iloc[0]
+    assert (a["value"], a["rank"], a["n"]) == (5, 5, 10)
+    assert (nul["value"], nul["rank"], nul["n"]) == (6, 2, 3)
