@@ -186,6 +186,41 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """Semantic dedup over an embedding parquet: k-means clustering
+    (or an existing cluster column via --cluster-col) then SemDeDup
+    within-cluster cosine pruning; writes (id, cluster, kept)
+    parquet and prints the keep summary."""
+    ray = _ray_session()
+    import ray.data
+
+    from .ops.semdedup import kmeans_assign, semdedup_prune
+
+    ds = ray.data.read_parquet(args.input)
+    if args.cluster_col:
+        clustered, ccol = ds, args.cluster_col
+    else:
+        clustered = kmeans_assign(ds, k=args.k, iters=args.iters,
+                                  id_col=args.id_col,
+                                  vec_col=args.vec_col, append=True)
+        ccol = "cluster"
+    res = semdedup_prune(clustered, tau=args.tau, cluster_col=ccol,
+                         id_col=args.id_col,
+                         vec_col=args.vec_col).materialize()
+    res.write_parquet(args.out)
+    import pyarrow as pa
+
+    def as_int(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch["kept"].cast(pa.int64())})
+
+    kept = int(res.map_batches(as_int, batch_format="pyarrow").sum("k"))
+    total = res.count()
+    print(json.dumps({"out": args.out, "total": total, "kept": kept,
+                      "dropped": total - kept, "tau": args.tau}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_add(args) -> int:
     """Incremental add: index new parquet input as a delta generation
     (IndexWriter.addDocuments analog)."""
@@ -374,6 +409,19 @@ def main(argv=None) -> int:
     bp.add_argument("--count", action="store_true",
                     help="also report total encoded tokens")
     bp.set_defaults(fn=cmd_bpe)
+
+    sd = sub.add_parser("semdedup", help="k-means + SemDeDup semantic "
+                        "dedup over an embedding parquet")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--tau", type=float, default=0.9)
+    sd.add_argument("--k", type=int, default=64)
+    sd.add_argument("--iters", type=int, default=3)
+    sd.add_argument("--cluster-col", default=None,
+                    help="use an existing cluster column instead of k-means")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.set_defaults(fn=cmd_semdedup)
 
     a = sub.add_parser("add", help="incremental add (delta generation)")
     a.add_argument("--index", required=True)

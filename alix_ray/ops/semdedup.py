@@ -75,9 +75,12 @@ def _seed_centroids(emb: ray.data.Dataset, k: int, id_col: str,
 
 
 def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
-                  id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> ray.data.Dataset:
-    """Fixed-iteration Lloyd's k-means; returns (id, cluster, dist).
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  append: bool = False) -> ray.data.Dataset:
+    """Fixed-iteration Lloyd's k-means; returns (id, cluster, dist) —
+    or, with ``append=True``, the INPUT columns plus cluster/dist (so
+    a downstream within-cluster stage like :func:`semdedup_prune`
+    consumes the clustering without any join/shuffle).
 
     ``iters`` centroid updates follow the seed assignment; the returned
     assignment/distance is against the LAST updated centroids.  An
@@ -130,17 +133,17 @@ def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
 
     def final(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "cluster": pa.array([], pa.int64()),
-                             "dist": pa.array([], pa.float64())})
+            empty = (batch if append else batch.select([id_col]))
+            return empty.append_column(
+                "cluster", pa.array([], pa.int64())).append_column(
+                "dist", pa.array([], pa.float64()))
         Cw = broadcast_cached(ref)
         E = _matrix(batch[vec_col])
         a, d = _assign(E, Cw)
-        return pa.table({
-            id_col: batch[id_col],
-            "cluster": pa.array(a.astype(np.int64)),
-            "dist": pa.array(d),
-        })
+        base = batch if append else batch.select([id_col])
+        return base.append_column(
+            "cluster", pa.array(a.astype(np.int64))).append_column(
+            "dist", pa.array(d))
 
     return emb.map_batches(final, batch_format="pyarrow")
 

@@ -301,3 +301,44 @@ def test_grouped_quantiles_null_group(ray_session):
     nul = got[got["g"].isna()].iloc[0]
     assert (a["value"], a["rank"], a["n"]) == (5, 5, 10)
     assert (nul["value"], nul["rank"], nul["n"]) == (6, 2, 3)
+
+
+def test_kmeans_append_keeps_input_columns(ray_session):
+    from alix_ray.ops.semdedup import kmeans_assign
+
+    rng = np.random.default_rng(2)
+    E = rng.normal(size=(30, 4)).astype(np.float32)
+    ds = _emb_ds(ray_session, E)
+    slim = kmeans_assign(ds, k=2, iters=1).to_pandas().sort_values("vec_id")
+    full = kmeans_assign(ds, k=2, iters=1, append=True) \
+        .to_pandas().sort_values("vec_id")
+    assert {"vec_id", "embedding", "label", "cluster", "dist"} \
+        <= set(full.columns)
+    assert slim["cluster"].tolist() == full["cluster"].tolist()
+
+
+def test_cli_semdedup(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq_
+
+    from alix_ray.__main__ import main
+
+    rng = np.random.default_rng(4)
+    E = rng.normal(size=(40, 8)).astype(np.float32)
+    E[1] = E[0]  # one exact duplicate pair
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    src = tmp_path / "emb.parquet"
+    pq_.write_table(t, src)
+    out = str(tmp_path / "kept")
+    assert main(["semdedup", "--input", str(src), "--out", out,
+                 "--tau", "0.99", "--k", "4", "--iters", "1"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total"] == 40
+    # the duplicate of vec 0 lands in the same cluster (identical
+    # vector -> identical assignment) and is dropped
+    assert res["dropped"] >= 1 and res["kept"] == 40 - res["dropped"]
