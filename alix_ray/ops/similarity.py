@@ -179,7 +179,8 @@ class LshIndexedSearch:
 
 def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
                        df_cap: int = 100, text_col: str = "text",
-                       id_col: str = "doc_id") -> ray.data.Dataset:
+                       id_col: str = "doc_id",
+                       _prefilter: bool = True) -> ray.data.Dataset:
     """All document pairs with tf-idf cosine ≥ ``threshold`` — sparse
     lexical near-dup/similarity over DISTINCTIVE vocabulary (terms with
     df ≤ ``df_cap``; dropping ubiquitous terms is the classic
@@ -189,10 +190,18 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
     Weights: ``ln(1+tf) · ln((N+1)/(df+1))``, L2-normalized per doc;
     cosine = Σ over shared terms of the normalized weight products.
 
-    Fully distributed — four slim shuffles, no broadcast table, no
-    driver state beyond the corpus count:
+    Fully distributed; the hot-term prune runs BEFORE any heavy
+    shuffle (the DISCO prefix-filter order):
 
-    1. term-pkey groupby: global df per term, idf attach, df-cap prune;
+    0. combine-before-shuffle partial df counts (per-batch term
+       groupby → slim (term, c) rows, the ``term_stats`` shape), a
+       vocab-sized global sum, and a broadcast of the small df>cap
+       hot-term set — Zipf-head stop terms are filtered MAP-SIDE, so
+       no downstream group ever receives a stop term's ~corpus-sized
+       row set (``idf_join`` enforces this with a hard assert);
+    1. term-pkey groupby over survivors: df per term (all of a term's
+       rows share a partition, so the local count IS the global df),
+       idf attach;
     2. doc-pkey groupby: per-doc L2 norm, normalize;
     3. term-pkey groupby: per-term pairwise partial products
        (vectorized self-merge);
@@ -204,6 +213,7 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
     import pyarrow.compute as pc
 
     from ..analysis import SimpleAnalyzer
+    from ._util import broadcast_cached
     from .dedup import _partition_key, md5_lower64
 
     n_docs = float(ds.count())
@@ -225,12 +235,52 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
             "tpk": pa.array(_partition_key(md5_lower64(terms))),
         })
 
-    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+    # the slim (doc,term,tf) counts table is read twice (stage-0 df
+    # pass + the main pipeline); materialize it once so tokenization
+    # runs once — it is a fraction of corpus size (counts, no text)
+    # and the object store spills it rather than holding it in heap
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    # stage 0 — df discovery WITHOUT moving the (doc,term) table:
+    # per-batch partial counts (slim, ≤ batch-distinct-terms rows),
+    # one vocab-sized sum, then only the df>cap Zipf head (small by
+    # Zipf's law) comes back to the driver for broadcast.
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("term").aggregate([("doc_id", "count")])
+        return pa.table({"term": g["term"],
+                         "c": pc.cast(g["doc_id_count"], pa.int64())})
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch["sum(c)"], int(df_cap))).select(["term"])
+
+    hot_rows = [] if not _prefilter else (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term").sum("c")
+        .map_batches(only_hot, batch_format="pyarrow").take_all())
+    hot_ref = None
+    if hot_rows:
+        hot_ref = ray.put(pa.array(sorted(r["term"] for r in hot_rows),
+                                   pa.string()))
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hot = broadcast_cached(hot_ref)
+            return batch.filter(pc.invert(pc.is_in(batch["term"],
+                                                   value_set=hot)))
+
+        tf = tf.map_batches(drop_hot, batch_format="pyarrow")
 
     def idf_join(g: pd.DataFrame) -> pd.DataFrame:
-        # the partition holds EVERY row of each of its terms → the
-        # per-term row count IS the global df
+        # the partition holds EVERY row of each of its (surviving)
+        # terms → the per-term row count IS the global df
         df = g.groupby("term")["doc_id"].transform("size")
+        if len(df) and int(df.max()) > df_cap:
+            # stop terms were removed map-side in stage 0; a group
+            # seeing more than df_cap rows of one term means the
+            # prefix-filter prune failed — fail loudly, don't OOM
+            raise AssertionError(
+                f"term with df={int(df.max())} > df_cap={df_cap} "
+                "reached a tpk group; stage-0 hot-term prune broken")
         g = g[df <= df_cap].copy()
         dfk = df[df <= df_cap]
         g["w"] = np.log1p(g["tf"].to_numpy()) * np.log(

@@ -207,6 +207,75 @@ def test_tfidf_df_cap_prunes_hot_terms(ray_session):
     assert len(df) == 0
 
 
+def test_tfidf_stop_term_never_reaches_a_group(ray_session):
+    """r3-verdict directive 1: a term with df == n_docs (a Zipf-head
+    stop term) must be pruned MAP-SIDE by the stage-0 broadcast
+    blocklist — ``idf_join`` hard-asserts that no tpk group ever sees
+    more than df_cap rows of one term, so (a) the pipeline completing
+    IS the bounded-group-size assertion, and (b) with the prefilter
+    disabled the same corpus must trip that assert."""
+    import ray.data
+
+    from alix_ray.ops.similarity import tfidf_cosine_pairs
+
+    n = 30
+    docs = [{"doc_id": i, "text": f"the shared{i % 2} unique{i}"}
+            for i in range(n)]  # "the": df=30; "shared0/1": df=15
+    ds = ray.data.from_items(docs).repartition(4)
+
+    out = tfidf_cosine_pairs(ds, threshold=0.05, df_cap=20).to_pandas()
+    # "the" (df=30 > 20) contributes nothing; "shared{0,1}" (df=15)
+    # pair up docs of equal parity only
+    assert len(out) > 0
+    for a, b in zip(out["doc_a"], out["doc_b"]):
+        assert a % 2 == b % 2
+
+    # same corpus, prefilter off → the stop term's full row set lands
+    # in one group and the guard must fail loudly (not OOM silently)
+    with pytest.raises(Exception, match="df_cap"):
+        tfidf_cosine_pairs(ds, threshold=0.05, df_cap=20,
+                           _prefilter=False).to_pandas()
+
+
+def test_kmeans_assign_tiled_bit_identical_under_memory_bound(monkeypatch):
+    """r3-verdict directive 2: k=1024, dim=256, batch=2048 with the
+    distance intermediate capped at 64 MB (tile = 16 centroids →
+    2048·16·256·8 B = 64 MB; the untiled kernel would need 4.3 GB).
+    The tiled result must be BIT-identical to a row-chunked untiled
+    reference (same per-pair summation order, first-min tie rule)."""
+    from alix_ray.ops import semdedup
+
+    k, dim, batch = 1024, 256, 2048
+    bound = 64 * 2**20
+    monkeypatch.setattr(semdedup, "_ASSIGN_TILE_BYTES", bound)
+    tile = max(1, min(k, bound // (batch * dim * 8)))
+    assert batch * tile * dim * 8 <= bound  # the stated memory bound
+
+    rng = np.random.default_rng(3)
+    E = rng.normal(size=(batch, dim))
+    C = rng.normal(size=(k, dim))
+    # duplicate some centroids and plant exact-copy rows so the
+    # first-min tie rule is exercised across tile boundaries
+    C[500] = C[7]
+    C[1023] = C[0]
+    E[:5] = C[7]   # dist 0 to both 7 and 500 → must pick 7
+    E[5:10] = C[0]  # dist 0 to both 0 and 1023 → must pick 0
+
+    a, d = semdedup._assign(E, C)
+
+    # row-chunked untiled reference: identical per-pair arithmetic,
+    # global argmin per row — small chunks keep the reference in RAM
+    for r0 in range(0, batch, 128):
+        Er = E[r0:r0 + 128]
+        d2 = ((Er[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        ar = d2.argmin(1)
+        assert (a[r0:r0 + 128] == ar).all()
+        assert (d[r0:r0 + 128] == np.sqrt(
+            d2[np.arange(len(Er)), ar])).all()
+    assert (a[:5] == 7).all() and (a[5:10] == 0).all()  # ties → low id
+    assert (a == 500).sum() == 0 and (a == 1023).sum() == 0
+
+
 def test_pq_topk_partition_independent(ray_session):
     import ray.data
 
