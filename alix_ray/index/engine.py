@@ -98,6 +98,42 @@ class PostingShard:
             out[np.flatnonzero(sel)] = hit
         return out
 
+    def tf_of(self, cand: np.ndarray) -> np.ndarray:
+        """Term frequencies for sorted candidate doc ids (0 where the
+        doc is outside this shard), decoding ONLY the blocks the
+        candidates land in — the scoring twin of :meth:`contains`, so
+        ranking a candidate set against a Zipf-head term costs
+        O(touched blocks), never a full postings decode."""
+        out = np.zeros(len(cand), np.int64)
+        bi = np.searchsorted(self.block_last, cand, side="left")
+        valid = bi < len(self.block_last)
+        touched = np.unique(bi[valid])
+        # dense candidates (a hot∧hot conjunction) touch nearly every
+        # block — the per-block loop would re-implement a full decode
+        # slower than the vectorized one; cut over and memoize it
+        if self._decoded is not None or (
+                len(touched) * 2 > len(self.block_last)):
+            d, t = self.decode()
+            idx = np.searchsorted(d, cand)
+            ok = idx < len(d)
+            hit = np.zeros(len(cand), bool)
+            hit[ok] = d[idx[ok]] == cand[ok]
+            out[hit] = t[idx[hit]]
+            return out
+        for b in touched:
+            bdocs, btfs = decode_block(
+                self.docs_buf, self.tfs_buf, int(b), self.n,
+                self.off_docs, self.off_tfs,
+            )
+            sel = valid & (bi == b)
+            idx = np.searchsorted(bdocs, cand[sel])
+            ok = idx < len(bdocs)
+            hit = np.zeros(sel.sum(), bool)
+            hit[ok] = bdocs[idx[ok]] == cand[sel][ok]
+            pos = np.flatnonzero(sel)
+            out[pos[hit]] = btfs[idx[hit]]
+        return out
+
     def first_doc(self) -> int:
         head = vb_decode(bytes(self.docs_buf[:10]))
         return int(head[0]) if len(head) else 0
@@ -821,6 +857,24 @@ class BM25Index:
             self._contrib_cache[term] = (d, c)
         return d, c
 
+    def _candidate_contrib(self, term: str, cand: np.ndarray) -> np.ndarray:
+        """BM25 contributions for a sorted LIVE candidate set, decoding
+        only the posting blocks the candidates land in (block_last skip
+        list via :meth:`PostingShard.tf_of`).  The per-(term, doc)
+        arithmetic is the same elementwise ``_contrib`` expression, so
+        scores are bit-identical to the full-decode path — a two-Zipf-
+        head-term span query no longer pays two full postings decodes
+        just to score O(k) survivors.  Uses the memoized full
+        contributions when a previous query already paid for them."""
+        hit = self._contrib_cache.get(term)
+        if hit is not None:
+            d, c = hit
+            return c[np.searchsorted(d, cand)]
+        tf = np.zeros(len(cand), np.int64)
+        for shard in self.postings[term]:  # doc-range shards: disjoint
+            tf += shard.tf_of(cand)
+        return self._contrib(term, cand, tf.astype(np.float64), "bm25")
+
     def _deleted_mask(self, d: np.ndarray) -> np.ndarray:
         """Boolean mask: which of the (sorted or unsorted) doc ids in
         ``d`` are tombstoned.  O(|d| log |deleted|)."""
@@ -1128,8 +1182,9 @@ class BM25Index:
         # hot-term scale risk.
         scores = np.zeros(len(cand), np.float64)
         for t in qs:  # sorted term order = fixed float64 sum order
-            d, c = self._term_contrib(t, "bm25")
-            scores += c[np.searchsorted(d, cand)]
+            # block-pruned: decode only candidate-bearing blocks (the
+            # r3 hot-term fix — no full decode of Zipf-head postings)
+            scores += self._candidate_contrib(t, cand)
         order = np.lexsort((cand, -scores))
         rail = self.rail()
         width_limit = len(qs) + slop

@@ -64,3 +64,37 @@ class TestSpanSearch:
         res = span_index.search_span(["chat"], k=10)
         scores = [s for _, s in res]
         assert scores == sorted(scores, reverse=True)
+
+    def test_candidate_scoring_never_full_decodes(self, ray_session,
+                                                  tmp_path_factory):
+        """r3-verdict directive 3: scoring span candidates must decode
+        only candidate-bearing posting BLOCKS of the non-rarest terms
+        (``PostingShard._decoded`` stays None), with scores still
+        bit-equal to the exact full-decode path."""
+        import ray.data
+
+        from alix_ray.index.engine import BM25Index
+        from alix_ray.stages.build import IndexBuilder
+
+        out = str(tmp_path_factory.mktemp("spanhot"))
+        # "commun" is a Zipf head (every doc, >128 docs → multiple
+        # posting blocks); "rare" appears in 4 docs — the span query
+        # pairs them, so the hot term must be scored block-pruned
+        rows = [{"doc_id": i,
+                 "text": f"<p>commun {'rare ' if i % 977 == 0 else ''}"
+                         f"mot{i}.</p>"} for i in range(3000)]
+        b = IndexBuilder(out, analyzer="french", keep_positions=True)
+        b.build(ray.data.from_items(rows), input_kind="documents",
+                fingerprint="spanhot")
+        ix = BM25Index(out)
+        res = ix.search_span(["rare", "commun"], k=10, slop=2)
+        assert {d for d, _ in res} == {0, 977, 1954, 2931}
+        hot = ix._query_terms(["commun"])[0]
+        assert any(s.n_blocks() > 1 for s in ix.postings[hot])
+        for s in ix.postings[hot]:
+            assert s._decoded is None  # block-pruned, never full
+        assert hot not in ix._contrib_cache
+        # bit-equality with the exact scorer (which DOES full-decode)
+        exact = dict(ix.search_exact(["rare", "commun"], 10))
+        for d, sc in res:
+            assert sc == exact[d]
