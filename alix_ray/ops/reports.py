@@ -231,30 +231,63 @@ def unknowns_report(ds: ray.data.Dataset, k: int = 2000) -> pd.DataFrame:
 
 
 def names_report(ds: ray.data.Dataset, k: int = 2000) -> pd.DataFrame:
-    """Freqlist of maximal proper-name runs: consecutive candidate
-    tokens (PROPN-tagged, or capitalized and lexicon-unknown) joined
-    by spaces; a run breaks on punctuation or any dictionary-known
-    word, and 1-char / trailing-'/'.'-final runs are discarded
-    (Names.java:129-186 break rules)."""
+    """Freqlist of maximal proper-name runs, with the reference's
+    break/flush structure (Names.java:128-186):
+
+    * candidate tokens (PROPN-tagged, or capitalized lexicon-unknown;
+      digit-FINAL excluded, rule A1) append to the run, and the
+      ACCUMULATED form is stop-checked (a run that becomes a stop
+      phrase resets without counting);
+    * a run is FLUSHED (counted) only on a break token — punctuation,
+      math- or digit-initial, or a dictionary-known word; at the
+      flush, empty / 1-char / trailing-``'``/``.`` / two-single-char
+      (``? ?`` glob) forms are discarded;
+    * any other token (e.g. a lowercase unknown word) passes through
+      WITHOUT flushing, so a multi-word name spanning it still counts
+      as one form — exactly the Java chain's behavior.
+
+    Documented divergence: the reference additionally excludes
+    place/org-TYPED name candidates (NAMEplace/NAMEorg flags from its
+    name dictionaries); the bundled mini-lexicon carries no name
+    typing, so every name candidate participates."""
+    _MATH = frozenset("<>=+±×÷")
 
     def forms(fa, text):
         run: list[str] = []
+
+        def flush():
+            form = " ".join(run)
+            run.clear()
+            if len(form) <= 1 or form[-1] in "'.":
+                return None
+            if len(form) == 3 and form[1] == " ":  # the "? ?" glob
+                return None
+            return form
+
         for t in fa._chain(text):
-            if t.cls == "WORD" and t.text:
-                is_cand = (t.pos == "PROPN"
-                           or (t.text[:1].isupper() and not t.lex
-                               and t.text.lower() not in fa.stopwords))
+            if not t.text:
+                continue  # empty position (stop hole) — no break
+            if t.cls == "WORD":
+                is_cand = ((t.pos == "PROPN"
+                            or (t.text[:1].isupper() and not t.lex
+                                and t.text.lower() not in fa.stopwords))
+                           and not t.text[-1].isdigit())
                 if is_cand:
                     run.append(t.text)
+                    if " ".join(run).lower() in fa.stopwords:
+                        run.clear()  # accumulated-form stop check
                     continue
-            if run:
-                form = " ".join(run)
-                run = []
-                if len(form) > 1 and form[-1] not in "'.":
+            c0 = t.text[0]
+            is_break = (t.cls != "WORD" or c0.isdigit() or c0 in _MATH
+                        or t.lex or bool(t.lemma))
+            if is_break and run:
+                form = flush()
+                if form is not None:
                     yield form
+            # non-break non-candidates pass through; run persists
         if run:
-            form = " ".join(run)
-            if len(form) > 1 and form[-1] not in "'.":
+            form = flush()
+            if form is not None:
                 yield form
     return _freqlist(ds, forms, k)
 

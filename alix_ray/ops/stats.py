@@ -104,7 +104,12 @@ def grouped_quantiles(ds: ray.data.Dataset, group_col: str, col: str,
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["g", "value"]).sum("cnt").to_pandas())
-    if hist["g"].dtype == object:
+    # map the sentinel back for ANY string-typed group column — the
+    # Ray→pandas conversion may yield object, pandas-string or
+    # ArrowDtype depending on version, and the sentinel must never
+    # leak as a literal group name
+    if not pd.api.types.is_numeric_dtype(hist["g"]):
+        hist["g"] = hist["g"].astype(object)
         hist.loc[hist["g"] == sentinel, "g"] = None
     if len(hist) > max_cells:
         raise ValueError(

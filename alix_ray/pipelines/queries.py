@@ -2665,6 +2665,11 @@ def q_corpus_card(sf_dir: str) -> pd.DataFrame:
         alpha = pc.utf8_length(
             pc.replace_substring_regex(texts, "[^A-Za-z]", "")
         ).to_numpy(zero_copy_only=False) / np.maximum(n_chars, 1)
+        # round per-doc BEFORE the partial sum (both engines): the
+        # round-6 aggregate comparison is then insensitive to the
+        # shuffle-dependent float summation order — the repo's
+        # round-before-aggregate bit-stability convention
+        alpha = round_half_away(alpha)
         g = pd.DataFrame({
             "source": batch["source"].to_pylist(),
             "split": batch["split"].to_pylist(),
@@ -2700,8 +2705,8 @@ WITH s AS (
     END AS split,
     len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
         x -> x <> ''))::BIGINT AS n_tokens,
-    len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
-      greatest(len(text), 1) AS alpha
+    round(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE /
+      greatest(len(text), 1), 6) AS alpha
   FROM documents)
 SELECT source, split, count(*)::BIGINT AS n_docs,
   sum(n_tokens)::BIGINT AS n_tokens,
@@ -2880,10 +2885,12 @@ ORACLES.update({"semdedup": SQL_SEMDEDUP})
 
 from ..ops.cleaning import blocklist_regex as _blocklist_regex
 
-# entries must not contain a single quote (the RX is embedded in a SQL
-# literal); metachars are fine — _blocklist_regex escapes them
 BLOCKLIST = ("dup", "big data")
 _BLOCKLIST_RX = _blocklist_regex(BLOCKLIST)
+# the RX is embedded in a single-quoted SQL literal; real LDNOOBW
+# lists contain apostrophes (contractions), so escape ' as '' for the
+# oracle side — the Ray side consumes the raw pattern unchanged
+_BLOCKLIST_RX_SQL = _BLOCKLIST_RX.replace("'", "''")
 
 
 def q_blocklist(sf_dir: str) -> pd.DataFrame:
@@ -2899,9 +2906,9 @@ def q_blocklist(sf_dir: str) -> pd.DataFrame:
 SQL_BLOCKLIST = f"""
 SELECT doc_id,
   len(regexp_extract_all(lower(coalesce(text, '')),
-      '{_BLOCKLIST_RX}'))::BIGINT AS n_bad,
+      '{_BLOCKLIST_RX_SQL}'))::BIGINT AS n_bad,
   len(regexp_extract_all(lower(coalesce(text, '')),
-      '{_BLOCKLIST_RX}')) = 0 AS kept
+      '{_BLOCKLIST_RX_SQL}')) = 0 AS kept
 FROM documents ORDER BY doc_id
 """
 
