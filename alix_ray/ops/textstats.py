@@ -113,19 +113,31 @@ def quality_metrics(ds: ray.data.Dataset, text_col="text") -> ray.data.Dataset:
 
 
 def fingerprint(ds: ray.data.Dataset, text_col="text", window: int = 4,
-                k: int = 3):
+                k: int = 3, hash: str = "md5"):
     """Winnowing document fingerprints (Schleimer et al. 2003 shape):
-    token ``k``-grams → md5_number_lower hash of the space-joined gram
-    → min over every full sliding ``window`` → DISTINCT selected
-    hashes per doc, emitted as rows ``(doc_id, fp)`` (16-hex-char).
+    token ``k``-grams → gram hash → min over every full sliding
+    ``window`` → DISTINCT selected hashes per doc, emitted as rows
+    ``(doc_id, fp)`` (16-hex-char).
 
     Docs with fewer than ``k`` tokens fall back to their single-token
     hashes (the minhash-shingle convention); empty docs emit no rows.
-    The md5 gram hash and the exploded row shape make the whole
-    operator an exact DuckDB window-min oracle; the window min is
-    vectorized (sliding_window_view) — per-doc Python is only the gram
-    join."""
-    from .dedup import md5_lower64
+
+    ``hash`` picks the gram hash:
+
+    * ``"md5"`` (default, the ORACLE contract): md5_number_lower of
+      the space-joined gram — per-gram Python md5 is the deliberate
+      DuckDB-parity tax (the oracle is an exact SQL window-min).
+    * ``"fnv"`` (production): the vectorized FNV-1a token hashes
+      rolled into k-shingles — no gram string ever materializes, the
+      whole gram-hash step is numpy.  Same winnowing semantics,
+      different fp VALUES (not oracle-comparable; pinned out of the
+      registered query).
+
+    The window min is vectorized (sliding_window_view) either way."""
+    from .dedup import _shingles_from, _token_hashes, md5_lower64
+
+    if hash not in ("md5", "fnv"):
+        raise ValueError(f"hash must be 'md5' or 'fnv', got {hash!r}")
 
     def fp(batch: pa.Table) -> pa.Table:
         sa = SimpleAnalyzer()
@@ -135,14 +147,15 @@ def fingerprint(ds: ray.data.Dataset, text_col="text", window: int = 4,
             toks = sa.terms(t or "")
             if not toks:
                 continue
-            if len(toks) < k:
-                grams = toks
+            if hash == "fnv":
+                sh = _shingles_from(_token_hashes(toks), k)
+            elif len(toks) < k:
+                sh = md5_lower64(toks)
             else:
-                grams = [
+                sh = md5_lower64([
                     " ".join(toks[i : i + k])
                     for i in range(len(toks) - k + 1)
-                ]
-            sh = md5_lower64(grams)
+                ])
             if len(sh) >= window:
                 view = np.lib.stride_tricks.sliding_window_view(sh, window)
                 sel = np.unique(view.min(axis=1))

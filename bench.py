@@ -214,6 +214,26 @@ def run_bench() -> dict:
         q.QUERIES[name](SF_DIR)
         pipeline_secs[name] = round(time.time() - t0, 3)
 
+    # production-hash variant (hash="fnv" routing key — identical
+    # pairs by unit test; the delta vs tfidf_pairs is the md5
+    # oracle-parity tax)
+    import pyarrow.parquet as _pq
+
+    from alix_ray.ops.similarity import tfidf_cosine_pairs
+    from alix_ray.pipelines.queries import (
+        TFIDF_DF_CAP,
+        TFIDF_PAIR_THRESHOLD,
+        _docs_text,
+    )
+    n_sf_docs = _pq.read_metadata(
+        os.path.join(SF_DIR, "documents.parquet")).num_rows
+    t0 = time.time()
+    tfidf_cosine_pairs(_docs_text(SF_DIR),
+                       threshold=TFIDF_PAIR_THRESHOLD,
+                       df_cap=max(TFIDF_DF_CAP, n_sf_docs // 5),
+                       hash="fnv").to_pandas()
+    pipeline_secs["tfidf_pairs_fnv"] = round(time.time() - t0, 3)
+
     # incremental update path: a 10% delta generation onto the built
     # index (cost must scale with the DELTA, not the corpus), then a
     # full compaction (re-merges postings/stats from the analyzed
