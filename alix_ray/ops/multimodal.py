@@ -3,21 +3,48 @@ frame-sample stages for opaque ``binary`` media columns.
 
 The Ray-side plumbing is real and tested — schema contracts, actor-pool
 stage shapes, small-batch sizing for wide binary rows, typed metadata
-output layout.  The actual media decoding is STUBBED: the image/audio
-libraries are not available in this container, so each decoder either
-raises ``NotImplementedError`` (strict mode) or produces a
+output layout.  Decoding is OPTIONAL-DEPENDENCY: when PIL / soundfile /
+pyav import (a real deployment), the decoders use them; otherwise each
+decoder raises ``NotImplementedError`` (strict mode) or produces a
 deterministic fake derived from the payload bytes (plumbing mode, used
-by tests).  Swap ``_decode_image``/``_decode_audio`` for PIL/libsndfile
-calls in a real deployment; nothing else changes.
+by tests — these libraries are not shipped in this container).  The
+output schema is identical either way, so downstream stages never see
+the difference.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+
+def _pil_image():
+    """PIL's Image module, or None when the library is absent."""
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _soundfile():
+    try:
+        import soundfile
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _pyav():
+    try:
+        import av
+        return av
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -30,17 +57,32 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def _decode_image(payload: bytes, strict: bool):
+def _decode_image(payload: bytes, strict: bool) -> np.ndarray:
+    """Grayscale (H, W) uint8 pixels — PIL when importable, else the
+    digest stub (or NotImplementedError under strict)."""
+    Image = _pil_image()
+    if Image is not None:
+        with Image.open(io.BytesIO(payload or b"")) as im:
+            return np.asarray(im.convert("L"), np.uint8)
     if strict:
         raise NotImplementedError(
-            "image decode requires PIL/opencv — not shipped in this container"
+            "image decode requires PIL — not shipped in this container"
         )
     # deterministic fake: 8x8 grayscale derived from payload digest
     d = hashlib.blake2b(payload or b"", digest_size=64).digest()
     return np.frombuffer(d, np.uint8).reshape(8, 8)
 
 
-def _decode_audio(payload: bytes, strict: bool):
+def _decode_audio(payload: bytes, strict: bool) -> np.ndarray:
+    """Mono float32 waveform — soundfile when importable, else the
+    digest stub (or NotImplementedError under strict)."""
+    sf = _soundfile()
+    if sf is not None:
+        data, _sr = sf.read(io.BytesIO(payload or b""), dtype="float32")
+        data = np.asarray(data, np.float32)
+        if data.ndim > 1:  # downmix channels
+            data = data.mean(axis=1).astype(np.float32)
+        return data
     if strict:
         raise NotImplementedError(
             "audio decode requires libsndfile — not shipped in this container"
@@ -107,8 +149,17 @@ class AudioFrames:
 
 
 def _probe_video(payload: bytes, strict: bool) -> tuple[int, float]:
-    """(frame count, fps) from the container header — STUB: derives a
-    deterministic fake from the payload digest."""
+    """(frame count, fps) from the container header — pyav when
+    importable, else a deterministic fake from the payload digest."""
+    av = _pyav()
+    if av is not None:
+        with av.open(io.BytesIO(payload or b"")) as c:
+            s = c.streams.video[0]
+            fps = float(s.average_rate) if s.average_rate else 24.0
+            n = int(s.frames or 0)
+            if not n and c.duration:
+                n = int(c.duration / 1_000_000 * fps)
+            return (n or 32), fps
     if strict:
         raise NotImplementedError(
             "video demux requires ffmpeg/pyav — not shipped in this container"
@@ -135,6 +186,35 @@ class VideoFrameSample:
         self.out_dim = out_dim
         self.max_frames = max_frames
 
+    def _frame_features(self, payload: bytes, sel: list[int]) -> dict:
+        """Features for the SELECTED frame indices only.  With pyav:
+        sequential demux, decoding stops at the last wanted frame (a
+        container without an index can't random-seek reliably; the
+        bound is max(sel), itself capped by max_frames·stride).
+        Without: digest stub per (payload, frame index)."""
+        av = _pyav()
+        if av is not None and sel:
+            want, out = set(sel), {}
+            with av.open(io.BytesIO(payload or b"")) as c:
+                for i, frame in enumerate(c.decode(c.streams.video[0])):
+                    if i in want:
+                        g = frame.to_ndarray(format="gray").astype(
+                            np.float32)
+                        out[i] = (np.resize(g.mean(axis=0), self.out_dim)
+                                  / 255.0).tolist()
+                    if i >= sel[-1]:
+                        break
+            for j in sel:  # truncated stream: pad missing frames
+                out.setdefault(j, [0.0] * self.out_dim)
+            return out
+        return {
+            j: (np.frombuffer(
+                hashlib.blake2b((payload or b"") + j.to_bytes(4, "little"),
+                                digest_size=self.out_dim).digest(),
+                np.uint8).astype(np.float32) / 255.0).tolist()
+            for j in sel
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         mids, fidx, ts, feats = [], [], [], []
         for media_id, payload in zip(
@@ -143,19 +223,12 @@ class VideoFrameSample:
             n_frames, fps = _probe_video(payload, self.strict)
             stride = max(1, int(round(self.every_sec * fps)))
             sel = list(range(0, n_frames, stride))[: self.max_frames]
+            by_idx = self._frame_features(payload, sel)
             for j in sel:
-                # decode ONLY frame j (stub: digest over payload+index)
-                d = hashlib.blake2b(
-                    (payload or b"") + j.to_bytes(4, "little"),
-                    digest_size=self.out_dim,
-                ).digest()
                 mids.append(media_id)
                 fidx.append(j)
                 ts.append(j / fps)
-                feats.append(
-                    (np.frombuffer(d, np.uint8).astype(np.float32) / 255.0)
-                    .tolist()
-                )
+                feats.append(by_idx[j])
         return pa.table(
             {
                 "media_id": pa.array(mids, pa.int64()),

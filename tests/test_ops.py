@@ -281,12 +281,83 @@ class TestRayOps:
             out2.sort_values("media_id").reset_index(drop=True))
 
     def test_multimodal_strict_raises(self, ray_session):
+        from alix_ray.ops import multimodal
         from alix_ray.ops.multimodal import ImageFeatures
 
+        if multimodal._pil_image() is not None:
+            pytest.skip("PIL present — strict mode decodes for real")
         with pytest.raises(NotImplementedError):
             ImageFeatures(strict=True)(
                 pa.table({"media_id": pa.array([1], pa.int64()),
                           "payload": pa.array([b"x"], pa.binary())}))
+
+    def test_multimodal_real_decoders_when_importable(self):
+        """Skipped-if-absent: with PIL/soundfile installed the
+        decoders return real pixels/samples under the SAME schema."""
+        import numpy as np
+
+        from alix_ray.ops import multimodal
+
+        Image = pytest.importorskip("PIL.Image")
+        import io as _io
+        buf = _io.BytesIO()
+        Image.fromarray(np.full((4, 6), 9, np.uint8)).save(buf, "PNG")
+        img = multimodal._decode_image(buf.getvalue(), strict=True)
+        assert img.shape == (4, 6) and (img == 9).all()
+
+        sf = pytest.importorskip("soundfile")
+        buf = _io.BytesIO()
+        sf.write(buf, np.zeros(32, np.float32), 16000, format="WAV")
+        wav = multimodal._decode_audio(buf.getvalue(), strict=True)
+        assert wav.dtype == np.float32 and len(wav) == 32
+
+    def test_multimodal_real_path_plumbing(self, monkeypatch):
+        """Drives the lib-present code path WITHOUT the libs: a fake
+        PIL/soundfile module pair proves the real branch produces the
+        same output schema as the stub branch."""
+        import numpy as np
+
+        from alix_ray.ops import multimodal
+        from alix_ray.ops.multimodal import AudioFrames, ImageFeatures
+
+        class _Img:
+            def __init__(self, arr):
+                self._a = arr
+
+            def convert(self, mode):
+                return self
+
+            def __array__(self, dtype=None, copy=None):
+                return self._a
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *e):
+                return False
+
+        class FakePIL:
+            @staticmethod
+            def open(bio):
+                return _Img(np.arange(32, dtype=np.uint8).reshape(4, 8))
+
+        class FakeSF:
+            @staticmethod
+            def read(bio, dtype="float32"):
+                return np.ones((16, 2), np.float32), 16000
+
+        monkeypatch.setattr(multimodal, "_pil_image", lambda: FakePIL)
+        monkeypatch.setattr(multimodal, "_soundfile", lambda: FakeSF)
+        t = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([b"zz"], pa.binary())})
+        out = ImageFeatures(strict=True)(t)
+        assert out.column_names == ["media_id", "features", "decoded"]
+        assert out["decoded"].to_pylist() == [True]
+        assert len(out["features"][0].as_py()) == 16
+        wav = AudioFrames(strict=True, hop=4)(t)
+        # stereo downmixed to mono: 16 samples / hop 4 → 4 frames,
+        # RMS of all-ones is 1
+        assert wav["frame_rms"][0].as_py() == pytest.approx([1.0] * 4)
 
 
 class TestMoreScorers:
