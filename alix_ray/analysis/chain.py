@@ -51,7 +51,7 @@ class FrenchAnalyzer:
         ocr_garbage: bool = False,
         sentence_start_lower: bool = False,
         pers_initial: bool = False,
-        tagger=None,
+        tagger="default",
     ):
         self.tokenizer = MarkupTokenizer(brevidots=brevidots)
         self.stopwords = frozenset(stopwords)
@@ -67,7 +67,15 @@ class FrenchAnalyzer:
         # over the full token sequence BEFORE lexicon lookup — its tags
         # take precedence (lemma_filter only fills pos where unset).
         # Load the model in the callable's closure / actor ``__init__``
-        # (once per worker); the lexicon tagger remains the default.
+        # (once per worker).  The SHIPPED default is the tiny averaged
+        # perceptron (analysis/tagger.py) that disambiguates noun/verb
+        # homographs from closed-class context — the stand-in for the
+        # reference's OpenNLP model; pass ``tagger=None`` for the pure
+        # lexicon chain.
+        if tagger == "default":
+            from .tagger import default_tagger
+
+            tagger = default_tagger()
         self.tagger = tagger
 
     def _chain(self, text: str):

@@ -329,10 +329,46 @@ class TestPosTaggerHook:
     def test_lexicon_alone_cannot_disambiguate(self):
         from alix_ray.analysis import FrenchAnalyzer
 
+        # tagger=None: the pure lexicon chain (the shipped default is
+        # now the perceptron — covered above)
         fa = FrenchAnalyzer(stopwords=(), lexicon=self.LEX, normalization={},
-                            ucwords=(), mwe_form={}, mwe_lemma={})
+                            ucwords=(), mwe_form={}, mwe_lemma={},
+                            tagger=None)
         assert self._poses(fa, "il ferme") == {"ferme": "NOUN"}
         assert self._poses(fa, "la ferme") == {"ferme": "NOUN"}
+
+    def test_shipped_default_tagger_disambiguates(self):
+        """r3-verdict directive 6: the DEFAULT FrenchAnalyzer ships the
+        averaged-perceptron context tagger — it passes the noun/verb
+        homograph disambiguation the pure lexicon path fails."""
+        from alix_ray.analysis import FrenchAnalyzer
+        from alix_ray.analysis.tagger import PerceptronTagger
+
+        fa = FrenchAnalyzer()          # shipped default
+        fa0 = FrenchAnalyzer(tagger=None)  # pure lexicon chain
+        assert isinstance(fa.tagger, PerceptronTagger)
+
+        def pos_of(a, text, word):
+            return [t.pos for t in a._chain(text)
+                    if t.cls == "WORD" and t.text.lower() == word]
+
+        cases = [("il ferme la porte", "ferme", "VERB"),
+                 ("la ferme de mon père", "ferme", "NOUN"),
+                 ("Ferme la porte.", "ferme", "VERB"),
+                 ("il la ferme", "ferme", "VERB"),
+                 ("dans la ferme", "ferme", "NOUN"),
+                 ("il ferme la porte", "porte", "NOUN"),
+                 ("on marche dans la rue", "marche", "VERB"),
+                 ("une marche de l'escalier", "marche", "NOUN")]
+        for text, word, want in cases:
+            assert pos_of(fa, text, word) == [want], (text, word)
+            # the lexicon path cannot decide any of these
+            assert pos_of(fa0, text, word) == [None], (text, word)
+        # both readings in one sentence
+        assert pos_of(fa, "il montre sa montre", "montre") == \
+            ["VERB", "NOUN"]
+        # training is deterministic: two instances agree exactly
+        assert PerceptronTagger().weights == PerceptronTagger().weights
 
     def test_context_tagger_wins_over_lexicon(self):
         from alix_ray.analysis import FrenchAnalyzer
