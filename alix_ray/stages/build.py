@@ -215,7 +215,12 @@ class IndexBuilder:
         keep_positions: bool = False,
         hunspell_resources: tuple | None = None,
         analyze_overlap: int = 2,
-        store: str = "rename",  # "rename" (shared FS) | "pointer" (object store)
+        # "rename" (shared FS) | "pointer" (object store) | an
+        # ArtifactStore INSTANCE (e.g. PointerStore(root, fs=<fsspec>)
+        # for a real object-store URI — protocol metadata flows
+        # through the fs object; bulk parquet I/O uses pyarrow's
+        # native URI support in a real deployment)
+        store: str = "rename",
         id_base: int = 0,
     ):
         self.out_dir = out_dir
@@ -717,7 +722,10 @@ class IndexBuilder:
 
     def build(self, input_ds: ray.data.Dataset, input_kind: str = "pages",
               fingerprint: str = "input") -> str:
-        verify_shared_fs(self.out_dir)
+        if getattr(self.store, "fs", None) is None:
+            # an fsspec-backed store handles remote visibility itself;
+            # the probe protocol below is for plain shared-FS paths
+            verify_shared_fs(self.out_dir)
         # fingerprints CHAIN: each stage's fp folds in its upstream
         # stage's fp (which already folds in analyzer/keep_positions/
         # shard params), so resuming into an out_dir after changing any

@@ -22,12 +22,16 @@ Two implementations of one publish protocol:
   (``ObjectManifest``: one immutable object per append under
   ``manifest.d/``).
 
-The sandbox has no object-store endpoint or fsspec backends, so
-``PointerStore`` runs against a local directory while restricting
-itself to object-store-legal primitives (asserted by
-``tests/test_store.py``, which fails the build if any directory rename
-happens); pointing it at a real ``s3://`` bucket additionally needs an
-fsspec filesystem threaded through the ``pq``/``ray.data`` calls.
+``PointerStore`` optionally takes an **fsspec filesystem object**
+(``make_store(root, "pointer", fs=...)``): every protocol write then
+goes through ``fs.pipe_file`` — a true atomic single-key PUT — and
+every protocol read/list/delete through the fs, so the publish path
+runs against a real object-store URI with NO ``os.rename``/
+``os.replace`` anywhere (asserted by ``tests/test_store.py``, which
+denies both during a full fs-threaded build).  The builder forwards
+``store.pa_fs`` (the pyarrow wrapper) to its ``ray.data``/``pq``
+writes.  Without ``fs`` it runs against a local directory using
+single-file ``os.replace`` as the local PUT simulation.
 
 Reference parity note: the reference publishes its Lucene index by an
 atomic directory swap on one machine (TeiIngester writes + commit);
@@ -123,13 +127,26 @@ class ObjectManifest(_ManifestBase):
     """PUT-only journal: each ``append`` is one immutable object under
     ``manifest.d/`` (object stores cannot append).  Object names embed
     (ns-timestamp, pid, seq) so a lexicographic list replays appends in
-    order within a driver and is collision-free across drivers."""
+    order within a driver and is collision-free across drivers.  With
+    an fsspec ``fs``, every PUT/LIST/GET goes through it."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, fs=None):
         self.dir = os.path.join(out_dir, "manifest.d")
+        self.fs = fs
         self._seq = 0
 
     def rows(self) -> list[dict]:
+        if self.fs is not None:
+            if not self.fs.isdir(self.dir):
+                return []
+            out: list[dict] = []
+            for path in sorted(self.fs.ls(self.dir, detail=False)):
+                if not path.endswith(".jsonl"):
+                    continue
+                text = self.fs.cat_file(path).decode()
+                out.extend(json.loads(line) for line in text.splitlines()
+                           if line.strip())
+            return out
         if not os.path.isdir(self.dir):
             return []
         out: list[dict] = []
@@ -141,13 +158,15 @@ class ObjectManifest(_ManifestBase):
         return out
 
     def append_rows(self, rows: list[dict]) -> None:
-        os.makedirs(self.dir, exist_ok=True)
         self._seq += 1
         name = f"{time.time_ns():020d}-{os.getpid()}-{self._seq:06d}.jsonl"
-        _put_text(
-            os.path.join(self.dir, name),
-            "".join(json.dumps(r) + "\n" for r in rows),
-        )
+        text = "".join(json.dumps(r) + "\n" for r in rows)
+        if self.fs is not None:
+            self.fs.makedirs(self.dir, exist_ok=True)
+            self.fs.pipe_file(os.path.join(self.dir, name), text.encode())
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        _put_text(os.path.join(self.dir, name), text)
 
 
 # ---------------------------------------------------------------------
@@ -177,6 +196,8 @@ class RenameStore:
     """Staged-dir + atomic-rename publish (shared POSIX FS)."""
 
     kind = "rename"
+    fs = None     # uniform surface with PointerStore(fs=...)
+    pa_fs = None
 
     def __init__(self, root: str):
         self.root = root
@@ -245,17 +266,64 @@ class RenameStore:
 
 class PointerStore:
     """Immutable versioned prefixes + atomic pointer commit (the
-    object-store publish protocol; see module docstring)."""
+    object-store publish protocol; see module docstring).
+
+    ``fs``: optional fsspec AbstractFileSystem — all protocol
+    primitives (PUT/GET/LIST/DELETE/COPY) route through it, and
+    ``pa_fs`` exposes the pyarrow wrapper the builder forwards to its
+    ``ray.data``/``pq`` writes.  Without it, local os primitives with
+    ``os.replace`` as the single-key-PUT simulation."""
 
     kind = "pointer"
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, fs=None):
         self.root = root
+        self.fs = fs
         self.ptr_dir = os.path.join(root, "_ptr")
-        os.makedirs(self.ptr_dir, exist_ok=True)
+        self._mkdirs(self.ptr_dir)
+
+    @property
+    def pa_fs(self):
+        """pyarrow FileSystem view of ``fs`` (None without one)."""
+        if self.fs is None:
+            return None
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+        return PyFileSystem(FSSpecHandler(self.fs))
+
+    # -- primitive adapters (fs when threaded, os otherwise) -----------
+    def _mkdirs(self, d: str) -> None:
+        if self.fs is not None:
+            self.fs.makedirs(d, exist_ok=True)
+        else:
+            os.makedirs(d, exist_ok=True)
+
+    def _clear(self, d: str) -> None:
+        if self.fs is not None:
+            if self.fs.exists(d):
+                self.fs.rm(d, recursive=True)  # per-object DELETEs
+            self.fs.makedirs(d, exist_ok=True)
+        else:
+            _clear_dir_objects(d)
+
+    def _put(self, path: str, text: str) -> None:
+        if self.fs is not None:
+            self.fs.pipe_file(path, text.encode())  # one atomic PUT
+        else:
+            _put_text(path, text)
+
+    def _exists(self, path: str) -> bool:
+        return (self.fs.exists(path) if self.fs is not None
+                else os.path.exists(path))
+
+    def _read_text(self, path: str) -> str:
+        if self.fs is not None:
+            return self.fs.cat_file(path).decode()
+        with open(path) as f:
+            return f.read()
 
     def make_manifest(self) -> ObjectManifest:
-        return ObjectManifest(self.root)
+        return ObjectManifest(self.root, fs=self.fs)
 
     def _version_dir(self, stage: str, fingerprint: str) -> str:
         return os.path.join(self.root, ".versions", stage, fingerprint)
@@ -265,9 +333,9 @@ class PointerStore:
                     clear: bool = True) -> str:
         d = self._version_dir(stage, fingerprint)
         if clear:
-            _clear_dir_objects(d)  # crashed attempt → delete its objects
+            self._clear(d)  # crashed attempt → delete its objects
         else:
-            os.makedirs(d, exist_ok=True)
+            self._mkdirs(d)
         return d
 
     def stage_commit(self, stage: str, fingerprint: str) -> str:
@@ -281,7 +349,11 @@ class PointerStore:
         return d
 
     def resolve(self, stage: str) -> str:
-        return resolve_stage(self.root, stage)
+        ptr = os.path.join(self.ptr_dir, f"{stage}.json")
+        if self._exists(ptr):
+            return os.path.join(self.root,
+                                json.loads(self._read_text(ptr))["path"])
+        return os.path.join(self.root, stage)
 
     # -- intra-stage resume parts -------------------------------------
     # A part commits by PUTting a `_SUCCESS` marker object; leftover
@@ -295,16 +367,16 @@ class PointerStore:
         # crash between part_commit and the lineage row — must never
         # mix with the new attempt's objects
         d = os.path.join(parent, key)
-        _clear_dir_objects(d)
+        self._clear(d)
         return d
 
     def part_commit(self, parent: str, key: str) -> str:
         d = os.path.join(parent, key)
-        _put_text(os.path.join(d, "_SUCCESS"), "")
+        self._put(os.path.join(d, "_SUCCESS"), "")
         return d
 
     def part_done(self, parent: str, key: str) -> bool:
-        return os.path.exists(os.path.join(parent, key, "_SUCCESS"))
+        return self._exists(os.path.join(parent, key, "_SUCCESS"))
 
     def part_path(self, parent: str, key: str) -> str:
         return os.path.join(parent, key)
@@ -312,14 +384,21 @@ class PointerStore:
     # -- small primitives ---------------------------------------------
     def move_file(self, src: str, dst: str) -> None:
         # object-store move = server-side COPY + DELETE (no rename)
+        if self.fs is not None:
+            self.fs.copy(src, dst)
+            self.fs.rm_file(src)
+            return
         shutil.copyfile(src, dst)
         os.remove(src)
 
     def copy_file(self, src: str, dst: str) -> None:
+        if self.fs is not None:
+            self.fs.copy(src, dst)
+            return
         shutil.copyfile(src, dst)
 
     def put_json(self, path: str, obj) -> None:
-        _put_text(path, json.dumps(obj, indent=1))
+        self._put(path, json.dumps(obj, indent=1))
 
     # -- garbage collection -------------------------------------------
     def prune_versions(self) -> list[str]:
@@ -331,33 +410,48 @@ class PointerStore:
         build: an in-progress rebuild's new prefix has no pointer yet
         and would be collected."""
         current, pointed_stages = set(), set()
-        for name in os.listdir(self.ptr_dir):
+        for name in self._listdir(self.ptr_dir):
             if name.endswith(".json"):
-                with open(os.path.join(self.ptr_dir, name)) as f:
-                    current.add(os.path.normpath(json.load(f)["path"]))
+                doc = json.loads(
+                    self._read_text(os.path.join(self.ptr_dir, name)))
+                current.add(os.path.normpath(doc["path"]))
                 pointed_stages.add(name[: -len(".json")])
         removed = []
         vroot = os.path.join(self.root, ".versions")
-        if not os.path.isdir(vroot):
-            return removed
-        for stage in os.listdir(vroot):
+        for stage in self._listdir(vroot):
             if stage not in pointed_stages:
                 continue  # never committed → resume state, keep
             sdir = os.path.join(vroot, stage)
-            for fp in os.listdir(sdir):
+            for fp in self._listdir(sdir):
                 rel = os.path.normpath(os.path.relpath(
                     os.path.join(sdir, fp), self.root))
                 if rel not in current:
-                    shutil.rmtree(os.path.join(sdir, fp))
+                    if self.fs is not None:
+                        self.fs.rm(os.path.join(sdir, fp), recursive=True)
+                    else:
+                        shutil.rmtree(os.path.join(sdir, fp))
                     removed.append(rel)
         return removed
 
+    def _listdir(self, d: str) -> list[str]:
+        if self.fs is not None:
+            if not self.fs.isdir(d):
+                return []
+            return [p.rstrip("/").rsplit("/", 1)[-1]
+                    for p in self.fs.ls(d, detail=False)]
+        return os.listdir(d) if os.path.isdir(d) else []
 
-def make_store(root: str, kind: str = "rename"):
+
+def make_store(root: str, kind: str = "rename", fs=None):
+    if not isinstance(kind, str):  # an already-constructed store
+        return kind
     if kind == "rename":
+        if fs is not None:
+            raise ValueError("RenameStore needs a POSIX shared FS — an "
+                             "fsspec-backed store must use kind='pointer'")
         return RenameStore(root)
     if kind == "pointer":
-        return PointerStore(root)
+        return PointerStore(root, fs=fs)
     raise ValueError(f"unknown artifact store kind {kind!r}")
 
 

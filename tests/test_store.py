@@ -64,6 +64,52 @@ class TestPointerStore:
         for q in terms:
             assert a.search_exact([q], 10) == b.search_exact([q], 10)
 
+    def test_fsspec_threaded_pointer_build(self, ray_session, tmp_path,
+                                           monkeypatch):
+        """r3-verdict directive 10: with an fsspec filesystem threaded
+        through the store, every protocol write is a TRUE single-key
+        PUT (fs.pipe_file) — BOTH os.rename and os.replace are denied
+        driver-side for the whole build (the plain pointer test still
+        allows os.replace as the local PUT simulation), and the index
+        builds, resolves through pointers, journals, and serves."""
+        import fsspec
+
+        from alix_ray.stages.store import ObjectManifest, PointerStore
+
+        fs = fsspec.filesystem("file")
+        out = str(tmp_path / "fsidx")
+        store = PointerStore(out, fs=fs)
+        assert store.pa_fs is not None  # pyarrow wrapper for writers
+
+        def deny(name):
+            def _d(src, dst, **kw):
+                raise AssertionError(
+                    f"os.{name}({src!r}, {dst!r}) on the fs-threaded "
+                    "publish path")
+            return _d
+
+        monkeypatch.setattr(os, "rename", deny("rename"))
+        monkeypatch.setattr(os, "replace", deny("replace"))
+        try:
+            _build(out, store=store)
+        finally:
+            monkeypatch.undo()
+
+        for stage in ("docs", "analyzed", "doc_stats", "postings",
+                      "term_stats"):
+            assert os.path.exists(
+                os.path.join(out, "_ptr", f"{stage}.json"))
+            assert not os.path.exists(os.path.join(out, stage))
+        rows = ObjectManifest(out, fs=fs).rows()
+        assert any(r.get("stage") == "term_stats"
+                   and r.get("status") == "done" for r in rows)
+
+        from alix_ray.index.engine import BM25Index
+
+        ix = BM25Index(out)
+        t = ix.cf.top(1)[0]
+        assert ix.search_exact([t], 5)
+
     def test_rebuild_flips_pointer_and_prune(self, ray_session, tmp_path):
         out = str(tmp_path / "idx")
         _build(out, store="pointer", analyzer="french")
