@@ -52,6 +52,42 @@ def _text_of(elems) -> str:
     ).strip()
 
 
+def xslt_transform(xsl: str):
+    """Build a ``pre_transform`` callable from an XSLT 1.0 stylesheet —
+    the reference's per-corpus Saxon slot (``TeiIngester.java:
+    127-128,239-246``: each corpus may inject its own ``.xsl`` ahead
+    of ``alix.xsl``), run here via lxml when importable.
+
+    ``xsl``: stylesheet TEXT (starts with ``<``) or a path to a
+    ``.xsl`` file.  The stylesheet compiles ONCE in this factory —
+    call it per worker/actor and hand the returned callable to
+    ``tei_documents(pre_transform=...)`` (or pass the ``.xsl`` path
+    straight to ``tei_documents``, which calls this).
+
+    Raises ImportError when lxml is absent (this container ships no
+    XSLT engine; install lxml in the deployment image, or supply a
+    plain Python ``xml_str -> xml_str`` callable instead)."""
+    try:
+        from lxml import etree
+    except ImportError as e:
+        raise ImportError(
+            "xslt_transform requires lxml (an XSLT 1.0 engine). Install "
+            "lxml in the deployment image, or pass a plain Python "
+            "pre_transform callable."
+        ) from e
+    if not xsl.lstrip().startswith("<"):
+        with open(xsl, "rb") as f:
+            xsl_bytes = f.read()
+    else:
+        xsl_bytes = xsl.encode("utf-8")
+    transform = etree.XSLT(etree.fromstring(xsl_bytes))
+
+    def apply(xml_str: str) -> str:
+        return str(transform(etree.fromstring(xml_str.encode("utf-8"))))
+
+    return apply
+
+
 def tei_to_alix_xml(tei_xml: str, filestem: str = "doc",
                     pre_transform=None) -> str:
     """One TEI file → the alix-XML protocol string (the alix.xsl
@@ -122,8 +158,32 @@ def tei_documents(ds, xml_col: str = "xml", stem_col: str | None = "filestem",
     output schema as :func:`alix_ray.stages.alixxml.alix_documents`).
     Per-file parse errors quarantine the file (error row, doc_type
     ``error``) instead of failing the task — TeiIngester.java:143-150
-    per-file policy."""
+    per-file policy.
+
+    ``pre_transform``: a callable ``xml_str -> xml_str``, or a STRING
+    (stylesheet text / ``.xsl`` path) compiled through
+    :func:`xslt_transform` — so a corpus with an existing stylesheet
+    ingests unmodified: ``tei_documents(ds, pre_transform="my.xsl")``.
+    """
     import json
+
+    if isinstance(pre_transform, str):
+        # read a path on the DRIVER (workers may not share it), ship
+        # the stylesheet TEXT, and compile lazily per task — compiled
+        # lxml XSLT objects do not pickle
+        src = pre_transform
+        if not src.lstrip().startswith("<"):
+            with open(src) as f:
+                src = f.read()
+        _cache: dict = {}
+
+        def _xslt_pre(xml_str: str, _src=src, _cache=_cache) -> str:
+            fn = _cache.get("fn")
+            if fn is None:
+                fn = _cache["fn"] = xslt_transform(_src)
+            return fn(xml_str)
+
+        pre_transform = _xslt_pre
 
     def explode(batch: pa.Table) -> pa.Table:
         xmls = batch[xml_col].to_pylist()

@@ -28,8 +28,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import ray
 
     if not ray.is_initialized():
@@ -52,6 +58,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    report: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -67,6 +74,9 @@ def main():
                         mine = mine.to_pandas()
             if name not in oracles:
                 print(f"  {name:20s} rows-only: {len(mine)} rows ✓")
+                report[name] = {"rows_match": None, "schema_match": None,
+                                "hash_match": None, "spark_rows": len(mine),
+                                "oracle_rows": None, "err": "no_oracle"}
                 continue
             want = con.execute(oracles[name]).fetchdf()
             a, b = canon(mine), canon(want)
@@ -75,6 +85,9 @@ def main():
             ok_vals = ok_cols and ok_rows and a.equals(b)
             status = "OK " if ok_vals else "FAIL"
             print(f"  {name:20s} {status} rows={len(a)}/{len(b)} cols={ok_cols}")
+            report[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                            "hash_match": ok_vals, "spark_rows": len(a),
+                            "oracle_rows": len(b), "err": None}
             if not ok_vals:
                 failures.append(name)
                 if ok_cols and ok_rows:
@@ -91,7 +104,17 @@ def main():
 
             print(f"  {name:20s} ERROR {type(e).__name__}: {e}")
             traceback.print_exc(limit=3)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(e).__name__}: {e}"}
     print("FAILURES:", failures or "none")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} entries)")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 

@@ -110,3 +110,95 @@ def test_tei_pre_transform_hook():
     out_hooked = tei_to_alix_xml(tei, "f1", pre_transform=corpus_fixup)
     assert 'name="title">FIXED<' in out_hooked
     assert "RAW" not in out_hooked
+
+
+def test_xslt_transform_requires_engine():
+    """Without lxml the XSLT slot fails fast with install guidance
+    (this container ships no XSLT engine)."""
+    import pytest
+
+    try:
+        import lxml  # noqa: F401
+        pytest.skip("lxml present — covered by the real-engine test")
+    except ImportError:
+        pass
+    from alix_ray.stages.tei import xslt_transform
+
+    with pytest.raises(ImportError, match="lxml"):
+        xslt_transform("<xsl:stylesheet/>")
+
+
+def test_xslt_transform_real_engine_when_importable():
+    """Skipped-if-absent: with lxml installed, a real identity+rename
+    stylesheet runs through the per-corpus slot."""
+    import pytest
+
+    pytest.importorskip("lxml")
+    from alix_ray.stages.tei import tei_to_alix_xml, xslt_transform
+
+    xsl = (
+        '<xsl:stylesheet version="1.0" '
+        'xmlns:xsl="http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:template match="@*|node()"><xsl:copy>'
+        '<xsl:apply-templates select="@*|node()"/>'
+        "</xsl:copy></xsl:template>"
+        "</xsl:stylesheet>"
+    )
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0">'
+        "<teiHeader><fileDesc><titleStmt><title>T</title></titleStmt>"
+        "</fileDesc></teiHeader>"
+        "<text><body><p>corps</p></body></text></TEI>"
+    )
+    out = tei_to_alix_xml(tei, "f1", pre_transform=xslt_transform(xsl))
+    assert 'name="title">T<' in out
+
+
+def test_xslt_transform_fake_engine_plumbing(monkeypatch):
+    """Drives the lxml-present branch WITHOUT lxml: a fake engine
+    proves the factory compiles once, feeds the raw TEI through the
+    transform, and hands the result to the alix mapping."""
+    import sys
+    import types
+
+    from alix_ray.stages import tei as tei_mod
+
+    class _Result:
+        def __init__(self, s):
+            self._s = s
+
+        def __str__(self):
+            return self._s
+
+    fake_etree = types.ModuleType("lxml.etree")
+    fake_etree.fromstring = staticmethod(lambda b: b)
+
+    class _XSLT:
+        calls = 0
+
+        def __init__(self, tree):
+            _XSLT.calls += 1
+            self.tree = tree
+
+        def __call__(self, doc):
+            return _Result(doc.decode().replace(">RAW<", ">XSLT<"))
+
+    fake_etree.XSLT = _XSLT
+    fake_lxml = types.ModuleType("lxml")
+    fake_lxml.etree = fake_etree
+    monkeypatch.setitem(sys.modules, "lxml", fake_lxml)
+    monkeypatch.setitem(sys.modules, "lxml.etree", fake_etree)
+
+    xsl_text = '<xsl:stylesheet version="1.0">fake</xsl:stylesheet>'
+    fn = tei_mod.xslt_transform(xsl_text)
+    tei = (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0">'
+        "<teiHeader><fileDesc><titleStmt><title>RAW</title></titleStmt>"
+        "</fileDesc></teiHeader>"
+        "<text><body><p>corps</p></body></text></TEI>"
+    )
+    out = tei_mod.tei_to_alix_xml(tei, "f1", pre_transform=fn)
+    assert 'name="title">XSLT<' in out and "RAW" not in out
+    # compiled exactly once in the factory, reused per document
+    tei_mod.tei_to_alix_xml(tei, "f2", pre_transform=fn)
+    assert _XSLT.calls == 1
