@@ -286,7 +286,8 @@ class IndexWriter:
                       input_kind: str = "pages",
                       update: bool = False,
                       fingerprint_extra: str = "",
-                      meta: dict | None = None) -> str:
+                      meta: dict | None = None,
+                      fast: bool | None = None) -> str:
         """Index ``ds`` as a new generation.
 
         pages-kind inputs get doc ids assigned at ``max_doc_id + 1``
@@ -305,7 +306,14 @@ class IndexWriter:
         resuming stale checkpoints.  ``meta`` is an opaque dict stored
         in the SAME state swap that publishes the generation (so e.g.
         an ingestion ledger can never desynchronize from the index);
-        merges concatenate list values across source generations."""
+        merges concatenate list values across source generations.
+
+        ``fast`` selects the build engine: ``None`` (default)
+        auto-routes small pages-kind deltas through the single-pass
+        flush builder (``stages/smallbuild.py`` — same artifacts, ~2×
+        faster under ``SMALL_BUILD_MAX_ROWS``) and everything else
+        through the staged checkpointed builder; ``True`` forces the
+        flush path regardless of size, ``False`` forces staged."""
         state = self._state()
         gens = state["generations"]
         name = f"gen-{state['next']:05d}"
@@ -315,9 +323,18 @@ class IndexWriter:
         new_meta = dict(state["meta"])
         if meta is not None:
             new_meta[name] = meta
+        def _run_build(b) -> None:
+            built = False
+            if fast is not False and input_kind == "pages":
+                from ..stages.smallbuild import try_build_small
+
+                built = try_build_small(b, ds, fp, force=(fast is True))
+            if not built:
+                b.build(ds, input_kind=input_kind, fingerprint=fp)
+
         if not gens:
             b = self._builder(gdir)
-            b.build(ds, input_kind=input_kind, fingerprint=fp)
+            _run_build(b)
             self._write_state({"generations": [name],
                                "tombstones": state["tombstones"],
                                "next": state["next"] + 1,
@@ -327,7 +344,7 @@ class IndexWriter:
         id_base = max(c["max_doc_id"] for c in cfgs) + 1
         b = self._builder(gdir, id_base=id_base, like=cfgs[0])
         b.keep_positions = self._keep_positions(gens[0])
-        b.build(ds, input_kind=input_kind, fingerprint=fp)
+        _run_build(b)
         if input_kind == "documents":
             lo = _min_doc_id(resolve_stage(gdir, "docs"))
             if lo is not None and lo < id_base:

@@ -680,3 +680,60 @@ def test_adopt_plain_index_and_extend(ray_session, tmp_path_factory):
     for q in queries_for(rx, n=4):
         assert by_url(ix, ix.search_exact(q, 10)) == \
             by_url(rx, rx.search_exact(q, 10))
+
+
+def test_small_path_matches_staged(ray_session, tmp_path_factory):
+    """The single-pass flush builder (``stages/smallbuild.py``) must
+    produce byte-equal artifact CONTENT to the staged five-stage
+    builder for the same adds: every stage table equal after a
+    canonical sort, config.json equal, search results equal.  Covers
+    both the pure-read pipeline (parquet-backed delta) and the
+    transformed-input task-wave fallback (range→map input)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.incremental import IndexWriter
+    from alix_ray.stages.store import resolve_stage
+
+    # parquet-backed delta → exercises the pure-read fused pipeline
+    pdir = str(tmp_path_factory.mktemp("smallpages"))
+    pages_slice(0, N_BASE).write_parquet(pdir)
+
+    roots = {}
+    for mode in (True, False):
+        root = str(tmp_path_factory.mktemp(f"small{mode}"))
+        w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                        num_buckets=8, segment_batch_size=64)
+        w.add_documents(ray.data.read_parquet(pdir), fast=mode)
+        # second gen from a TRANSFORMED input → the task-wave fallback
+        w.add_documents(pages_slice(N_BASE, N_ALL), fast=mode)
+        roots[mode] = root
+
+    sort_keys = {
+        "docs": [("doc_id", "ascending")],
+        "analyzed": [("doc_id", "ascending")],
+        "doc_stats": [("doc_id", "ascending")],
+        "postings": [("term", "ascending"), ("shard", "ascending")],
+        "term_stats": [("term", "ascending")],
+    }
+    for gen in ("gen-00000", "gen-00001"):
+        for stage, keys in sort_keys.items():
+            ta, tb = (
+                pq.read_table(resolve_stage(
+                    os.path.join(roots[m], gen), stage))
+                for m in (True, False))
+            ta = ta.take(pc.sort_indices(ta, sort_keys=keys))
+            tb = tb.take(pc.sort_indices(tb, sort_keys=keys))
+            tb = tb.select(ta.schema.names).cast(ta.schema)
+            assert ta.equals(tb), f"{gen}/{stage} diverges"
+        ca, cb = (
+            json.load(open(os.path.join(roots[m], gen, "config.json")))
+            for m in (True, False))
+        assert ca == cb
+    ixa, ixb = BM25Index(roots[True]), BM25Index(roots[False])
+    for q in queries_for(ixb, n=4):
+        assert by_url(ixa, ixa.search_exact(q, 10)) == \
+            by_url(ixb, ixb.search_exact(q, 10))
