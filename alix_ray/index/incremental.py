@@ -324,13 +324,17 @@ class IndexWriter:
         if meta is not None:
             new_meta[name] = meta
         def _run_build(b) -> None:
-            built = False
+            built, src = False, ds
             if fast is not False and input_kind == "pages":
                 from ..stages.smallbuild import try_build_small
 
-                built = try_build_small(b, ds, fp, force=(fast is True))
+                # src may come back materialized (a transformed input
+                # is executed ONCE for the row gate; the staged
+                # fallback then consumes the blocks, not the pipeline)
+                built, src = try_build_small(b, ds, fp,
+                                             force=(fast is True))
             if not built:
-                b.build(ds, input_kind=input_kind, fingerprint=fp)
+                b.build(src, input_kind=input_kind, fingerprint=fp)
 
         if not gens:
             b = self._builder(gdir)

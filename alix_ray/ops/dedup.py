@@ -51,14 +51,15 @@ _PARTS_CACHE: int | None = None
 
 
 def _num_parts() -> int:
-    """max(_NUM_PARTS, 4 × cluster CPUs); memoized per process (worker
-    pools are per-session, so the cluster size is stable for their
-    lifetime and the GCS call runs once, not per batch).
+    """max(_NUM_PARTS, 4 × cluster CPUs); memoized per process.
 
-    Assumes the deployment contract of a FIXED-SIZE cluster: every
-    process resolves the same CPU total, so rows of one key always
-    hash to one group.  On an autoscaling cluster, pin the count
-    explicitly (set ``_PARTS_CACHE``) before launching pipelines."""
+    DRIVER-ONLY: every op resolves this once at launch and captures
+    the integer in its UDF closures (``_partition_key(x, pk_parts)``), so
+    all workers route one key to one group no matter when they start —
+    a worker resolving it independently could see a different CPU
+    total mid-registration / under autoscaling and split a key across
+    groups.  On an autoscaling cluster, pin ``_PARTS_CACHE`` on the
+    driver before launching pipelines."""
     global _PARTS_CACHE
     if _PARTS_CACHE is None:
         parts = _NUM_PARTS
@@ -108,9 +109,15 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
     return _mix64(h)
 
 
-def _partition_key(x: np.ndarray) -> np.ndarray:
-    """Deterministic coarse partition id for a uint64 key array."""
-    return (_mix64(x) % np.uint64(_num_parts())).astype(np.int64)
+def _partition_key(x: np.ndarray, parts: int | None = None) -> np.ndarray:
+    """Deterministic coarse partition id for a uint64 key array.
+
+    ``parts`` MUST be passed inside worker-executed UDFs (resolve
+    ``_num_parts()`` on the driver, capture the int in the closure);
+    the None default is a driver-side convenience only."""
+    if parts is None:
+        parts = _num_parts()
+    return (_mix64(x) % np.uint64(parts)).astype(np.int64)
 
 
 def _shingles_from(th: np.ndarray, k: int = 3) -> np.ndarray:
@@ -185,6 +192,7 @@ def exact_dedup(ds: ray.data.Dataset, key_col="text", id_col="doc_id"):
     hash — per-group dispatch over millions of mostly-singleton hash
     groups is the expensive shape); the per-partition reduction is one
     vectorized pandas groupby-idxmin."""
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib
@@ -200,8 +208,8 @@ def exact_dedup(ds: ray.data.Dataset, key_col="text", id_col="doc_id"):
         # is the only per-row Python left and is I/O-bound)
         pk = _partition_key(
             np.frombuffer(b"".join(h[:8] for h in hs), np.uint64)
-            if hs else np.empty(0, np.uint64)
-        )
+            if hs else np.empty(0, np.uint64),
+            pk_parts)
         return batch.append_column(
             "content_hash", pa.array(hs, pa.binary(16))
         ).append_column("pkey", pa.array(pk))
@@ -283,6 +291,7 @@ def minhash_lsh_pairs(
     shingle-set Jaccard ≥ threshold — value-identical to the all-pairs
     oracle restricted to LSH candidates.
     """
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
     rows_per_band = num_perm // bands
     hasher = MinHasher(num_perm, shingle_k)
 
@@ -320,7 +329,7 @@ def minhash_lsh_pairs(
         n = len(ids)
         band_no = np.tile(np.arange(bands, dtype=np.int64), n)
         flat_bh = bh.reshape(-1)
-        pkey = _partition_key(flat_bh.astype(np.uint64) + np.uint64(0x9E37) * band_no.astype(np.uint64))
+        pkey = _partition_key(flat_bh.astype(np.uint64) + np.uint64(0x9E37) * band_no.astype(np.uint64), pk_parts)
         return pa.table(
             {
                 id_col: pa.array(np.repeat(ids, bands)),
@@ -431,7 +440,7 @@ def minhash_lsh_pairs(
                 "doc_a": pa.array(np.concatenate([a, a])),
                 "doc_b": pa.array(np.concatenate([b, b])),
                 "shingles": pa.array([None] * (2 * len(a)), pa.large_binary()),
-                "pkey": pa.array(_partition_key(doc.astype(np.uint64))),
+                "pkey": pa.array(_partition_key(doc.astype(np.uint64), pk_parts)),
             }
         )
 
@@ -444,7 +453,7 @@ def minhash_lsh_pairs(
                 "doc_a": pa.array(np.full(n, -1, np.int64)),
                 "doc_b": pa.array(np.full(n, -1, np.int64)),
                 "shingles": batch["shingles"],
-                "pkey": pa.array(_partition_key(doc.astype(np.uint64))),
+                "pkey": pa.array(_partition_key(doc.astype(np.uint64), pk_parts)),
             }
         )
 
@@ -468,8 +477,8 @@ def minhash_lsh_pairs(
         out = need.drop(columns=["shingles", "pkey"]).merge(src, on=id_col)
         pk = _partition_key(
             out["doc_a"].to_numpy(np.uint64) * _MIX
-            + out["doc_b"].to_numpy(np.uint64)
-        )
+            + out["doc_b"].to_numpy(np.uint64),
+            pk_parts)
         # explicit Arrow schema: a zero-row pandas object column breaks
         # Ray's block size estimation and schema unification
         return pa.table(
@@ -770,6 +779,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col="text", id_col="doc_id",
     Token hash is md5_number_lower (:func:`md5_lower64`), so the pair
     set has an exact DuckDB oracle (recompute signatures in SQL, keep
     ``bit_count(xor()) <= max_hamming`` over all pairs)."""
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
 
     def sigs(batch: pa.Table) -> pa.Table:
         sa = SimpleAnalyzer()
@@ -784,7 +794,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col="text", id_col="doc_id",
         blocks = np.tile(np.arange(4, dtype=np.int64), n)
         rep = np.repeat(hs, 4)
         keys = (rep >> (blocks.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
-        pkey = _partition_key(keys + np.uint64(0x10000) * blocks.astype(np.uint64))
+        pkey = _partition_key(keys + np.uint64(0x10000) * blocks.astype(np.uint64), pk_parts)
         return pa.table(
             {
                 id_col: pa.array(np.repeat(np.asarray(ids, np.int64), 4)),
@@ -830,7 +840,7 @@ def simhash_pairs(ds: ray.data.Dataset, text_col="text", id_col="doc_id",
         b = np.concatenate(out_b)
         return pd.DataFrame(
             {"doc_a": a, "doc_b": b, "hamming": np.concatenate(out_d),
-             "pkey2": _partition_key(a.astype(np.uint64) * _MIX + b.astype(np.uint64))}
+             "pkey2": _partition_key(a.astype(np.uint64) * _MIX + b.astype(np.uint64), pk_parts)}
         )
 
     pairs = (
@@ -906,6 +916,7 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
     depends on (n_lists, n_probe) — with n_probe = n_lists/2 on the
     test corpus the pair set is empirically identical to the exact
     all-pairs oracle (the driver check enforces it)."""
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
     from .similarity import IvfIndexedSearch, _normalize
 
     sample = ds.limit(fit_sample).to_pandas()
@@ -940,7 +951,7 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
                 "ivf_list": pa.array(lists),
                 "role": pa.array(out_role, pa.int32()),
                 "vec": pa.array(out_vec, pa.large_binary()),
-                "pkey": pa.array(_partition_key(lists.astype(np.uint64))),
+                "pkey": pa.array(_partition_key(lists.astype(np.uint64), pk_parts)),
             }
         )
 
@@ -978,7 +989,7 @@ def embedding_dup_pairs_ivf(ds: ray.data.Dataset, threshold: float = 0.95,
         return pd.DataFrame(
             {"doc_a": a, "doc_b": b, "cosine": np.concatenate(out_s),
              "pkey2": _partition_key(a.astype(np.uint64) * _MIX
-                                     + b.astype(np.uint64))}
+                                     + b.astype(np.uint64), pk_parts)}
         )
 
     pairs = ds.map_batches(emit, batch_format="pyarrow").groupby(
@@ -1097,6 +1108,7 @@ def cluster_representatives(labels: ray.data.Dataset,
     schema); ints beyond 2^53 would lose ordering precision there —
     quality metrics are small by nature.  Output
     ``(cluster_id, rep_doc_id, n_docs)``."""
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
     from ._util import broadcast_cached
 
     def elect(g: pd.DataFrame) -> pd.DataFrame:
@@ -1125,7 +1137,7 @@ def cluster_representatives(labels: ray.data.Dataset,
                 id_col: pa.array(ids[keep], pa.int64()),
                 "cluster_id": pa.array(cl),
                 quality_col: _coln(batch, quality_col)[keep],
-                "cpk": pa.array(_partition_key(cl.astype(np.uint64))),
+                "cpk": pa.array(_partition_key(cl.astype(np.uint64), pk_parts)),
             })
 
         tagged = docs.select_columns([id_col, quality_col]).map_batches(
@@ -1145,7 +1157,7 @@ def cluster_representatives(labels: ray.data.Dataset,
                         np.full(len(ids), np.nan)) if is_label
                     else pa.array(_coln(batch, quality_col)
                                   .astype(np.float64)),
-                    "pk": pa.array(_partition_key(ids.astype(np.uint64))),
+                    "pk": pa.array(_partition_key(ids.astype(np.uint64), pk_parts)),
                 })
             return f
 
@@ -1158,7 +1170,7 @@ def cluster_representatives(labels: ray.data.Dataset,
             qual = g[g["cluster_id"] < 0][[id_col, quality_col]]
             out = lab.merge(qual, on=id_col, how="inner")
             out["cpk"] = _partition_key(
-                out["cluster_id"].to_numpy(np.uint64))
+                out["cluster_id"].to_numpy(np.uint64), pk_parts)
             return out
 
         tagged = both.groupby("pk").map_groups(join, batch_format="pandas")

@@ -10,6 +10,14 @@ deterministic fake derived from the payload bytes (plumbing mode, used
 by tests — these libraries are not shipped in this container).  The
 output schema is identical either way, so downstream stages never see
 the difference.
+
+Failure contract: in non-strict mode NOTHING raises per row — a
+corrupt/truncated payload is quarantined to the digest stub (or a
+zeroed feature row with ``decoded=False`` where the stage carries that
+flag), because a single bad media row must never abort a crawl-scale
+pipeline (Ray retries a deterministically-failing task into the same
+error).  ``strict=True`` propagates both missing-library and
+corrupt-payload errors.
 """
 
 from __future__ import annotations
@@ -57,9 +65,18 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _stub_image(payload: bytes) -> np.ndarray:
+    """Deterministic fake: 8x8 grayscale derived from payload digest."""
+    d = hashlib.blake2b(payload or b"", digest_size=64).digest()
+    return np.frombuffer(d, np.uint8).reshape(8, 8)
+
+
 def _decode_image(payload: bytes, strict: bool) -> np.ndarray:
     """Grayscale (H, W) uint8 pixels — PIL when importable, else the
-    digest stub (or NotImplementedError under strict)."""
+    digest stub (or NotImplementedError under strict).  With PIL
+    present a corrupt payload RAISES the decoder error; the quarantine
+    policy (zeroed row + ``decoded=False``) belongs to the stage, so
+    it can mark the row rather than silently passing stub pixels."""
     Image = _pil_image()
     if Image is not None:
         with Image.open(io.BytesIO(payload or b"")) as im:
@@ -68,9 +85,7 @@ def _decode_image(payload: bytes, strict: bool) -> np.ndarray:
         raise NotImplementedError(
             "image decode requires PIL — not shipped in this container"
         )
-    # deterministic fake: 8x8 grayscale derived from payload digest
-    d = hashlib.blake2b(payload or b"", digest_size=64).digest()
-    return np.frombuffer(d, np.uint8).reshape(8, 8)
+    return _stub_image(payload)
 
 
 def _decode_audio(payload: bytes, strict: bool) -> np.ndarray:
@@ -87,6 +102,10 @@ def _decode_audio(payload: bytes, strict: bool) -> np.ndarray:
         raise NotImplementedError(
             "audio decode requires libsndfile — not shipped in this container"
         )
+    return _stub_audio(payload)
+
+
+def _stub_audio(payload: bytes) -> np.ndarray:
     d = hashlib.blake2b(payload or b"", digest_size=64).digest()
     return (np.frombuffer(d, np.uint8).astype(np.float32) - 127.5) / 127.5
 
@@ -112,9 +131,9 @@ class ImageFeatures:
                 v = np.resize(v, self.out_dim) / 255.0
                 feats.append(v.tolist())
                 ok.append(True)
-            except NotImplementedError:
-                raise
             except Exception:
+                if self.strict:
+                    raise
                 feats.append([0.0] * self.out_dim)
                 ok.append(False)
         return pa.table(
@@ -136,7 +155,14 @@ class AudioFrames:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch["payload"].to_pylist():
-            wav = _decode_audio(payload, self.strict)
+            try:
+                wav = _decode_audio(payload, self.strict)
+            except Exception:
+                if self.strict:
+                    raise
+                # corrupt payload: quarantine to the digest stub —
+                # one bad media row must never abort the pipeline
+                wav = _stub_audio(payload)
             n = (len(wav) // self.hop) * self.hop
             frames = wav[:n].reshape(-1, self.hop)
             out.append(np.sqrt((frames**2).mean(axis=1)).tolist())
@@ -153,14 +179,19 @@ def _probe_video(payload: bytes, strict: bool) -> tuple[int, float]:
     importable, else a deterministic fake from the payload digest."""
     av = _pyav()
     if av is not None:
-        with av.open(io.BytesIO(payload or b"")) as c:
-            s = c.streams.video[0]
-            fps = float(s.average_rate) if s.average_rate else 24.0
-            n = int(s.frames or 0)
-            if not n and c.duration:
-                n = int(c.duration / 1_000_000 * fps)
-            return (n or 32), fps
-    if strict:
+        try:
+            with av.open(io.BytesIO(payload or b"")) as c:
+                s = c.streams.video[0]
+                fps = float(s.average_rate) if s.average_rate else 24.0
+                n = int(s.frames or 0)
+                if not n and c.duration:
+                    n = int(c.duration / 1_000_000 * fps)
+                return (n or 32), fps
+        except Exception:
+            if strict:
+                raise
+            # corrupt container: quarantine to the digest stub
+    elif strict:
         raise NotImplementedError(
             "video demux requires ffmpeg/pyav — not shipped in this container"
         )
@@ -194,19 +225,26 @@ class VideoFrameSample:
         Without: digest stub per (payload, frame index)."""
         av = _pyav()
         if av is not None and sel:
-            want, out = set(sel), {}
-            with av.open(io.BytesIO(payload or b"")) as c:
-                for i, frame in enumerate(c.decode(c.streams.video[0])):
-                    if i in want:
-                        g = frame.to_ndarray(format="gray").astype(
-                            np.float32)
-                        out[i] = (np.resize(g.mean(axis=0), self.out_dim)
-                                  / 255.0).tolist()
-                    if i >= sel[-1]:
-                        break
-            for j in sel:  # truncated stream: pad missing frames
-                out.setdefault(j, [0.0] * self.out_dim)
-            return out
+            try:
+                want, out = set(sel), {}
+                with av.open(io.BytesIO(payload or b"")) as c:
+                    for i, frame in enumerate(
+                            c.decode(c.streams.video[0])):
+                        if i in want:
+                            g = frame.to_ndarray(format="gray").astype(
+                                np.float32)
+                            out[i] = (np.resize(g.mean(axis=0),
+                                                self.out_dim)
+                                      / 255.0).tolist()
+                        if i >= sel[-1]:
+                            break
+                for j in sel:  # truncated stream: pad missing frames
+                    out.setdefault(j, [0.0] * self.out_dim)
+                return out
+            except Exception:
+                if self.strict:
+                    raise
+                # corrupt container: quarantine to the digest stub
         return {
             j: (np.frombuffer(
                 hashlib.blake2b((payload or b"") + j.to_bytes(4, "little"),

@@ -221,7 +221,10 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
 
     from ..analysis import SimpleAnalyzer
     from ._util import broadcast_cached
-    from .dedup import _partition_key, _token_hashes, md5_lower64
+    from .dedup import (_num_parts, _partition_key, _token_hashes,
+                        md5_lower64)
+
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
 
     if hash not in ("md5", "fnv"):
         raise ValueError(f"hash must be 'md5' or 'fnv', got {hash!r}")
@@ -242,7 +245,7 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
             "doc_id": g["doc_id"],
             "term": g["term"],
             "tf": pc.cast(g["term_count"], pa.float64()),
-            "tpk": pa.array(_partition_key(hash_fn(terms))),
+            "tpk": pa.array(_partition_key(hash_fn(terms), pk_parts)),
         })
 
     # the slim (doc,term,tf) counts table is read twice (stage-0 df
@@ -295,7 +298,7 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
         dfk = df[df <= df_cap]
         g["w"] = np.log1p(g["tf"].to_numpy()) * np.log(
             (n_docs + 1.0) / (dfk.to_numpy() + 1.0))
-        g["dpk"] = _partition_key(g["doc_id"].to_numpy().astype(np.uint64))
+        g["dpk"] = _partition_key(g["doc_id"].to_numpy().astype(np.uint64), pk_parts)
         return g[["doc_id", "term", "w", "tpk", "dpk"]]
 
     w = tf.groupby("tpk").map_groups(idf_join, batch_format="pandas")
@@ -322,7 +325,7 @@ def tfidf_cosine_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
         a = m["doc_id_x"].to_numpy()
         b = m["doc_id_y"].to_numpy()
         pk = _partition_key(a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                            + b.astype(np.uint64))
+                            + b.astype(np.uint64), pk_parts)
         return pd.DataFrame({
             "doc_a": a, "doc_b": b,
             "p": m["w_x"].to_numpy() * m["w_y"].to_numpy(),

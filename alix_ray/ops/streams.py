@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .dedup import _partition_key
+from .dedup import _num_parts, _partition_key
 
 US = 1_000_000
 
@@ -49,6 +49,7 @@ def sessionize(ds: ray.data.Dataset, gap_sec: int = 1800,
     total_value, start_us, end_us)`` with ``session_ord`` numbered 1..
     per user in time order.  Deterministic tie order: (ts, event_id).
     """
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
     gap_us = gap_sec * US
 
     def project(batch: pa.Table) -> pa.Table:
@@ -58,7 +59,7 @@ def sessionize(ds: ray.data.Dataset, gap_sec: int = 1800,
             "event_id": batch["event_id"],
             "ts_us": pa.array(_ts_us(batch[ts_col])),
             "value": batch[value_col],
-            "pkey": pa.array(_partition_key(uid.astype(np.uint64))),
+            "pkey": pa.array(_partition_key(uid.astype(np.uint64), pk_parts)),
         })
 
     def part_sessions(g):
@@ -109,6 +110,7 @@ def sliding_window_agg(ds: ray.data.Dataset, window_sec: int = 3600,
     window/slide windows).  Rows: ``(event_type, window_start_us, n,
     total_value)``; empty windows are absent.
     """
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
     w_us = window_sec * US
     s_us = slide_sec * US
 
@@ -126,7 +128,7 @@ def sliding_window_agg(ds: ray.data.Dataset, window_sec: int = 3600,
             np.concatenate(([0], np.cumsum(reps)))[:-1], reps)
         ws = (np.repeat(k_lo, reps) + offs) * s_us
         t_rep = types.take(pa.array(idx))
-        pk = _partition_key(ws.astype(np.uint64))
+        pk = _partition_key(ws.astype(np.uint64), pk_parts)
         return pa.table({
             "event_type": t_rep,
             "window_start_us": pa.array(ws),
@@ -163,6 +165,7 @@ def range_join_count(ds: ray.data.Dataset, probe_type: str = "purchase",
     searchsorteds over its sorted match timestamps.  Rows:
     ``(event_id, ts_us, n_matches)``.
     """
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
     r_us = radius_sec * US
     bucket_us = 2 * r_us
 
@@ -188,7 +191,7 @@ def range_join_count(ds: ray.data.Dataset, probe_type: str = "purchase",
         return pa.table({
             "event_id": pa.array(out_eid),
             "ts_us": pa.array(out_ts),
-            "pkey": pa.array(_partition_key(out_b.astype(np.uint64))),
+            "pkey": pa.array(_partition_key(out_b.astype(np.uint64), pk_parts)),
             "bucket": pa.array(out_b),
         })
 
@@ -230,7 +233,7 @@ def range_join_count(ds: ray.data.Dataset, probe_type: str = "purchase",
     def repkey(batch: pa.Table) -> pa.Table:
         e = batch["event_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "pkey2", pa.array(_partition_key(e.astype(np.uint64))))
+            "pkey2", pa.array(_partition_key(e.astype(np.uint64), pk_parts)))
 
     return parts.map_batches(repkey, batch_format="pyarrow").groupby(
         "pkey2"
@@ -249,6 +252,7 @@ def asof_attribution(ds: ray.data.Dataset, target_type: str = "purchase",
     ``src_event_id``/``lag_us`` are -1 when nothing qualifies.  Tie
     rule among equal source timestamps: highest event_id.
     """
+    pk_parts = _num_parts()  # driver-resolved; captured by the UDF closures
     hz_us = horizon_sec * US
 
     def project(batch: pa.Table) -> pa.Table:
@@ -260,7 +264,7 @@ def asof_attribution(ds: ray.data.Dataset, target_type: str = "purchase",
             "event_id": batch["event_id"],
             "ts_us": pa.array(_ts_us(batch[ts_col])),
             "is_target": pc.equal(batch["event_type"], target_type),
-            "pkey": pa.array(_partition_key(uid.astype(np.uint64))),
+            "pkey": pa.array(_partition_key(uid.astype(np.uint64), pk_parts)),
         }).filter(keep)
         return t
 

@@ -127,12 +127,26 @@ def build_url_dictionary(ds: ray.data.Dataset, url_col: str = "url",
     # NB: Ray emits EMPTY blocks without running the UDF, so a ragged
     # input (more read tasks than rows) yields schemaless zero-row
     # tables — drop them before the unify or concat_tables raises.
-    tables = [t for t in ray.get(pairs.materialize().to_arrow_refs())
-              if url_col in t.schema.names]
+    tables = ray.get(pairs.materialize().to_arrow_refs())
+    return merge_url_ts_tables(tables, url_col=url_col, ts_col=ts_col)
+
+
+def merge_url_ts_tables(tables, url_col: str = "url",
+                        ts_col: str = "warc_ts"):
+    """Fold (url, ts) partial tables into the dictionary arrays:
+    (sorted fixed-width url array, per-url min ts).  The single home of
+    the dictionary-merge semantics — :func:`build_url_dictionary` and
+    the small-build flush path (``stages/smallbuild.py``) both call it,
+    so keep-first/tie rules and the ragged-block guard can never
+    diverge between the two build engines.  Accepts partials that are
+    already grouped or raw (url, ts) rows; extra columns are ignored.
+    """
+    tables = [t.select([url_col, ts_col]) for t in tables
+              if url_col in t.schema.names and t.num_rows]
     if not tables:
         return (np.empty(0, np.str_),
                 np.empty(0, "datetime64[us]"))
-    parts = pa.concat_tables(tables)
+    parts = pa.concat_tables(tables, promote_options="permissive")
     merged = parts.group_by(url_col).aggregate([(ts_col, "min")])
     urls_arr = merged[url_col].to_numpy(zero_copy_only=False)
     ts_arr = merged[f"{ts_col}_min"].to_numpy(zero_copy_only=False)
@@ -148,8 +162,11 @@ def stamp_ids_batch(batch: pa.Table, urls_ts_ref, url_col="url",
     keep the row whose ts equals the url's min ts (keep-first; the
     corpus contract guarantees distinct ts per duplicated url),
     ``doc_id`` = rank of url in the sorted dictionary (+ ``id_base``
-    for delta generations of an incremental index)."""
-    urls, ts = ray.get(urls_ts_ref)
+    for delta generations of an incremental index).  ``urls_ts_ref``
+    is an ObjectRef (broadcast path) or the resolved (urls, ts) tuple
+    (raw-task callers whose ref Ray already dereferenced)."""
+    urls, ts = (ray.get(urls_ts_ref)
+                if isinstance(urls_ts_ref, ray.ObjectRef) else urls_ts_ref)
     burls = batch[url_col].to_numpy(zero_copy_only=False).astype(np.str_)
     idx = np.searchsorted(urls, burls)
     bts = batch[ts_col].to_numpy(zero_copy_only=False)

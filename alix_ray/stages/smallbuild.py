@@ -57,6 +57,7 @@ import pyarrow.parquet as pq
 import ray
 
 from .analyze import analyze_batch_fn, extract_batch
+from .docids import stamp_ids_batch
 from .postings import SegmentEncode, _empty_segment_table, make_merge_fn
 
 # Above this input row count the delta is no longer "small": segment /
@@ -74,28 +75,20 @@ _ANALYZED_COLS = ("terms", "tfs", "width", "tokens", "pos_terms",
 # ---------------------------------------------------------------------
 
 
-def _merge_url_ts(parts: list[pa.Table]):
-    if not parts:
-        return np.empty(0, np.str_), np.empty(0, "datetime64[us]")
-    merged = pa.concat_tables(parts).group_by("url").aggregate(
-        [("warc_ts", "min")])
-    urls_arr = merged["url"].to_numpy(zero_copy_only=False)
-    ts_arr = merged["warc_ts_min"].to_numpy(zero_copy_only=False)
-    order = np.argsort(urls_arr)
-    return urls_arr[order].astype(np.str_), ts_arr[order]
-
-
 @ray.remote
 def _dict_from_files(files: list[str]):
     """(sorted urls, min ts) from the input shards' (url, warc_ts)
     columns — an arrow-native multi-threaded columnar read, launched
     BEFORE the build pipeline so the dictionary is ready by the time
-    the first pipeline task needs it."""
+    the first pipeline task needs it.  Merge semantics live in
+    ``docids.merge_url_ts_tables`` (shared with the staged builder)."""
     import pyarrow.dataset as pds
+
+    from .docids import merge_url_ts_tables
 
     t = pds.dataset(files, format="parquet").to_table(
         columns=["url", "warc_ts"])
-    return _merge_url_ts([t])
+    return merge_url_ts_tables([t])
 
 
 @ray.remote
@@ -111,13 +104,19 @@ def _url_ts_partial(t: pa.Table):
 
 def _pure_read_files(ds) -> list[str] | None:
     """Input parquet files iff ``ds`` is a pure untransformed read.
-    Any transform (filter/map) must return None: the dictionary built
-    from raw files would rank urls the transform drops, breaking the
-    dense-id contract.  Uses an internal Ray plan attribute — guarded,
-    with the materialized-output dictionary as the universal
-    fallback."""
+    Any transform (filter/map) — including a row filter PUSHED INTO
+    the read (``read_parquet(..., filter=expr)`` lands in the
+    datasource's ``_to_batches_kwargs``, the plan op is still a bare
+    ``Read``) — must return None: the dictionary built from raw files
+    would rank urls the filter drops, breaking the dense-id contract.
+    Uses internal Ray plan attributes — guarded, with the
+    materialized-output dictionary as the universal fallback."""
     try:
-        if type(ds._logical_plan.dag).__name__ != "Read":
+        op = ds._logical_plan.dag
+        if type(op).__name__ != "Read":
+            return None
+        kw = getattr(op._datasource, "_to_batches_kwargs", None)
+        if kw is None or kw.get("filter") is not None:
             return None
         files = ds.input_files()
         return list(files) or None
@@ -134,20 +133,16 @@ def _stamp_write_encode(t: pa.Table, urls_ts, id_base: int,
                         docs_tmp: str, an_gtmp: str, stats_tmp: str,
                         rows_per_file: int, shard_range: int,
                         num_buckets: int) -> pa.Table:
-    """Dedup + id-stamp one analyzed block against the dictionary,
-    write its docs / analyzed / doc_stats files, return the block's
-    local inverted segment (the only bytes that travel onward)."""
+    """Dedup + id-stamp one analyzed block against the dictionary
+    (``docids.stamp_ids_batch`` — the staged builder's exact kernel,
+    so keep-first/rank semantics are shared, not copied), write its
+    docs / analyzed / doc_stats files, return the block's local
+    inverted segment (the only bytes that travel onward)."""
     if t.num_rows == 0 or "url" not in t.schema.names:
         return _empty_segment_table()
-    urls, ts = urls_ts
-    burls = t["url"].to_numpy(zero_copy_only=False).astype(np.str_)
-    idx = np.searchsorted(urls, burls)
-    keep = ts[idx] == t["warc_ts"].to_numpy(zero_copy_only=False)
-    t = t.filter(pa.array(keep))
+    t = stamp_ids_batch(t, urls_ts, id_base=id_base)
     if t.num_rows == 0:
         return _empty_segment_table()
-    t = t.append_column("doc_id", pa.array(
-        idx[keep].astype(np.int64) + int(id_base)))
     an_cols = ["doc_id"] + [c for c in _ANALYZED_COLS
                             if c in t.schema.names]
     docs_t = t.select([c for c in t.schema.names
@@ -170,14 +165,12 @@ def _stamp_write_encode(t: pa.Table, urls_ts, id_base: int,
         os.makedirs(sdir, exist_ok=True)
         pq.write_table(stats.filter(pa.array(shards == s)),
                        os.path.join(sdir, f"{key}.parquet"))
-    seg = SegmentEncode(shard_range, num_buckets)(an_t)
-    # ride the config sums home as schema metadata — the driver then
-    # never re-reads the stats files it just ordered written
-    return seg.replace_schema_metadata({
-        b"n": str(stats.num_rows).encode(),
-        b"tok": str(int(pc.sum(stats["tokens"]).as_py() or 0)).encode(),
-        b"maxd": str(int(pc.max(stats["doc_id"]).as_py())).encode(),
-    })
+    # config sums are NOT riding on schema metadata: Ray duplicates a
+    # batch's metadata onto every slice when it splits an oversized
+    # output block, which would overcount n_docs/total_tokens — the
+    # driver re-reads the two slim stats columns instead (bounded by
+    # the small-build row gate).
+    return SegmentEncode(shard_range, num_buckets)(an_t)
 
 
 def _fused_full(batch: pa.Table, dict_ref=None, profile: str = "french",
@@ -258,9 +251,13 @@ def _merge_chunk(segments: pa.Table, offset: int, length: int,
 
 
 def try_build_small(b, pages, fingerprint: str,
-                    force: bool = False) -> bool:
-    """Run the single-pass small build if eligible; return False to
-    route the caller to the staged builder.
+                    force: bool = False):
+    """Run the single-pass small build if eligible; return
+    ``(built, pages)`` — ``built=False`` routes the caller to the
+    staged builder with the RETURNED dataset (a transformed input is
+    materialized exactly once here for the row gate, and the staged
+    path then consumes the materialized blocks instead of re-running
+    the user's pipeline).
 
     Eligible: pages-kind input under ``SMALL_BUILD_MAX_ROWS`` rows
     (``force=True`` skips the row gate), plain-path store (an
@@ -269,15 +266,18 @@ def try_build_small(b, pages, fingerprint: str,
     committed under this fingerprint chain (a partially-built staged
     attempt must resume through the staged per-stage checkpoints).
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from .build import _fingerprint, verify_shared_fs
 
     if getattr(b.store, "fs", None) is not None or \
             b.hunspell_resources is not None:
-        return False
+        return False, pages
+    files = _pure_read_files(pages)
+    if files is None:
+        # transformed input: one execution, shared by the row gate,
+        # the fused analyze job AND (if routed there) the staged build
+        pages = pages.materialize()
     if not force and pages.count() > SMALL_BUILD_MAX_ROWS:
-        return False
+        return False, pages
     fp_docs = (_fingerprint("docs", fingerprint, b.id_base)
                if b.id_base else _fingerprint("docs", fingerprint))
     fp_analyzed = _fingerprint("analyzed", fp_docs, b.analyzer,
@@ -290,7 +290,7 @@ def try_build_small(b, pages, fingerprint: str,
             ("docs", fp_docs), ("analyzed", fp_analyzed),
             ("doc_stats", fp_stats), ("postings", fp_postings),
             ("term_stats", fp_term))):
-        return False
+        return False, pages
     verify_shared_fs(b.out_dir)
 
     t_docs = time.time()
@@ -302,7 +302,6 @@ def try_build_small(b, pages, fingerprint: str,
               stats_tmp=stats_tmp, rows_per_file=b.docs_rows_per_file,
               shard_range=b.shard_range, num_buckets=b.num_buckets)
 
-    files = _pure_read_files(pages)
     if files is not None:
         # ---- one streamed job: dictionary task races the ramp-up ----
         dict_ref = _dict_from_files.remote(files)
@@ -323,19 +322,33 @@ def try_build_small(b, pages, fingerprint: str,
         refs = mat.to_arrow_refs()
         parts = [p for p in ray.get(
             [_url_ts_partial.remote(r) for r in refs]) if p is not None]
-        urls_ts = _merge_url_ts(parts)
+        from .docids import merge_url_ts_tables
+
+        urls_ts = merge_url_ts_tables(parts)
         dict_ref = ray.put(urls_ts)
         seg_tables = ray.get([
             _block_build.remote(r, dict_ref, **kw) for r in refs])
+    seg_tables = [t for t in seg_tables if "term" in t.schema.names]
     segments = (pa.concat_tables(seg_tables) if seg_tables
                 else _empty_segment_table())
 
-    # ---- config sums (rode home as segment schema metadata) ----------
-    metas = [t.schema.metadata for t in seg_tables
-             if t.schema.metadata and b"n" in t.schema.metadata]
-    n_docs = sum(int(m[b"n"]) for m in metas)
-    total_tokens = sum(int(m[b"tok"]) for m in metas)
-    max_doc = max((int(m[b"maxd"]) for m in metas), default=-1)
+    # ---- config sums: re-read the two slim doc_stats columns the
+    # task waves just wrote (bounded by the row gate; schema-metadata
+    # riding is unsafe — Ray duplicates metadata across block splits)
+    import glob as _glob
+
+    stat_files = _glob.glob(os.path.join(stats_tmp, "**", "*.parquet"),
+                            recursive=True)
+    if stat_files:
+        import pyarrow.dataset as pds
+
+        st = pds.dataset(stat_files, format="parquet").to_table(
+            columns=["doc_id", "tokens"])
+        n_docs = st.num_rows
+        total_tokens = int(pc.sum(st["tokens"]).as_py() or 0)
+        max_doc = int(pc.max(st["doc_id"]).as_py())
+    else:
+        n_docs, total_tokens, max_doc = 0, 0, -1
     avgdl = total_tokens / n_docs if n_docs else 1.0
 
     # ---- doc_stats commit, then LAUNCH the merge wave asynchronously;
@@ -372,11 +385,13 @@ def try_build_small(b, pages, fingerprint: str,
             if row_bounds[i + 1] > row_bounds[i]
         ]
 
+    # manifest appends are single-threaded on purpose: Manifest does
+    # buffered multi-row writes with no lock, so a concurrent lineage
+    # thread could interleave mid-line and corrupt the JSONL.  The
+    # merge WAVE still overlaps this work (refs collected below).
     docs_final = b.store.stage_commit("docs", fp_docs)
-    lineage_pool = ThreadPoolExecutor(max_workers=1)
-    lineage_fut = lineage_pool.submit(
-        b.manifest.record_partitions, "docs", docs_final, fp_docs,
-        int((time.time() - t_docs) * 1000))
+    b.manifest.record_partitions("docs", docs_final, fp_docs,
+                                 int((time.time() - t_docs) * 1000))
     t0 = time.time()
     b.store.part_commit(an_tmp, "g00000")
     b.store.stage_commit("analyzed", fp_analyzed)
@@ -427,6 +442,4 @@ def try_build_small(b, pages, fingerprint: str,
     ts_final = b.store.stage_commit("term_stats", fp_term)
     b.manifest.record_partitions("term_stats", ts_final, fp_term,
                                  int((time.time() - t0) * 1000))
-    lineage_fut.result()
-    lineage_pool.shutdown()
-    return True
+    return True, pages

@@ -28,10 +28,15 @@ goes through ``fs.pipe_file`` — a true atomic single-key PUT — and
 every protocol read/list/delete through the fs, so the publish path
 runs against a real object-store URI with NO ``os.rename``/
 ``os.replace`` anywhere (asserted by ``tests/test_store.py``, which
-denies both during a full fs-threaded build).  The builder forwards
-``store.pa_fs`` (the pyarrow wrapper) to its ``ray.data``/``pq``
-writes.  Without ``fs`` it runs against a local directory using
-single-file ``os.replace`` as the local PUT simulation.
+denies both during a full fs-threaded build).  Scope: the PROTOCOL
+(pointers, manifest journal, stage/part begin-commit, lineage
+``record_partitions``) is fully fs-threaded; the parquet DATA PLANE
+(the builder's ``ray.data``/``pq`` reads and writes) still addresses
+the same root by PATH, so a remote deployment mounts the bucket
+path-addressably (FUSE / DFS mount) or threads ``store.pa_fs`` (the
+pyarrow wrapper exposed for exactly that) into the data-plane calls.
+Without ``fs`` it runs against a local directory using single-file
+``os.replace`` as the local PUT simulation.
 
 Reference parity note: the reference publishes its Lucene index by an
 atomic directory swap on one machine (TeiIngester writes + commit);
@@ -81,18 +86,37 @@ class _ManifestBase:
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
-        names = sorted(
-            n for n in os.listdir(out_dir) if n.endswith(".parquet")
-        )
+        fs = getattr(self, "fs", None)
+        if fs is not None:
+            # fs-threaded journal: LIST + ranged GETs through the
+            # fsspec API, no local-path assumption on the lineage path
+            infos = sorted(
+                (i for i in fs.ls(out_dir, detail=True)
+                 if i["name"].endswith(".parquet")),
+                key=lambda i: i["name"])
 
-        def meta(name):
-            p = os.path.join(out_dir, name)
-            return name, pq.read_metadata(p).num_rows, os.path.getsize(p)
+            def meta(info):
+                with fs.open(info["name"], "rb") as f:
+                    nrows = pq.read_metadata(f).num_rows
+                return (info["name"].rsplit("/", 1)[-1], nrows,
+                        int(info.get("size") or 0))
 
-        # footer reads are I/O-bound and independent — a serial loop
-        # over ~1000 partition files costs ~1s of pure driver wall
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            metas = list(ex.map(meta, names))
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                metas = list(ex.map(meta, infos))
+        else:
+            names = sorted(
+                n for n in os.listdir(out_dir) if n.endswith(".parquet")
+            )
+
+            def meta(name):
+                p = os.path.join(out_dir, name)
+                return (name, pq.read_metadata(p).num_rows,
+                        os.path.getsize(p))
+
+            # footer reads are I/O-bound and independent — a serial
+            # loop over ~1000 partition files costs ~1s of driver wall
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                metas = list(ex.map(meta, names))
         ts = time.strftime("%Y-%m-%dT%H:%M:%S")
         rows = [
             {"stage": stage, "partition": name, "fingerprint": fingerprint,
@@ -269,9 +293,11 @@ class PointerStore:
     object-store publish protocol; see module docstring).
 
     ``fs``: optional fsspec AbstractFileSystem — all protocol
-    primitives (PUT/GET/LIST/DELETE/COPY) route through it, and
-    ``pa_fs`` exposes the pyarrow wrapper the builder forwards to its
-    ``ray.data``/``pq`` writes.  Without it, local os primitives with
+    primitives (PUT/GET/LIST/DELETE/COPY) route through it; ``pa_fs``
+    exposes the pyarrow wrapper for threading the same fs into
+    data-plane ``ray.data``/``pq`` calls (the builder's data plane is
+    path-addressed — see module docstring for the deployment
+    contract).  Without ``fs``, local os primitives with
     ``os.replace`` as the single-key-PUT simulation."""
 
     kind = "pointer"

@@ -737,3 +737,73 @@ def test_small_path_matches_staged(ray_session, tmp_path_factory):
     for q in queries_for(ixb, n=4):
         assert by_url(ixa, ixa.search_exact(q, 10)) == \
             by_url(ixb, ixb.search_exact(q, 10))
+
+
+def test_small_path_block_splits_dont_overcount(ray_session,
+                                                tmp_path_factory):
+    """Ray duplicates a batch's schema metadata onto every slice when
+    it splits an oversized output block — config sums must therefore
+    come from the written doc_stats, never from metadata riding.
+    Force splits with a tiny target block size and assert the config
+    counts equal the true input counts."""
+    import ray.data
+
+    from alix_ray.index.incremental import IndexWriter
+
+    pdir = str(tmp_path_factory.mktemp("splitpages"))
+    pages_slice(0, N_BASE).write_parquet(pdir)
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # force many block splits
+    try:
+        root = str(tmp_path_factory.mktemp("splitix"))
+        w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                        num_buckets=8)
+        w.add_documents(ray.data.read_parquet(pdir), fast=True)
+    finally:
+        ctx.target_max_block_size = old
+    cfg = json.load(open(os.path.join(root, "gen-00000", "config.json")))
+    # corpus contract: urls i%50==1 duplicate the previous url
+    expected = N_BASE - len([i for i in range(N_BASE) if i % 50 == 1
+                             and i > 0])
+    assert cfg["n_docs"] == expected
+    assert cfg["max_doc_id"] == expected - 1
+    assert 0 < cfg["total_tokens"] < 10_000 * expected
+
+
+def test_small_path_pushed_filter_routes_to_fallback(ray_session,
+                                                     tmp_path_factory):
+    """A row filter pushed into read_parquet keeps the plan a bare
+    Read; the fast path must NOT build the url dictionary from raw
+    files (it would rank filtered-out urls, breaking dense ids).
+    Assert ids match the staged build of the same filtered input."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from alix_ray.index.incremental import IndexWriter
+    from alix_ray.stages.smallbuild import _pure_read_files
+    from alix_ray.stages.store import resolve_stage
+
+    pdir = str(tmp_path_factory.mktemp("filtpages"))
+    pages_slice(0, N_BASE).write_parquet(pdir)
+    flt = pds.field("warc_ts") >= pq.read_table(
+        pdir, columns=["warc_ts"])["warc_ts"][5].as_py()
+    read = lambda: ray.data.read_parquet(pdir, filter=flt)  # noqa: E731
+    assert _pure_read_files(read()) is None  # the gate itself
+
+    roots = {}
+    for mode in (True, False):
+        root = str(tmp_path_factory.mktemp(f"filt{mode}"))
+        w = IndexWriter(root, analyzer="french", shard_range=SHARD_RANGE,
+                        num_buckets=8)
+        w.add_documents(read(), fast=mode)
+        roots[mode] = root
+    ids = {}
+    for m, root in roots.items():
+        t = pq.read_table(resolve_stage(
+            os.path.join(root, "gen-00000"), "docs"),
+            columns=["url", "doc_id"])
+        ids[m] = sorted(zip(t["url"].to_pylist(), t["doc_id"].to_pylist()))
+    assert ids[True] == ids[False]
+    assert ids[True], "filtered build produced no docs"

@@ -359,6 +359,50 @@ class TestRayOps:
         # RMS of all-ones is 1
         assert wav["frame_rms"][0].as_py() == pytest.approx([1.0] * 4)
 
+    def test_multimodal_corrupt_payload_quarantined(self, monkeypatch):
+        """With real decoders present, a corrupt payload must NOT
+        abort a non-strict pipeline (Ray would retry a deterministic
+        failure forever) — it falls back to the digest stub / zeroed
+        row; strict mode propagates the decoder error."""
+        import numpy as np
+
+        from alix_ray.ops import multimodal
+        from alix_ray.ops.multimodal import AudioFrames, ImageFeatures
+
+        class RaisingPIL:
+            @staticmethod
+            def open(bio):
+                raise ValueError("truncated JPEG")
+
+        class RaisingSF:
+            @staticmethod
+            def read(bio, dtype="float32"):
+                raise RuntimeError("not a sound file")
+
+        monkeypatch.setattr(multimodal, "_pil_image", lambda: RaisingPIL)
+        monkeypatch.setattr(multimodal, "_soundfile", lambda: RaisingSF)
+        t = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([b"junk"], pa.binary())})
+        out = ImageFeatures(strict=False)(t)  # must not raise
+        assert out["decoded"].to_pylist() == [False]
+        wav = AudioFrames(strict=False, hop=4)(t)  # digest-stub fallback
+        assert len(wav) == 1 and len(wav["frame_rms"][0].as_py()) > 0
+        with pytest.raises(ValueError):
+            ImageFeatures(strict=True)(t)
+        with pytest.raises(RuntimeError):
+            AudioFrames(strict=True)(t)
+        # video: corrupt container quarantines under the same contract
+        class RaisingAV:
+            @staticmethod
+            def open(bio):
+                raise OSError("moov atom not found")
+
+        monkeypatch.setattr(multimodal, "_pyav", lambda: RaisingAV)
+        n, fps = multimodal._probe_video(b"junk", strict=False)
+        assert n > 0 and fps > 0
+        with pytest.raises(OSError):
+            multimodal._probe_video(b"junk", strict=True)
+
 
 class TestMoreScorers:
     def test_simplemaths(self):
