@@ -1,0 +1,311 @@
+"""Web-crawl lifecycle operators: snapshot diffing, URL
+canonicalization, per-domain statistics, and link-graph PageRank.
+
+The reference indexes a static corpus (one TEI glob → one index); a
+recurring web crawl additionally needs to know *what changed between
+snapshots* (recrawl scheduling, incremental index deltas), *which URLs
+are the same resource* (tracking-param noise inflates exact-dedup
+keys), *how the corpus distributes over registered domains* (quota and
+abuse policy), and *which pages matter* (link-graph centrality for
+crawl prioritization).  These four operators supply that layer over
+plain Arrow columns — no crawler coupling.
+
+Scale shapes (10^12 rows):
+
+- ``snapshot_diff`` ships only (key, side, 64-bit hash) rows — 17
+  bytes/row — through ONE coarse-pkey groupby; payload text never
+  shuffles.  Output is one row per url in either snapshot.
+- ``normalize_urls`` is zero-shuffle: five RE2 passes per batch
+  (pyarrow ``replace_substring_regex`` — the SAME RE2 patterns run in
+  the DuckDB oracle via ``regexp_replace``, so parity is by
+  construction, not by reimplementation).
+- ``domain_stats`` combines BEFORE the shuffle: per-batch partial
+  aggregates (one row per (domain, batch)) feed a small groupby —
+  the wide exchange is O(domains × batches), never O(rows).
+- ``pagerank`` keeps the edge table in place and iterates:
+  map-side contribution partials (np.add.at over each batch's dst
+  ids) → per-batch sparse (dst, partial) rows → one small groupby →
+  the driver folds the k·1 rank vector and re-broadcasts via
+  ``ray.put``.  With out-degrees known, nothing but (dst, float)
+  rows moves per iteration.  Beyond ~5e8 nodes the broadcast rank
+  vector stops fitting (8 B/node); the documented fallback is the
+  hash-partitioned join used by ``embedding_dup_pairs_ivf``: edges
+  pre-partitioned by src-pkey joined to a rank table partitioned the
+  same way (two slim shuffles per iteration).  ``max_broadcast_nodes``
+  fails fast rather than silently degrading.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .dedup import _num_parts, _partition_key, md5_lower64
+
+# RE2 patterns shared VERBATIM with the SQL oracles (DuckDB regexp_*
+# is RE2 too — one pattern string, two engines, provable parity).
+P_FRAGMENT = r"#.*$"
+P_TRACKING = r"(utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)(&|$)"
+P_QUERY_TAIL = r"[?&]+$"
+P_DEFAULT_PORT = r"^(https?://[^/:]+):(80|443)(/|$)"
+P_TRAILING_SLASH = r"/+$"
+P_DOMAIN = r"^https?://(?P<d>[^/:]+)"
+P_DOMAIN_SQL = r"^https?://([^/:]+)"  # DuckDB wants a numbered group
+
+
+# ---------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------
+
+
+def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
+                  key_col: str = "doc_id",
+                  text_col: str = "text") -> ray.data.Dataset:
+    """Per-key change status between two crawl snapshots:
+    ``new`` (only in the new snapshot) / ``deleted`` (only in the
+    old) / ``changed`` (both, content hash differs) / ``same``.
+
+    Contract: each snapshot is key-unique (crawl frontier semantics —
+    one row per url per snapshot); duplicate keys within a side fold
+    to their min hash, making the op deterministic under violations.
+    Hashes are :func:`md5_lower64` so the status column has an exact
+    DuckDB oracle (``md5_number_lower``); only (key, side, hash) rows
+    ever shuffle.
+    """
+    pk_parts = _num_parts()
+
+    def slim(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            h = md5_lower64(batch[text_col].to_pylist()).view(np.int64)
+            return pa.table({
+                key_col: pa.array(keys.astype(np.int64)),
+                "side": pa.array(np.full(len(keys), side, np.int8)),
+                "h": pa.array(h),
+                "pkey": pa.array(_partition_key(
+                    keys.astype(np.uint64), pk_parts)),
+            })
+        return fn
+
+    unioned = old.map_batches(slim(0), batch_format="pyarrow").union(
+        new.map_batches(slim(1), batch_format="pyarrow"))
+
+    _SCHEMA = pa.schema([(key_col, pa.int64()), ("status", pa.string())])
+
+    def classify(g: pd.DataFrame) -> pa.Table:
+        # nullable Int64 keeps 64-bit hash precision through the outer
+        # merge (float64 NaN coercion would silently drop low bits and
+        # mark distinct texts 'same')
+        a = g[g["side"] == 0].groupby(key_col, as_index=False)["h"].min()
+        b = g[g["side"] == 1].groupby(key_col, as_index=False)["h"].min()
+        a["h"] = a["h"].astype("Int64")
+        b["h"] = b["h"].astype("Int64")
+        m = a.merge(b, on=key_col, how="outer", suffixes=("_a", "_b"))
+        if len(m) == 0:
+            return _SCHEMA.empty_table()
+        # fillna before np.where: a nullable-Boolean mask with pd.NA
+        # cannot convert to numpy; the NA rows are already claimed by
+        # the new/deleted branches
+        neq = (m["h_a"] != m["h_b"]).fillna(False).to_numpy(np.bool_)
+        status = np.where(
+            m["h_a"].isna().to_numpy(np.bool_), "new",
+            np.where(m["h_b"].isna().to_numpy(np.bool_), "deleted",
+                     np.where(neq, "changed", "same")))
+        return pa.table({
+            key_col: pa.array(m[key_col].to_numpy(np.int64)),
+            "status": pa.array(status.astype(object), pa.string()),
+        })
+
+    return unioned.groupby("pkey").map_groups(
+        classify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# url canonicalization + domain stats
+# ---------------------------------------------------------------------
+
+
+def normalize_batch(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(canonical url, registered domain) — five shared-RE2 passes:
+    strip fragment → drop tracking params (utm_*/fbclid/gclid) →
+    clean dangling ``?``/``&`` → strip default :80/:443 port → strip
+    trailing slashes."""
+    u = pc.replace_substring_regex(urls, P_FRAGMENT, "")
+    u = pc.replace_substring_regex(u, P_TRACKING, "")
+    u = pc.replace_substring_regex(u, P_QUERY_TAIL, "")
+    u = pc.replace_substring_regex(u, P_DEFAULT_PORT, r"\1\3")
+    u = pc.replace_substring_regex(u, P_TRAILING_SLASH, "")
+    dom = pc.struct_field(pc.extract_regex(u, P_DOMAIN), "d")
+    return u, dom
+
+
+def normalize_urls(ds: ray.data.Dataset,
+                   url_col: str = "url") -> ray.data.Dataset:
+    """Append ``url_norm`` and ``domain`` columns (zero shuffle)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        u, dom = normalize_batch(batch[url_col].combine_chunks())
+        return batch.append_column("url_norm", u).append_column(
+            "domain", dom)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
+                 chars_col: str | None = "n_chars") -> ray.data.Dataset:
+    """Per registered domain: page count, distinct canonical urls,
+    total chars.  Combine-before-shuffle: each batch emits one partial
+    row per domain it sees; the groupby moves O(domains × batches)
+    rows.  Distinct urls are exact via a per-batch unique + one
+    distinct-pair shuffle ONLY of (domain, url_norm) hashes."""
+    def partial(batch: pa.Table) -> pa.Table:
+        u, dom = normalize_batch(batch[url_col].combine_chunks())
+        df = pd.DataFrame({"domain": dom.to_pylist(),
+                           "url_norm": u.to_pylist()})
+        if chars_col is not None and chars_col in batch.schema.names:
+            df["chars"] = batch[chars_col].to_numpy(zero_copy_only=False)
+        else:
+            df["chars"] = 0
+        g = df.groupby("domain").agg(
+            n_pages=("url_norm", "size"), chars=("chars", "sum"))
+        # exact distinct urls: ship one 64-bit hash per distinct
+        # (domain, url) of this batch, folded below
+        d2 = df.drop_duplicates(["domain", "url_norm"])
+        uh = md5_lower64(list(d2["url_norm"])).view(np.int64)
+        part = pa.table({
+            "domain": pa.array(g.index.to_numpy(object), pa.string()),
+            "n_pages": pa.array(g["n_pages"].to_numpy(np.int64)),
+            "chars": pa.array(g["chars"].to_numpy(np.int64)),
+            "uh": pa.array(np.full(len(g), 0, np.int64)),
+            "is_url": pa.array(np.zeros(len(g), np.bool_)),
+        })
+        urls_rows = pa.table({
+            "domain": pa.array(d2["domain"].to_numpy(object), pa.string()),
+            "n_pages": pa.array(np.zeros(len(d2), np.int64)),
+            "chars": pa.array(np.zeros(len(d2), np.int64)),
+            "uh": pa.array(uh),
+            "is_url": pa.array(np.ones(len(d2), np.bool_)),
+        })
+        return pa.concat_tables([part, urls_rows])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g[~g["is_url"]]
+        urls = g[g["is_url"]]
+        return pd.DataFrame({
+            "domain": [g["domain"].iloc[0]],
+            "n_pages": [int(stats["n_pages"].sum())],
+            "n_urls": [int(urls["uh"].nunique())],
+            "total_chars": [int(stats["chars"].sum())],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "domain").map_groups(fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------
+
+
+def pagerank(edges: ray.data.Dataset, n_nodes: int,
+             n_iter: int = 5, damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             max_broadcast_nodes: int = 100_000_000,
+             round_decimals: int | None = 9) -> ray.data.Dataset:
+    """Fixed-iteration PageRank over an edge table (Page et al. 1999).
+
+    Dense node ids in ``[0, n_nodes)``; dangling nodes (out-degree 0)
+    redistribute their mass uniformly (the standard stochastic fix).
+    Per iteration: one pass over edges computing per-batch sparse
+    contribution partials, one driver fold of the k-vector, one
+    ``ray.put`` re-broadcast.  Ranks are rounded to ``round_decimals``
+    BETWEEN iterations on both engines (the repo's round-before-
+    aggregate convention) so the result is independent of partition
+    summation order — required for the exact SQL oracle and for
+    cluster-size-independent output.
+
+    ``max_broadcast_nodes`` bounds the broadcast vector (8 B/node);
+    past it, raise rather than silently thrash — the scale fallback is
+    a rank table hash-partitioned like the edges (see module
+    docstring).
+    """
+    if n_nodes > max_broadcast_nodes:
+        raise ValueError(
+            f"pagerank broadcast path holds 8 B × {n_nodes} nodes; "
+            "beyond max_broadcast_nodes use the partitioned-join "
+            "variant (module docstring)")
+
+    # out-degrees: one pass, same sparse-partial shape
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        ids, cnt = np.unique(src, return_counts=True)
+        return pa.table({"id": pa.array(ids.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    deg_rows = edges.map_batches(
+        deg_partial, batch_format="pyarrow").groupby("id").sum("n")
+    outdeg = np.zeros(n_nodes, np.float64)
+    for b in deg_rows.iter_batches(batch_format="pyarrow"):
+        outdeg[b["id"].to_numpy(zero_copy_only=False)] = \
+            b["sum(n)"].to_numpy(zero_copy_only=False)
+
+    ranks = np.full(n_nodes, 1.0 / n_nodes)
+    if round_decimals is not None:
+        from .textstats import round_half_away
+
+        ranks = round_half_away(ranks, round_decimals)
+    dangling = outdeg == 0
+    base = (1.0 - damping) / n_nodes
+
+    # both vectors travel via the object store (a closure-captured
+    # numpy array would re-serialize into EVERY task's function blob)
+    outdeg_ref = ray.put(outdeg)
+
+    def contrib_partial_fn(ranks_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            r = ray.get(ranks_ref)
+            od = ray.get(outdeg_ref)
+            src = batch[src_col].to_numpy(zero_copy_only=False)
+            dst = batch[dst_col].to_numpy(zero_copy_only=False)
+            w = r[src] / od[src]
+            if round_decimals is not None:
+                # round-before-aggregate (repo convention): per-edge
+                # contributions rounded 3 digits below the rank
+                # rounding make the cross-partition sum order-
+                # insensitive in practice, mirrored in the oracle SQL
+                from .textstats import round_half_away
+
+                w = round_half_away(w, round_decimals + 3)
+            # sparse per-batch sum: memory O(batch), never O(n_nodes)
+            order = np.argsort(dst, kind="stable")
+            sd, sw = dst[order], w[order]
+            ids, starts = np.unique(sd, return_index=True)
+            return pa.table({
+                "id": pa.array(ids.astype(np.int64)),
+                "c": pa.array(np.add.reduceat(sw, starts)
+                              if len(sw) else sw),
+            })
+        return fn
+
+    for _ in range(n_iter):
+        ranks_ref = ray.put(ranks)
+        parts = edges.map_batches(
+            contrib_partial_fn(ranks_ref), batch_format="pyarrow"
+        ).groupby("id").sum("c")
+        acc = np.zeros(n_nodes, np.float64)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            acc[b["id"].to_numpy(zero_copy_only=False)] = \
+                b["sum(c)"].to_numpy(zero_copy_only=False)
+        dmass = float(ranks[dangling].sum()) / n_nodes
+        ranks = base + damping * (acc + dmass)
+        if round_decimals is not None:
+            from .textstats import round_half_away
+
+            ranks = round_half_away(ranks, round_decimals)
+
+    out = pa.table({"node": pa.array(np.arange(n_nodes, dtype=np.int64)),
+                    "rank": pa.array(ranks)})
+    return ray.data.from_arrow(out)

@@ -3125,3 +3125,224 @@ SELECT source, q, value, rank, n FROM (
 
 QUERIES.update({"quantiles_by_source": q_quantiles_by_source})
 ORACLES.update({"quantiles_by_source": SQL_QUANTILES_BY_SOURCE})
+
+
+# ---------------------------------------------------------------------
+# crawl snapshot diff — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_crawl_diff(sf_dir: str) -> pd.DataFrame:
+    """Two deterministic snapshot views of the documents table (old =
+    doc_id%3≠0, new = doc_id%5≠0 with every %7==0 text edited) diffed
+    into new/deleted/changed/same per url key (ops/crawl.py:
+    snapshot_diff — only (key, side, md5-hash) rows shuffle)."""
+    from ..ops.crawl import snapshot_diff
+
+    docs = _docs_text(sf_dir)
+
+    def keep_mod(m: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % m != 0))
+        return fn
+
+    old = docs.map_batches(keep_mod(3), batch_format="pyarrow")
+
+    def edit(batch: pa.Table) -> pa.Table:
+        batch = keep_mod(5)(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = batch["text"].to_pylist()
+        out = [t + " [edited v2]" if i % 7 == 0 else t
+               for i, t in zip(ids, txt)]
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", pa.array(out, pa.string()))
+
+    new = docs.map_batches(edit, batch_format="pyarrow")
+    df = snapshot_diff(old, new).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CRAWL_DIFF = """
+WITH a AS (
+  SELECT doc_id, md5_number_lower(text) AS h
+  FROM documents WHERE doc_id % 3 <> 0),
+b AS (
+  SELECT doc_id,
+         md5_number_lower(text || CASE WHEN doc_id % 7 = 0
+                                       THEN ' [edited v2]' ELSE '' END) AS h
+  FROM documents WHERE doc_id % 5 <> 0)
+SELECT COALESCE(a.doc_id, b.doc_id)::BIGINT AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'new'
+            WHEN b.doc_id IS NULL THEN 'deleted'
+            WHEN a.h <> b.h THEN 'changed'
+            ELSE 'same' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+ORDER BY doc_id
+"""
+
+QUERIES.update({"crawl_diff": q_crawl_diff})
+ORACLES.update({"crawl_diff": SQL_CRAWL_DIFF})
+
+
+# ---------------------------------------------------------------------
+# url canonicalization + per-domain stats — full oracle
+# ---------------------------------------------------------------------
+
+# messy-url synthesis shared (textually) by both engines: scheme and
+# port/tracking/fragment noise keyed off doc_id residues
+_URL_SYNTH_SQL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END
+  || source || '.example.org'
+  || CASE WHEN doc_id % 9 = 0 THEN ':443'
+          WHEN doc_id % 11 = 0 THEN ':80' ELSE '' END
+  || '/p/' || CAST(doc_id % 37 AS VARCHAR)
+  || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0
+          THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_source=x'
+          WHEN doc_id % 13 = 0 THEN '?utm_only=1' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN '#s' ELSE '' END
+"""
+
+
+def _synth_urls(batch: pa.Table) -> pa.Table:
+    """Python mirror of _URL_SYNTH_SQL (query-harness input synthesis;
+    the OP's kernels are the vectorized part under test)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    src = batch["source"].to_pylist()
+    urls = []
+    for i, s in zip(ids, src):
+        u = ("http://" if i % 2 == 0 else "https://") + s + ".example.org"
+        if i % 9 == 0:
+            u += ":443"
+        elif i % 11 == 0:
+            u += ":80"
+        u += f"/p/{i % 37}"
+        if i % 6 == 0:
+            u += "/"
+        if i % 4 == 0:
+            u += f"?id={i % 10}&utm_source=x"
+        elif i % 13 == 0:
+            u += "?utm_only=1"
+        if i % 5 == 0:
+            u += "#s"
+        urls.append(u)
+    return batch.append_column("url", pa.array(urls, pa.string()))
+
+
+def q_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization (five shared-RE2 passes) + per-domain page/
+    distinct-url/char totals (ops/crawl.py — combine-before-shuffle
+    partials, the tracking-param noise collapses under the kernel)."""
+    from ..ops.crawl import domain_stats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"]).map_batches(
+            _synth_urls, batch_format="pyarrow")
+    df = domain_stats(docs).to_pandas()
+    for c in ("n_pages", "n_urls", "total_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("domain").reset_index(drop=True)
+
+
+def _sql_norm_chain(col: str) -> str:
+    """The op's five RE2 passes as nested DuckDB regexp_replace — the
+    PATTERN STRINGS are imported from the op module, so engine parity
+    is structural."""
+    from ..ops.crawl import (P_DEFAULT_PORT, P_FRAGMENT, P_QUERY_TAIL,
+                             P_TRACKING, P_TRAILING_SLASH)
+
+    u = col
+    for pat, rep in ((P_FRAGMENT, ""), (P_TRACKING, ""),
+                     (P_QUERY_TAIL, ""), (P_DEFAULT_PORT, r"\1\3"),
+                     (P_TRAILING_SLASH, "")):
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u
+
+
+def _sql_domain_stats() -> str:
+    from ..ops.crawl import P_DOMAIN_SQL
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, n_chars, ({_URL_SYNTH_SQL}) AS url FROM documents),
+norm AS (
+  SELECT n_chars, {_sql_norm_chain('url')} AS url_norm FROM raw)
+SELECT regexp_extract(url_norm, '{P_DOMAIN_SQL}', 1) AS domain,
+       count(*)::BIGINT AS n_pages,
+       count(DISTINCT url_norm)::BIGINT AS n_urls,
+       sum(n_chars)::BIGINT AS total_chars
+FROM norm GROUP BY domain ORDER BY domain
+"""
+
+
+QUERIES.update({"domain_stats": q_domain_stats})
+ORACLES.update({"domain_stats": _sql_domain_stats()})
+
+
+# ---------------------------------------------------------------------
+# pagerank — full oracle (fixed 5 iterations, chained CTEs)
+# ---------------------------------------------------------------------
+
+PR_ITER = 5
+PR_DAMP = 0.85
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Link-graph PageRank over a deterministic 2-out-degree synthetic
+    graph (src=doc_id → (7·id+1)%N and (13·id+3)%N).  Fixed-iteration
+    broadcast-rank shape (ops/crawl.py:pagerank); round-before-
+    aggregate at 12/9 decimals makes the result partition-order
+    independent, mirrored exactly by the chained-CTE oracle."""
+    from ..ops.crawl import pagerank
+    from ..ops.textstats import round_half_away
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 7 + 1) % n, (ids * 13 + 3) % n])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = pagerank(edges, n, n_iter=PR_ITER, damping=PR_DAMP).to_pandas()
+    df["rank"] = round_half_away(df["rank"].to_numpy())
+    df["node"] = df["node"].astype("int64")
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def _sql_pagerank() -> str:
+    head = f"""
+WITH consts AS (SELECT count(*)::DOUBLE AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT count(*) FROM documents) FROM documents),
+deg AS (SELECT src, count(*)::DOUBLE AS cnt FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS id, round(1.0 / c.n, 9) AS r
+       FROM documents CROSS JOIN consts c)"""
+    its = []
+    for k in range(1, PR_ITER + 1):
+        its.append(f""",
+r{k} AS (
+  SELECT d.doc_id AS id,
+         round((1 - {PR_DAMP}) / c.n + {PR_DAMP} * COALESCE(s.contrib, 0), 9) AS r
+  FROM documents d CROSS JOIN consts c
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(round(p.r / g.cnt, 12)) AS contrib
+    FROM edges e JOIN r{k - 1} p ON p.id = e.src
+    JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) s ON s.id = d.doc_id)""")
+    return (head + "".join(its) +
+            f"\nSELECT id::BIGINT AS node, round(r, 6) AS rank "
+            f"FROM r{PR_ITER} ORDER BY node")
+
+
+QUERIES.update({"pagerank": q_pagerank})
+ORACLES.update({"pagerank": _sql_pagerank()})

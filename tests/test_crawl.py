@@ -1,0 +1,145 @@
+"""Unit tests for the crawl lifecycle ops (snapshot diff, url
+canonicalization, domain stats, pagerank)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import pyarrow as pa
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+class TestSnapshotDiff:
+    def test_statuses(self, ray_session):
+        from alix_ray.ops.crawl import snapshot_diff
+
+        old = _ds({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+        new = _ds({"doc_id": [2, 3, 5], "text": ["b", "C!", "e"]})
+        got = snapshot_diff(old, new).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        want = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "status": ["deleted", "same", "changed", "deleted", "new"]})
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_partition_independence(self, ray_session):
+        from alix_ray.ops.crawl import snapshot_diff
+
+        n = 300
+        old = _ds({"doc_id": list(range(n)),
+                   "text": [f"t{i}" for i in range(n)]})
+        new_rows = {"doc_id": [i for i in range(n + 50) if i % 3],
+                    "text": [f"t{i}" if i % 7 else f"e{i}"
+                             for i in range(n + 50) if i % 3]}
+        a = snapshot_diff(old, _ds(new_rows)).to_pandas()
+        b = snapshot_diff(old.repartition(7),
+                          _ds(new_rows).repartition(3)).to_pandas()
+        key = lambda d: d.sort_values("doc_id").reset_index(drop=True)  # noqa: E731
+        pd.testing.assert_frame_equal(key(a), key(b))
+        assert len(a) == len(set(old.to_pandas()["doc_id"])
+                             | set(new_rows["doc_id"]))
+
+    def test_duplicate_keys_fold_to_min_hash(self, ray_session):
+        from alix_ray.ops.crawl import snapshot_diff
+
+        old = _ds({"doc_id": [1, 1], "text": ["x", "y"]})
+        new = _ds({"doc_id": [1], "text": ["x"]})
+        got = snapshot_diff(old, new).to_pandas()
+        assert len(got) == 1
+        assert got["status"].iloc[0] in ("same", "changed")  # deterministic
+        again = snapshot_diff(old, new).to_pandas()
+        assert got["status"].iloc[0] == again["status"].iloc[0]
+
+
+class TestUrlNormalize:
+    CASES = {
+        "https://a.org/p/1": "https://a.org/p/1",
+        "https://a.org:443/p/2?id=3&utm_source=x#f": "https://a.org/p/2?id=3",
+        "http://b.org:80/p/4/": "http://b.org/p/4",
+        "https://c.org/p?utm_a=1&utm_b=2": "https://c.org/p",
+        "https://c.org/p?id=7&fbclid=zz&x=1": "https://c.org/p?id=7&x=1",
+        "https://d.org/": "https://d.org",
+    }
+
+    def test_normalize_batch(self):
+        from alix_ray.ops.crawl import normalize_batch
+
+        u, dom = normalize_batch(pa.array(list(self.CASES)))
+        assert u.to_pylist() == list(self.CASES.values())
+        assert dom.to_pylist() == ["a.org", "a.org", "b.org", "c.org",
+                                   "c.org", "d.org"]
+
+    def test_domain_stats(self, ray_session):
+        from alix_ray.ops.crawl import domain_stats
+
+        urls = (["https://a.org/x", "https://a.org/x?utm_s=1",
+                 "https://a.org/y"] + ["https://b.org/1"] * 2)
+        ds = _ds({"url": urls, "n_chars": [10, 20, 30, 5, 5]})
+        got = domain_stats(ds).to_pandas().sort_values(
+            "domain").reset_index(drop=True)
+        want = pd.DataFrame({
+            "domain": ["a.org", "b.org"],
+            "n_pages": [3, 2], "n_urls": [2, 1],
+            "total_chars": [60, 10]})
+        pd.testing.assert_frame_equal(got, want)
+        # partial-combine correctness: tiny batches, same answer
+        got2 = domain_stats(ds.repartition(5)).to_pandas().sort_values(
+            "domain").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got2, want)
+
+
+def _reference_pagerank(edges, n, n_iter=5, d=0.85, rd=9):
+    from alix_ray.ops.textstats import round_half_away
+
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, edges[:, 0], 1)
+    r = round_half_away(np.full(n, 1.0 / n), rd)
+    dangling = outdeg == 0
+    for _ in range(n_iter):
+        acc = np.zeros(n)
+        w = round_half_away(
+            r[edges[:, 0]] / outdeg[edges[:, 0]], rd + 3)
+        np.add.at(acc, edges[:, 1], w)
+        r = round_half_away(
+            (1 - d) / n + d * (acc + r[dangling].sum() / n), rd)
+    return r
+
+
+class TestPagerank:
+    def test_matches_dense_reference(self, ray_session):
+        from alix_ray.ops.crawl import pagerank
+
+        n = 50
+        rng = np.random.default_rng(3)
+        edges = rng.integers(0, n, (400, 2))
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = pagerank(ds, n).to_pandas().sort_values("node")
+        want = _reference_pagerank(edges, n)
+        np.testing.assert_allclose(got["rank"].to_numpy(), want,
+                                   rtol=0, atol=2e-9)
+        # probability mass is conserved (no dangling loss)
+        assert got["rank"].sum() == pytest.approx(1.0, abs=1e-6)
+
+    def test_dangling_nodes_and_partitions(self, ray_session):
+        from alix_ray.ops.crawl import pagerank
+
+        # node 3 has no out-edges: its mass redistributes uniformly
+        edges = np.array([[0, 1], [1, 2], [2, 3], [2, 0]])
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = pagerank(ds, 4).to_pandas().sort_values("node")
+        want = _reference_pagerank(edges, 4)
+        np.testing.assert_allclose(got["rank"].to_numpy(), want, atol=2e-9)
+        got2 = pagerank(ds.repartition(4), 4).to_pandas().sort_values(
+            "node")
+        assert got["rank"].tolist() == got2["rank"].tolist()
+
+    def test_broadcast_bound_raises(self, ray_session):
+        from alix_ray.ops.crawl import pagerank
+
+        with pytest.raises(ValueError):
+            pagerank(_ds({"src": [0], "dst": [1]}), 10,
+                     max_broadcast_nodes=5)
