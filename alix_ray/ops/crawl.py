@@ -28,11 +28,11 @@ Scale shapes (10^12 rows):
   the driver folds the k·1 rank vector and re-broadcasts via
   ``ray.put``.  With out-degrees known, nothing but (dst, float)
   rows moves per iteration.  Beyond ~5e8 nodes the broadcast rank
-  vector stops fitting (8 B/node); the documented fallback is the
-  hash-partitioned join used by ``embedding_dup_pairs_ivf``: edges
-  pre-partitioned by src-pkey joined to a rank table partitioned the
-  same way (two slim shuffles per iteration).  ``max_broadcast_nodes``
-  fails fast rather than silently degrading.
+  vector stops fitting (8 B/node); :func:`pagerank_partitioned` is
+  the shipped fallback — ranks as a hash-partitioned TABLE, two slim
+  shuffles per iteration, nothing O(n_nodes) anywhere, bit-equal to
+  the broadcast path by test.  ``max_broadcast_nodes`` fails fast
+  toward it rather than silently degrading.
 """
 
 from __future__ import annotations
@@ -229,14 +229,13 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int,
 
     ``max_broadcast_nodes`` bounds the broadcast vector (8 B/node);
     past it, raise rather than silently thrash — the scale fallback is
-    a rank table hash-partitioned like the edges (see module
-    docstring).
+    :func:`pagerank_partitioned` (bit-equal by test).
     """
     if n_nodes > max_broadcast_nodes:
         raise ValueError(
             f"pagerank broadcast path holds 8 B × {n_nodes} nodes; "
-            "beyond max_broadcast_nodes use the partitioned-join "
-            "variant (module docstring)")
+            "beyond max_broadcast_nodes use pagerank_partitioned "
+            "(bit-equal distributed-ranks variant)")
 
     # out-degrees: one pass, same sparse-partial shape
     def deg_partial(batch: pa.Table) -> pa.Table:
@@ -300,6 +299,13 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int,
             acc[b["id"].to_numpy(zero_copy_only=False)] = \
                 b["sum(c)"].to_numpy(zero_copy_only=False)
         dmass = float(ranks[dangling].sum()) / n_nodes
+        if round_decimals is not None:
+            from .textstats import round_half_away
+
+            # dmass rounded like the per-edge contributions so the
+            # partitioned variant (different summation order) is
+            # bit-equal
+            dmass = float(round_half_away(dmass, round_decimals + 3))
         ranks = base + damping * (acc + dmass)
         if round_decimals is not None:
             from .textstats import round_half_away
@@ -309,3 +315,188 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int,
     out = pa.table({"node": pa.array(np.arange(n_nodes, dtype=np.int64)),
                     "rank": pa.array(ranks)})
     return ray.data.from_arrow(out)
+
+
+def pagerank_partitioned(edges: ray.data.Dataset, n_nodes: int,
+                         n_iter: int = 5, damping: float = 0.85,
+                         src_col: str = "src", dst_col: str = "dst",
+                         round_decimals: int | None = 9
+                         ) -> ray.data.Dataset:
+    """The beyond-broadcast PageRank: ranks live as a DISTRIBUTED
+    (id, rank, outdeg) table hash-partitioned by node id — nothing is
+    ever O(n_nodes) on the driver or in a single task, so 10^12 nodes
+    is rows, not RAM.
+
+    Per iteration, two slim shuffles:
+
+    1. src-side join: edge rows (keyed by pk(src)) union rank rows
+       (keyed by pk(id)); each group joins in-memory and emits
+       (dst, contribution) rows pre-keyed by pk(dst);
+    2. dst-side fold: contribution rows union the node table; each
+       group sums per dst and emits the next (id, rank, outdeg) rows.
+
+    Dangling mass is one scalar aggregate per iteration (sum of rank
+    over outdeg==0 rows).  The rounding schedule is IDENTICAL to
+    :func:`pagerank`'s broadcast path, so the two variants are
+    bit-equal (asserted by test) — the broadcast path is the fast
+    small-graph implementation, this is the shape you ship at
+    crawl-graph scale.
+    """
+    from .textstats import round_half_away
+
+    pk_parts = _num_parts()
+    d = damping
+
+    def _round(x, dec):
+        return round_half_away(x, dec) if round_decimals is not None \
+            else x
+
+    # ---- static tables: edges keyed by pk(src); (id, outdeg) rows --
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "pk": pa.array(_partition_key(src.astype(np.uint64),
+                                          pk_parts)),
+            "id": pa.array(src), "dst": pa.array(dst),
+            "r": pa.array(np.full(len(src), np.nan)),
+            "od": pa.array(np.full(len(src), -1.0)),
+        })
+
+    ekeyed = edges.map_batches(edge_rows,
+                               batch_format="pyarrow").materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        ids, cnt = np.unique(src, return_counts=True)
+        return pa.table({"id": pa.array(ids.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow").groupby(
+        "id").sum("n")
+
+    def node_rows_from_deg(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = batch["sum(n)"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            "pk": pa.array(_partition_key(ids.astype(np.uint64),
+                                          pk_parts)),
+            "id": pa.array(ids), "dst": pa.array(ids),  # dst unused
+            "r": pa.array(np.full(len(ids), np.nan)),
+            "od": pa.array(od),
+        })
+
+    # nodes with edges carry their outdeg; the dense-id contract adds
+    # the out-degree-0 nodes from a range (no O(n) driver list — the
+    # range dataset streams)
+    deg_nodes = deg.map_batches(node_rows_from_deg,
+                                batch_format="pyarrow")
+
+    def dangling_rows(batch) -> pa.Table:
+        ids = batch["id"].astype(np.int64)
+        return pa.table({
+            "pk": pa.array(_partition_key(ids.astype(np.uint64),
+                                          pk_parts)),
+            "id": pa.array(ids), "dst": pa.array(ids),
+            "r": pa.array(np.full(len(ids), np.nan)),
+            "od": pa.array(np.zeros(len(ids))),
+        })
+
+    all_ids = ray.data.range(n_nodes).map_batches(
+        dangling_rows, batch_format="numpy")
+
+    def keep_deg_row(g: pd.DataFrame) -> pd.DataFrame:
+        # deg rows (od>0) win over the range's od=0 placeholders
+        idx = g.groupby("id")["od"].idxmax()
+        return g.loc[idx.to_numpy()]
+
+    r0 = _round(1.0 / n_nodes, round_decimals)
+    nodes = all_ids.union(deg_nodes).groupby("pk").map_groups(
+        keep_deg_row, batch_format="pandas").map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("r"), "r",
+                pa.array(np.full(t.num_rows, r0))),
+            batch_format="pyarrow").materialize()
+
+    base = (1.0 - d) / n_nodes
+    _CONTRIB_SCHEMA = pa.schema([("pk", pa.int64()), ("id", pa.int64()),
+                                 ("c", pa.float64())])
+
+    for _ in range(n_iter):
+        # scalar dangling mass (one slim aggregate; zero when the
+        # graph has no sinks)
+        dmass = nodes.map_batches(
+            lambda t: pa.table({"s": pa.array([float(
+                t["r"].to_numpy(zero_copy_only=False)[
+                    t["od"].to_numpy(zero_copy_only=False) == 0.0]
+                .sum())])}),
+            batch_format="pyarrow").sum("s") / n_nodes
+        dmass = float(_round(dmass, (round_decimals or 0) + 3))
+
+        def src_join(g: pd.DataFrame) -> pa.Table:
+            e = g[g["od"] < 0]
+            rk = g[g["od"] >= 0]
+            if len(e) == 0 or len(rk) == 0:
+                return _CONTRIB_SCHEMA.empty_table()
+            m = e[["id", "dst"]].merge(
+                rk[["id", "r", "od"]], on="id", how="inner")
+            w = _round(m["r"].to_numpy() / m["od"].to_numpy(),
+                       (round_decimals or 0) + 3)
+            dst = m["dst"].to_numpy(np.int64)
+            order = np.argsort(dst, kind="stable")
+            sd, sw = dst[order], w[order]
+            ids, starts = np.unique(sd, return_index=True)
+            return pa.table({
+                "pk": pa.array(_partition_key(ids.astype(np.uint64),
+                                              pk_parts)),
+                "id": pa.array(ids.astype(np.int64)),
+                "c": pa.array(np.add.reduceat(sw, starts)
+                              if len(sw) else sw),
+            })
+
+        contribs = nodes.union(ekeyed).groupby("pk").map_groups(
+            src_join, batch_format="pandas")
+
+        def node_side(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "pk": t["pk"], "id": t["id"],
+                "c": pa.array(np.full(t.num_rows, np.nan)),
+                "od": t["od"],
+            })
+
+        def contrib_side(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema(
+                    [("pk", pa.int64()), ("id", pa.int64()),
+                     ("c", pa.float64()),
+                     ("od", pa.float64())]).empty_table()
+            return t.append_column(
+                "od", pa.array(np.full(t.num_rows, np.nan)))
+
+        def dst_fold(g: pd.DataFrame, _dm=dmass) -> pa.Table:
+            rk = g[g["c"].isna() & g["od"].notna()]
+            cs = g[g["od"].isna()].groupby("id")["c"].sum()
+            ids = rk["id"].to_numpy(np.int64)
+            acc = cs.reindex(ids).fillna(0.0).to_numpy()
+            newr = _round(base + d * (acc + _dm), round_decimals)
+            return pa.table({
+                "pk": pa.array(rk["pk"].to_numpy(np.int64)),
+                "id": pa.array(ids),
+                "dst": pa.array(ids),
+                "r": pa.array(newr),
+                "od": pa.array(rk["od"].to_numpy(np.float64)),
+            })
+
+        nodes = nodes.map_batches(node_side, batch_format="pyarrow") \
+            .union(contribs.map_batches(contrib_side,
+                                        batch_format="pyarrow")) \
+            .groupby("pk").map_groups(dst_fold, batch_format="pandas") \
+            .materialize()
+
+    def out_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["id"], "rank": t["r"]})
+
+    return nodes.map_batches(out_rows, batch_format="pyarrow")

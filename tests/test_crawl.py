@@ -143,3 +143,21 @@ class TestPagerank:
         with pytest.raises(ValueError):
             pagerank(_ds({"src": [0], "dst": [1]}), 10,
                      max_broadcast_nodes=5)
+
+    def test_partitioned_variant_bit_equal(self, ray_session):
+        """The distributed-ranks variant (two slim shuffles/iter,
+        nothing O(n_nodes) anywhere) must be bit-equal to the
+        broadcast path — same rounding schedule, different summation
+        grouping.  Covers a dangling node and repartitioned edges."""
+        from alix_ray.ops.crawl import pagerank, pagerank_partitioned
+
+        n = 60
+        rng = np.random.default_rng(11)
+        edges = rng.integers(0, n, (300, 2))
+        edges = edges[edges[:, 0] != 7]  # node 7 dangles
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        a = pagerank(ds, n).to_pandas().sort_values("node")
+        b = pagerank_partitioned(ds.repartition(5), n).to_pandas() \
+            .sort_values("node")
+        assert a["node"].tolist() == b["node"].tolist()
+        assert a["rank"].tolist() == b["rank"].tolist()
