@@ -260,26 +260,55 @@ class Rail:
                 else:  # no stats → cannot prune, always a candidate
                     self._spans.append((-1, 1 << 62, fi, rg))
         self._spans.sort()
-        self._rg_cache: dict[tuple[int, int], dict] = {}
+        self._rg_cache: dict[tuple[int, int], tuple] = {}
+        self._docs_cache: dict[tuple[int, int], np.ndarray] = {}
 
-    def _load(self, fi: int, rg: int) -> dict:
+    def _load(self, fi: int, rg: int):
+        """Row group as (sorted doc ids, argsort, arrow list columns)
+        — loading stays COLUMNAR (one read, one int argsort); rows are
+        materialized lazily in :meth:`get`, one doc at a time.  The
+        old eager dict build (``to_pylist`` of every row's positions)
+        made each load ~100× the IO cost, which dominated hot-term
+        span queries whose rank-ordered verification touches row
+        groups in near-random order."""
         key = (fi, rg)
         hit = self._rg_cache.get(key)
         if hit is None:
             t = self._pf[fi].read_row_group(
                 rg, columns=["doc_id", "pos_terms", "positions"]
             )
-            hit = {
-                d: (np.asarray(ts, dtype=object), np.asarray(ps, np.int64))
-                for d, ts, ps in zip(
-                    t["doc_id"].to_pylist(),
-                    t["pos_terms"].to_pylist(),
-                    t["positions"].to_pylist(),
-                )
-            }
+            docs = t["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(docs, kind="stable")
+            hit = (docs[order], order,
+                   t["pos_terms"].combine_chunks(),
+                   t["positions"].combine_chunks())
             if len(self._rg_cache) >= self._RG_CACHE_MAX:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
             self._rg_cache[key] = hit
+        return hit
+
+    @staticmethod
+    def _row(list_arr, i: int):
+        """One row of an arrow list column as its values slice."""
+        off = list_arr.offsets
+        s, e = off[i].as_py(), off[i + 1].as_py()
+        return list_arr.values.slice(s, e - s)
+
+    def _docs_of(self, fi: int, rg: int) -> np.ndarray:
+        """Sorted doc ids of one row group — the cheap membership
+        probe.  A distributed build writes row groups whose doc RANGES
+        interleave heavily, so min/max pruning alone still admits
+        O(row groups) candidates per doc; probing the 8 B/row doc_id
+        column (own wide LRU) avoids paying the positions read for
+        every false candidate."""
+        key = (fi, rg)
+        hit = self._docs_cache.get(key)
+        if hit is None:
+            t = self._pf[fi].read_row_group(rg, columns=["doc_id"])
+            hit = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+            if len(self._docs_cache) >= 8 * self._RG_CACHE_MAX:
+                self._docs_cache.pop(next(iter(self._docs_cache)))
+            self._docs_cache[key] = hit
         return hit
 
     def get(self, doc: int):
@@ -287,9 +316,19 @@ class Rail:
             if mn > doc:
                 break
             if doc <= mx:
-                rows = self._load(fi, rg)
-                if doc in rows:
-                    return rows[doc]
+                d = self._docs_of(fi, rg)
+                j = int(np.searchsorted(d, doc))
+                if j >= len(d) or d[j] != doc:
+                    continue
+                docs, order, terms_col, pos_col = self._load(fi, rg)
+                j = int(np.searchsorted(docs, doc))
+                row = int(order[j])
+                return (
+                    np.asarray(self._row(terms_col, row).to_pylist(),
+                               dtype=object),
+                    self._row(pos_col, row).to_numpy(
+                        zero_copy_only=False).astype(np.int64),
+                )
         raise KeyError(doc)
 
 
