@@ -158,9 +158,16 @@ def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
                  chars_col: str | None = "n_chars") -> ray.data.Dataset:
     """Per registered domain: page count, distinct canonical urls,
     total chars.  Combine-before-shuffle: each batch emits one partial
-    row per domain it sees; the groupby moves O(domains × batches)
-    rows.  Distinct urls are exact via a per-batch unique + one
-    distinct-pair shuffle ONLY of (domain, url_norm) hashes."""
+    row per domain (pages/chars) plus one row per distinct
+    (domain, url-hash BUCKET) — the exact-distinct count is TWO-LEVEL
+    so a Zipf-head domain (half the web under one host) can never
+    concentrate its url rows in a single reducer: level 1 counts
+    distinct hashes per (domain, bucket) group — hash-disjoint
+    buckets, so per-bucket distinct counts are globally disjoint —
+    and level 2 sums the per-bucket counts per domain.  Both exchanges
+    move partial rows, never one row per page."""
+    pk_parts = _num_parts()
+
     def partial(batch: pa.Table) -> pa.Table:
         u, dom = normalize_batch(batch[url_col].combine_chunks())
         df = pd.DataFrame({"domain": dom.to_pylist(),
@@ -171,38 +178,54 @@ def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
             df["chars"] = 0
         g = df.groupby("domain").agg(
             n_pages=("url_norm", "size"), chars=("chars", "sum"))
-        # exact distinct urls: ship one 64-bit hash per distinct
-        # (domain, url) of this batch, folded below
         d2 = df.drop_duplicates(["domain", "url_norm"])
         uh = md5_lower64(list(d2["url_norm"])).view(np.int64)
+        ub = _partition_key(uh.view(np.uint64), pk_parts)
         part = pa.table({
             "domain": pa.array(g.index.to_numpy(object), pa.string()),
+            "ub": pa.array(np.full(len(g), -1, np.int64)),
             "n_pages": pa.array(g["n_pages"].to_numpy(np.int64)),
             "chars": pa.array(g["chars"].to_numpy(np.int64)),
             "uh": pa.array(np.full(len(g), 0, np.int64)),
-            "is_url": pa.array(np.zeros(len(g), np.bool_)),
         })
         urls_rows = pa.table({
             "domain": pa.array(d2["domain"].to_numpy(object), pa.string()),
+            "ub": pa.array(ub),
             "n_pages": pa.array(np.zeros(len(d2), np.int64)),
             "chars": pa.array(np.zeros(len(d2), np.int64)),
             "uh": pa.array(uh),
-            "is_url": pa.array(np.ones(len(d2), np.bool_)),
         })
         return pa.concat_tables([part, urls_rows])
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        stats = g[~g["is_url"]]
-        urls = g[g["is_url"]]
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # one (domain, bucket) group: stats partials ride bucket -1,
+        # url rows carry disjoint hash subsets per bucket
+        if g["ub"].iloc[0] < 0:
+            return pd.DataFrame({
+                "domain": [g["domain"].iloc[0]],
+                "n_pages": [int(g["n_pages"].sum())],
+                "n_urls": [0],
+                "total_chars": [int(g["chars"].sum())],
+            })
         return pd.DataFrame({
             "domain": [g["domain"].iloc[0]],
-            "n_pages": [int(stats["n_pages"].sum())],
-            "n_urls": [int(urls["uh"].nunique())],
-            "total_chars": [int(stats["chars"].sum())],
+            "n_pages": [0],
+            "n_urls": [int(g["uh"].nunique())],
+            "total_chars": [0],
         })
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "domain").map_groups(fold, batch_format="pandas")
+    def domain_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "domain": [g["domain"].iloc[0]],
+            "n_pages": [int(g["n_pages"].sum())],
+            "n_urls": [int(g["n_urls"].sum())],
+            "total_chars": [int(g["total_chars"].sum())],
+        })
+
+    lvl1 = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["domain", "ub"]).map_groups(bucket_fold, batch_format="pandas")
+    return lvl1.groupby("domain").map_groups(
+        domain_fold, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------
