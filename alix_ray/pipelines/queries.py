@@ -3346,3 +3346,35 @@ r{k} AS (
 
 QUERIES.update({"pagerank": q_pagerank})
 ORACLES.update({"pagerank": _sql_pagerank()})
+
+
+def q_pagerank_dist(sf_dir: str) -> pd.DataFrame:
+    """The beyond-broadcast PageRank (`pagerank_partitioned`: ranks as
+    a hash-partitioned table, two slim shuffles per iteration, nothing
+    O(n_nodes) anywhere).  Bit-equal to the broadcast path by the
+    shared round-before-aggregate schedule, so it earns the SAME
+    chained-CTE oracle."""
+    from ..ops.crawl import pagerank_partitioned
+    from ..ops.textstats import round_half_away
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        src = np.concatenate([ids, ids])
+        dst = np.concatenate([(ids * 7 + 1) % n, (ids * 13 + 3) % n])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = pagerank_partitioned(edges, n, n_iter=PR_ITER,
+                              damping=PR_DAMP).to_pandas()
+    df["rank"] = round_half_away(df["rank"].to_numpy())
+    df["node"] = df["node"].astype("int64")
+    return df.sort_values("node").reset_index(drop=True)
+
+
+QUERIES.update({"pagerank_dist": q_pagerank_dist})
+ORACLES.update({"pagerank_dist": _sql_pagerank()})
