@@ -272,7 +272,7 @@ class Rail:
         span queries whose rank-ordered verification touches row
         groups in near-random order."""
         key = (fi, rg)
-        hit = self._rg_cache.get(key)
+        hit = self._rg_cache.pop(key, None)
         if hit is None:
             t = self._pf[fi].read_row_group(
                 rg, columns=["doc_id", "pos_terms", "positions"]
@@ -284,7 +284,7 @@ class Rail:
                    t["positions"].combine_chunks())
             if len(self._rg_cache) >= self._RG_CACHE_MAX:
                 self._rg_cache.pop(next(iter(self._rg_cache)))
-            self._rg_cache[key] = hit
+        self._rg_cache[key] = hit  # (re)insert at tail: true LRU
         return hit
 
     @staticmethod
@@ -302,13 +302,13 @@ class Rail:
         column (own wide LRU) avoids paying the positions read for
         every false candidate."""
         key = (fi, rg)
-        hit = self._docs_cache.get(key)
+        hit = self._docs_cache.pop(key, None)
         if hit is None:
             t = self._pf[fi].read_row_group(rg, columns=["doc_id"])
             hit = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
             if len(self._docs_cache) >= 8 * self._RG_CACHE_MAX:
                 self._docs_cache.pop(next(iter(self._docs_cache)))
-            self._docs_cache[key] = hit
+        self._docs_cache[key] = hit  # (re)insert at tail: true LRU
         return hit
 
     def get(self, doc: int):

@@ -19,9 +19,12 @@ Scale shapes (10^12 rows):
   (pyarrow ``replace_substring_regex`` — the SAME RE2 patterns run in
   the DuckDB oracle via ``regexp_replace``, so parity is by
   construction, not by reimplementation).
-- ``domain_stats`` combines BEFORE the shuffle: per-batch partial
-  aggregates (one row per (domain, batch)) feed a small groupby —
-  the wide exchange is O(domains × batches), never O(rows).
+- ``domain_stats`` combines BEFORE the shuffle for pages/chars (one
+  partial row per (domain, batch)); the exact distinct-url count
+  additionally ships one slim (domain, bucket, 8 B hash) row per
+  DISTINCT url per batch — O(distinct urls), the price of exactness —
+  but two-level bucketing keeps every reducer group bounded even for
+  a Zipf-head domain.
 - ``pagerank`` keeps the edge table in place and iterates:
   map-side contribution partials (np.add.at over each batch's dst
   ids) → per-batch sparse (dst, partial) rows → one small groupby →
@@ -48,13 +51,18 @@ from .dedup import _num_parts, _partition_key, md5_lower64
 
 # RE2 patterns shared VERBATIM with the SQL oracles (DuckDB regexp_*
 # is RE2 too — one pattern string, two engines, provable parity).
+# Tracking params are NOT a regex: an unanchored pattern corrupts any
+# param merely CONTAINING a tracking prefix, and RE2 has no
+# lookbehind to anchor one — both engines instead split the query on
+# '&' and drop params whose NAME starts with a tracking prefix
+# (pyarrow list kernels here; str_split + list_filter in the oracle).
 P_FRAGMENT = r"#.*$"
-P_TRACKING = r"(utm_[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)(&|$)"
+TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 P_QUERY_TAIL = r"[?&]+$"
-P_DEFAULT_PORT = r"^(https?://[^/:]+):(80|443)(/|$)"
+P_DEFAULT_PORT = r"^(https?://[^/:]+):(80|443)(/|\?|$)"
 P_TRAILING_SLASH = r"/+$"
-P_DOMAIN = r"^https?://(?P<d>[^/:]+)"
-P_DOMAIN_SQL = r"^https?://([^/:]+)"  # DuckDB wants a numbered group
+P_DOMAIN = r"^https?://(?P<d>[^/:?#]+)"
+P_DOMAIN_SQL = r"^https?://([^/:?#]+)"  # DuckDB wants a numbered group
 
 
 # ---------------------------------------------------------------------
@@ -72,29 +80,47 @@ def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
     Contract: each snapshot is key-unique (crawl frontier semantics —
     one row per url per snapshot); duplicate keys within a side fold
     to their min hash, making the op deterministic under violations.
-    Hashes are :func:`md5_lower64` so the status column has an exact
-    DuckDB oracle (``md5_number_lower``); only (key, side, hash) rows
-    ever shuffle.
+    Keys may be integers (partitioned by value hash) or strings (url
+    keys — partitioned by md5).  Hashes are :func:`md5_lower64` so
+    the status column has an exact DuckDB oracle
+    (``md5_number_lower``); only (key, side, hash) rows ever shuffle.
     """
     pk_parts = _num_parts()
 
     def slim(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            karr = batch[key_col]
+            if pa.types.is_integer(karr.type):
+                keys = pa.array(karr.to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                kh = keys.to_numpy(zero_copy_only=False).astype(
+                    np.uint64)
+            else:  # string url keys: partition by content hash
+                keys = pc.cast(karr, pa.string()).combine_chunks()
+                kh = md5_lower64(keys.to_pylist())
             h = md5_lower64(batch[text_col].to_pylist()).view(np.int64)
             return pa.table({
-                key_col: pa.array(keys.astype(np.int64)),
-                "side": pa.array(np.full(len(keys), side, np.int8)),
+                key_col: keys,
+                "side": pa.array(np.full(len(batch), side, np.int8)),
                 "h": pa.array(h),
-                "pkey": pa.array(_partition_key(
-                    keys.astype(np.uint64), pk_parts)),
+                "pkey": pa.array(_partition_key(kh, pk_parts)),
             })
         return fn
 
     unioned = old.map_batches(slim(0), batch_format="pyarrow").union(
         new.map_batches(slim(1), batch_format="pyarrow"))
 
-    _SCHEMA = pa.schema([(key_col, pa.int64()), ("status", pa.string())])
+    sch = old.schema()  # Ray Schema wrapper: parallel names/types
+    ktype = dict(zip(sch.names, sch.types))[key_col]
+    if isinstance(ktype, pa.DataType):
+        key_is_int = pa.types.is_integer(ktype)
+    else:  # pandas-block datasets report numpy/python types
+        try:
+            key_is_int = np.issubdtype(np.dtype(ktype), np.integer)
+        except TypeError:
+            key_is_int = False
+    key_pa_type = pa.int64() if key_is_int else pa.string()
+    _SCHEMA = pa.schema([(key_col, key_pa_type), ("status", pa.string())])
 
     def classify(g: pd.DataFrame) -> pa.Table:
         # nullable Int64 keeps 64-bit hash precision through the outer
@@ -115,8 +141,11 @@ def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
             m["h_a"].isna().to_numpy(np.bool_), "new",
             np.where(m["h_b"].isna().to_numpy(np.bool_), "deleted",
                      np.where(neq, "changed", "same")))
+        keys_out = (pa.array(m[key_col].to_numpy(np.int64))
+                    if key_is_int
+                    else pa.array(m[key_col].astype(object), pa.string()))
         return pa.table({
-            key_col: pa.array(m[key_col].to_numpy(np.int64)),
+            key_col: keys_out,
             "status": pa.array(status.astype(object), pa.string()),
         })
 
@@ -130,16 +159,39 @@ def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
 
 
 def normalize_batch(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
-    """(canonical url, registered domain) — five shared-RE2 passes:
-    strip fragment → drop tracking params (utm_*/fbclid/gclid) →
-    clean dangling ``?``/``&`` → strip default :80/:443 port → strip
-    trailing slashes."""
+    """(canonical url, registered domain): strip fragment → drop
+    tracking params by NAME prefix (split query on ``&``, filter,
+    rejoin — fully vectorized arrow list kernels) → clean dangling
+    ``?``/``&`` → strip default :80/:443 port → strip trailing
+    slashes.  A url with no extractable domain gets ``""`` (matching
+    DuckDB ``regexp_extract``'s no-match value, so the oracle and the
+    op agree on malformed rows)."""
     u = pc.replace_substring_regex(urls, P_FRAGMENT, "")
-    u = pc.replace_substring_regex(u, P_TRACKING, "")
+    parts = pc.split_pattern(u, "?", max_splits=1)
+    base = pc.list_element(parts, 0)
+    has_q = pc.equal(pc.list_value_length(parts), 2)
+    query = pc.binary_join(pc.list_slice(parts, 1, 2), "")
+    params = pc.split_pattern(query, "&")
+    flat = (params.combine_chunks()
+            if isinstance(params, pa.ChunkedArray) else params)
+    vals = flat.values
+    bad = pc.starts_with(vals, TRACKING_PREFIXES[0])
+    for p in TRACKING_PREFIXES[1:]:
+        bad = pc.or_(bad, pc.starts_with(vals, p))
+    keep = pc.invert(bad).to_numpy(zero_copy_only=False)
+    offs = flat.offsets.to_numpy().astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+    new_list = pa.ListArray.from_arrays(
+        pa.array(csum[offs].astype(np.int32), pa.int32()),
+        vals.filter(pa.array(keep)))
+    joined = pc.binary_join(new_list, "&")
+    u = pc.if_else(pc.and_(has_q, pc.not_equal(joined, "")),
+                   pc.binary_join_element_wise(base, joined, "?"), base)
     u = pc.replace_substring_regex(u, P_QUERY_TAIL, "")
     u = pc.replace_substring_regex(u, P_DEFAULT_PORT, r"\1\3")
     u = pc.replace_substring_regex(u, P_TRAILING_SLASH, "")
-    dom = pc.struct_field(pc.extract_regex(u, P_DOMAIN), "d")
+    dom = pc.fill_null(
+        pc.struct_field(pc.extract_regex(u, P_DOMAIN), "d"), "")
     return u, dom
 
 
@@ -233,6 +285,18 @@ def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
 # ---------------------------------------------------------------------
 
 
+def _deg_partial_fn(src_col: str):
+    """Per-batch sparse out-degree partial — single home for the
+    degree semantics, shared by both PageRank variants (a divergence
+    would break their bit-equality contract)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        ids, cnt = np.unique(src, return_counts=True)
+        return pa.table({"id": pa.array(ids.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+    return fn
+
+
 def pagerank(edges: ray.data.Dataset, n_nodes: int,
              n_iter: int = 5, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
@@ -260,15 +324,13 @@ def pagerank(edges: ray.data.Dataset, n_nodes: int,
             "beyond max_broadcast_nodes use pagerank_partitioned "
             "(bit-equal distributed-ranks variant)")
 
-    # out-degrees: one pass, same sparse-partial shape
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        src = batch[src_col].to_numpy(zero_copy_only=False)
-        ids, cnt = np.unique(src, return_counts=True)
-        return pa.table({"id": pa.array(ids.astype(np.int64)),
-                         "n": pa.array(cnt.astype(np.int64))})
-
+    # materialize the slim (src, dst) projection ONCE — the degree
+    # pass plus every iteration reads it; leaving the input lazy would
+    # re-execute the upstream lineage n_iter+1 times
+    edges = edges.select_columns([src_col, dst_col]).materialize()
     deg_rows = edges.map_batches(
-        deg_partial, batch_format="pyarrow").groupby("id").sum("n")
+        _deg_partial_fn(src_col), batch_format="pyarrow").groupby(
+            "id").sum("n")
     outdeg = np.zeros(n_nodes, np.float64)
     for b in deg_rows.iter_batches(batch_format="pyarrow"):
         outdeg[b["id"].to_numpy(zero_copy_only=False)] = \
@@ -391,14 +453,11 @@ def pagerank_partitioned(edges: ray.data.Dataset, n_nodes: int,
     ekeyed = edges.map_batches(edge_rows,
                                batch_format="pyarrow").materialize()
 
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        src = batch[src_col].to_numpy(zero_copy_only=False)
-        ids, cnt = np.unique(src, return_counts=True)
-        return pa.table({"id": pa.array(ids.astype(np.int64)),
-                         "n": pa.array(cnt.astype(np.int64))})
-
-    deg = edges.map_batches(deg_partial, batch_format="pyarrow").groupby(
-        "id").sum("n")
+    # degrees from the MATERIALIZED edge rows (their src column is
+    # "id"), not the lazy input — avoids re-executing upstream lineage
+    deg = ekeyed.map_batches(
+        _deg_partial_fn("id"), batch_format="pyarrow").groupby(
+            "id").sum("n")
 
     def node_rows_from_deg(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)

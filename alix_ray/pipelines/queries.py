@@ -3247,29 +3247,43 @@ def q_domain_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("domain").reset_index(drop=True)
 
 
-def _sql_norm_chain(col: str) -> str:
-    """The op's five RE2 passes as nested DuckDB regexp_replace — the
-    PATTERN STRINGS are imported from the op module, so engine parity
-    is structural."""
-    from ..ops.crawl import (P_DEFAULT_PORT, P_FRAGMENT, P_QUERY_TAIL,
-                             P_TRACKING, P_TRAILING_SLASH)
-
-    u = col
-    for pat, rep in ((P_FRAGMENT, ""), (P_TRACKING, ""),
-                     (P_QUERY_TAIL, ""), (P_DEFAULT_PORT, r"\1\3"),
-                     (P_TRAILING_SLASH, "")):
-        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
-    return u
-
-
 def _sql_domain_stats() -> str:
-    from ..ops.crawl import P_DOMAIN_SQL
+    """The oracle mirrors the op's normalization STAGES with shared
+    constants: regex passes share pattern strings verbatim; the
+    tracking-param drop shares the NAME-PREFIX list (split on '&',
+    filter by starts_with, rejoin — an unanchored regex would corrupt
+    params merely containing a tracking prefix, and RE2 has no
+    lookbehind to anchor one)."""
+    from ..ops.crawl import (P_DEFAULT_PORT, P_DOMAIN_SQL, P_FRAGMENT,
+                             P_QUERY_TAIL, P_TRAILING_SLASH,
+                             TRACKING_PREFIXES)
 
+    drop = " OR ".join(f"starts_with(x, '{p}')" for p in TRACKING_PREFIXES)
     return f"""
 WITH raw AS (
   SELECT doc_id, n_chars, ({_URL_SYNTH_SQL}) AS url FROM documents),
+defrag AS (
+  SELECT n_chars, regexp_replace(url, '{P_FRAGMENT}', '', 'g') AS u
+  FROM raw),
+dequery AS (
+  SELECT n_chars,
+    CASE WHEN strpos(u, '?') = 0 THEN u ELSE
+      split_part(u, '?', 1) ||
+      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+    END AS u
+  FROM (
+    SELECT n_chars, u,
+      COALESCE(array_to_string(list_filter(
+        str_split(split_part(u, '?', 2), '&'),
+        x -> NOT ({drop})), '&'), '') AS kept
+    FROM defrag)),
 norm AS (
-  SELECT n_chars, {_sql_norm_chain('url')} AS url_norm FROM raw)
+  SELECT n_chars,
+    regexp_replace(regexp_replace(regexp_replace(u,
+      '{P_QUERY_TAIL}', '', 'g'),
+      '{P_DEFAULT_PORT}', '\\1\\3', 'g'),
+      '{P_TRAILING_SLASH}', '', 'g') AS url_norm
+  FROM dequery)
 SELECT regexp_extract(url_norm, '{P_DOMAIN_SQL}', 1) AS domain,
        count(*)::BIGINT AS n_pages,
        count(DISTINCT url_norm)::BIGINT AS n_urls,
@@ -3290,13 +3304,13 @@ PR_ITER = 5
 PR_DAMP = 0.85
 
 
-def q_pagerank(sf_dir: str) -> pd.DataFrame:
-    """Link-graph PageRank over a deterministic 2-out-degree synthetic
-    graph (src=doc_id → (7·id+1)%N and (13·id+3)%N).  Fixed-iteration
-    broadcast-rank shape (ops/crawl.py:pagerank); round-before-
-    aggregate at 12/9 decimals makes the result partition-order
-    independent, mirrored exactly by the chained-CTE oracle."""
-    from ..ops.crawl import pagerank
+def _run_pagerank_query(sf_dir: str, impl_kwargs=None,
+                        partitioned: bool = False) -> pd.DataFrame:
+    """Shared harness for the two PageRank variants: the SAME
+    deterministic 2-out-degree synthetic graph (src=doc_id →
+    (7·id+1)%N and (13·id+3)%N — it must stay byte-identical to the
+    oracle's edges CTE, hence ONE home) run through either impl."""
+    from ..ops.crawl import pagerank, pagerank_partitioned
     from ..ops.textstats import round_half_away
 
     docs = ray.data.read_parquet(
@@ -3311,10 +3325,21 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
-    df = pagerank(edges, n, n_iter=PR_ITER, damping=PR_DAMP).to_pandas()
+    impl = pagerank_partitioned if partitioned else pagerank
+    df = impl(edges, n, n_iter=PR_ITER, damping=PR_DAMP,
+              **(impl_kwargs or {})).to_pandas()
     df["rank"] = round_half_away(df["rank"].to_numpy())
     df["node"] = df["node"].astype("int64")
     return df.sort_values("node").reset_index(drop=True)
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Link-graph PageRank over a deterministic 2-out-degree synthetic
+    graph (src=doc_id → (7·id+1)%N and (13·id+3)%N).  Fixed-iteration
+    broadcast-rank shape (ops/crawl.py:pagerank); round-before-
+    aggregate at 12/9 decimals makes the result partition-order
+    independent, mirrored exactly by the chained-CTE oracle."""
+    return _run_pagerank_query(sf_dir)
 
 
 def _sql_pagerank() -> str:
@@ -3354,26 +3379,7 @@ def q_pagerank_dist(sf_dir: str) -> pd.DataFrame:
     O(n_nodes) anywhere).  Bit-equal to the broadcast path by the
     shared round-before-aggregate schedule, so it earns the SAME
     chained-CTE oracle."""
-    from ..ops.crawl import pagerank_partitioned
-    from ..ops.textstats import round_half_away
-
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-    n = docs.count()
-
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        src = np.concatenate([ids, ids])
-        dst = np.concatenate([(ids * 7 + 1) % n, (ids * 13 + 3) % n])
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-
-    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
-    df = pagerank_partitioned(edges, n, n_iter=PR_ITER,
-                              damping=PR_DAMP).to_pandas()
-    df["rank"] = round_half_away(df["rank"].to_numpy())
-    df["node"] = df["node"].astype("int64")
-    return df.sort_values("node").reset_index(drop=True)
+    return _run_pagerank_query(sf_dir, partitioned=True)
 
 
 QUERIES.update({"pagerank_dist": q_pagerank_dist})

@@ -63,6 +63,14 @@ class TestUrlNormalize:
         "https://c.org/p?utm_a=1&utm_b=2": "https://c.org/p",
         "https://c.org/p?id=7&fbclid=zz&x=1": "https://c.org/p?id=7&x=1",
         "https://d.org/": "https://d.org",
+        # params CONTAINING a tracking prefix are NOT tracking params
+        "https://a.org/p?myutm_x=1": "https://a.org/p?myutm_x=1",
+        # default port directly before the query string
+        "https://a.org:443?x=1": "https://a.org?x=1",
+        # consecutive tracking params all drop
+        "https://h.org/p?utm_a=1&b=2&utm_c=3&d=4": "https://h.org/p?b=2&d=4",
+        "https://g.org/p?": "https://g.org/p",
+        "notaurl": "notaurl",
     }
 
     def test_normalize_batch(self):
@@ -71,7 +79,8 @@ class TestUrlNormalize:
         u, dom = normalize_batch(pa.array(list(self.CASES)))
         assert u.to_pylist() == list(self.CASES.values())
         assert dom.to_pylist() == ["a.org", "a.org", "b.org", "c.org",
-                                   "c.org", "d.org"]
+                                   "c.org", "d.org", "a.org", "a.org",
+                                   "h.org", "g.org", ""]
 
     def test_domain_stats(self, ray_session):
         from alix_ray.ops.crawl import domain_stats
@@ -161,3 +170,34 @@ class TestPagerank:
             .sort_values("node")
         assert a["node"].tolist() == b["node"].tolist()
         assert a["rank"].tolist() == b["rank"].tolist()
+
+
+class TestReviewRegressions:
+    def test_snapshot_diff_string_keys(self, ray_session):
+        from alix_ray.ops.crawl import snapshot_diff
+
+        old = _ds({"url": ["a", "b", "c"], "text": ["1", "2", "3"]})
+        new = _ds({"url": ["b", "c", "d"], "text": ["2", "X", "4"]})
+        got = snapshot_diff(old, new, key_col="url").to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        want = pd.DataFrame({"url": ["a", "b", "c", "d"],
+                             "status": ["deleted", "same", "changed",
+                                        "new"]})
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_domain_stats_malformed_url_consistent(self, ray_session):
+        """A row whose domain can't extract groups under '' with its
+        page/char counts INTACT (previously the stats partial silently
+        dropped the null-domain group while the distinct-url row
+        survived)."""
+        from alix_ray.ops.crawl import domain_stats
+
+        ds = _ds({"url": ["https://a.org/x", "notaurl"],
+                  "n_chars": [1, 2]})
+        got = domain_stats(ds).to_pandas().sort_values(
+            "domain").reset_index(drop=True)
+        want = pd.DataFrame({
+            "domain": ["", "a.org"],
+            "n_pages": [1, 1], "n_urls": [1, 1],
+            "total_chars": [2, 1]})
+        pd.testing.assert_frame_equal(got, want)
