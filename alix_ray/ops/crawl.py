@@ -496,12 +496,19 @@ def pagerank_partitioned(edges: ray.data.Dataset, n_nodes: int,
         return g.loc[idx.to_numpy()]
 
     r0 = _round(1.0 / n_nodes, round_decimals)
+    # block-count discipline: each iteration's groupby inherits its
+    # input's block count and map_groups adds per-group blocks, so an
+    # unbounded loop SNOWBALLS blocks (measured: 14→603 blocks over 5
+    # iterations for a 60-row rank table, wall doubling per
+    # iteration).  Re-bound the rank table to a data-sized count
+    # (~3M rows/block ≈ 128 MB of 40 B rows) before each materialize.
+    n_blocks = max(1, min(pk_parts, -(-n_nodes // 3_000_000)))
     nodes = all_ids.union(deg_nodes).groupby("pk").map_groups(
         keep_deg_row, batch_format="pandas").map_batches(
             lambda t: t.set_column(
                 t.schema.get_field_index("r"), "r",
                 pa.array(np.full(t.num_rows, r0))),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow").repartition(n_blocks).materialize()
 
     base = (1.0 - d) / n_nodes
     _CONTRIB_SCHEMA = pa.schema([("pk", pa.int64()), ("id", pa.int64()),
@@ -576,7 +583,7 @@ def pagerank_partitioned(edges: ray.data.Dataset, n_nodes: int,
             .union(contribs.map_batches(contrib_side,
                                         batch_format="pyarrow")) \
             .groupby("pk").map_groups(dst_fold, batch_format="pandas") \
-            .materialize()
+            .repartition(n_blocks).materialize()
 
     def out_rows(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["id"], "rank": t["r"]})
