@@ -32,8 +32,11 @@ def default_concurrency(cap: int = 8, floor: int = 2) -> int:
 def smallest_id_rows(ds, n: int, id_col: str, vec_col: str):
     """The ``n`` smallest-id vectors of an embedding Dataset as a
     float64 matrix, WITHOUT sorting the corpus: every batch forwards
-    its local n smallest (tiny), the driver merges and keeps n.
-    Shared by k-means seeding and PQ training-sample selection."""
+    its local n smallest (tiny), a distributed ``sort(id).limit(n)``
+    over that slim candidate set reduces to the global n, and ONLY
+    those n rows reach the driver — never the O(n_batches·n)
+    candidate pool.  Shared by k-means seeding and PQ
+    training-sample selection."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -41,6 +44,6 @@ def smallest_id_rows(ds, n: int, id_col: str, vec_col: str):
         idx = pc.sort_indices(batch, sort_keys=[(id_col, "ascending")])
         return batch.take(idx[:n]).select([id_col, vec_col])
 
-    rows = ds.map_batches(local_n, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r[id_col])
-    return np.asarray([r[vec_col] for r in rows[:n]], np.float64)
+    cand = ds.map_batches(local_n, batch_format="pyarrow")
+    rows = cand.sort(id_col).limit(n).take_all()
+    return np.asarray([r[vec_col] for r in rows], np.float64)

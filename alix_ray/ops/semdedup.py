@@ -6,9 +6,12 @@ extraction and training-mix assembly:
 * :func:`kmeans_assign` — fixed-iteration distributed Lloyd's k-means
   over an embedding column.  Each iteration is ONE streaming pass:
   centroids are broadcast once (``ray.put`` + per-worker cache), every
-  batch emits k·dim partial-sum rows (cluster, dim index, sum, count),
-  and the driver folds those tiny partials into the next centroid set
-  — O(k·dim) driver state, zero shuffles, the corpus never moves.
+  batch emits SPARSE partial-sum rows (cluster, dim index, sum, count)
+  — only for clusters actually present in the batch — and a
+  distributed ``groupby(["cluster","dim"]).sum()`` pre-reduces them so
+  the driver folds EXACTLY ≤ k·dim rows into the next centroid set.
+  O(k·dim) driver state end to end, one slim aggregate shuffle over
+  partial rows (never the corpus), the embedding table never moves.
   Seeds are the k smallest ids (deterministic and independent of
   partitioning/parallelism, so results are bit-stable across cluster
   sizes — the BASELINE scaling contract).
@@ -57,6 +60,11 @@ def _matrix(col, dtype=np.float64) -> np.ndarray:
 # documented 100-TB operating point (k=1e4, dim=1e3, batch=1e3) the
 # untiled tensor would be 80 GB/task — tiling bounds it regardless of k
 _ASSIGN_TILE_BYTES = 256 * 2**20
+
+# row count of the driver-side reduce frame from the most recent
+# kmeans_assign iteration — observability hook for the scale test
+# asserting the driver fold input is ≤ k·dim (never O(n_batches·k·dim))
+_LAST_REDUCE_ROWS: int = -1
 
 
 def _assign(E: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -131,26 +139,40 @@ def kmeans_assign(emb: ray.data.Dataset, k: int = 4, iters: int = 1,
             Cw = broadcast_cached(ref)
             E = _matrix(batch[vec_col])
             a, _ = _assign(E, Cw)
-            cnt = np.bincount(a, minlength=k)
-            sums = np.zeros((k, dim))
-            for j in np.flatnonzero(cnt):
-                sums[j] = E[a == j].sum(0)
+            # SPARSE partials: emit rows only for clusters present in
+            # the batch (the pagerank contribution shape) — a batch
+            # that touches u clusters ships u·dim rows, not k·dim.
+            order = np.argsort(a, kind="stable")
+            uniq, starts = np.unique(a[order], return_index=True)
+            sums = np.add.reduceat(E[order], starts, axis=0)
+            cnts = np.diff(np.append(starts, len(a))).astype(np.int64)
+            u = len(uniq)
             return pa.table({
-                "cluster": pa.array(np.repeat(np.arange(k), dim), pa.int32()),
-                "dim": pa.array(np.tile(np.arange(dim), k), pa.int32()),
+                "cluster": pa.array(np.repeat(uniq, dim).astype(np.int32)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), u)),
                 "s": pa.array(sums.ravel()),
-                "c": pa.array(np.repeat(cnt, dim).astype(np.int64)),
+                "c": pa.array(np.repeat(cnts, dim)),
             })
 
-        # k·dim rows per batch — the driver fold is O(k·dim), never
-        # corpus-sized, so materializing the partials is the
-        # scale-correct reduce
-        df = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
-        acc_s = (df.groupby(["cluster", "dim"])["s"].sum().unstack(fill_value=0.0)
+        # distributed pre-reduce: the groupby sum folds the sparse
+        # per-batch partials down to AT MOST k·dim rows before the
+        # driver sees anything — the driver fold is O(k·dim) in both
+        # its input and its output (per-(cluster,dim) float sums agree
+        # with a single-pass fold at the oracle's round-6 tolerance)
+        df = (emb.map_batches(partial, batch_format="pyarrow")
+              .groupby(["cluster", "dim"]).sum(["s", "c"]).to_pandas())
+        global _LAST_REDUCE_ROWS
+        _LAST_REDUCE_ROWS = len(df)
+        assert len(df) <= k * dim, "reduce must be pre-aggregated"
+        acc_s = (df.groupby(["cluster", "dim"])["sum(s)"].sum()
+                 .unstack(fill_value=0.0)
                  .reindex(index=range(k), columns=range(dim), fill_value=0.0)
                  .to_numpy())
-        acc_c = (df[df["dim"] == 0].groupby("cluster")["c"].sum()
+        acc_c = (df[df["dim"] == 0].groupby("cluster")["sum(c)"].sum()
                  .reindex(range(k), fill_value=0).to_numpy())
+        # "sum(c)" is the per-(cluster,dim) total count; dim==0 rows
+        # carry one copy per cluster.  A cluster absent from every
+        # batch has no rows at all → count 0 → keeps its centroid.
         live = acc_c > 0
         C = C.copy()
         C[live] = acc_s[live] / acc_c[live, None]

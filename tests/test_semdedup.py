@@ -321,6 +321,67 @@ def test_kmeans_assign_tiled_bit_identical_under_memory_bound(monkeypatch):
     assert (a == 500).sum() == 0 and (a == 1023).sum() == 0
 
 
+def test_kmeans_reduce_is_k_dim_bounded(ray_session):
+    """r4-verdict directive 1: with FORCED multi-batch input (12 blocks
+    over 60 rows) the driver-side reduce frame of every iteration must
+    hold at most k·dim rows — the distributed groupby pre-reduce, not
+    the driver, folds the per-batch partials.  Results must still match
+    the single-process mirror."""
+    import ray.data
+
+    from alix_ray.ops import semdedup
+
+    rng = np.random.default_rng(13)
+    k, dim, n = 5, 8, 60
+    E = rng.normal(size=(n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(12)
+    df = semdedup.kmeans_assign(ds, k=k, iters=2) \
+        .to_pandas().sort_values("vec_id")
+    assert 0 < semdedup._LAST_REDUCE_ROWS <= k * dim
+    a, d = _kmeans_mirror(E, k, 2)
+    assert (df["cluster"].to_numpy() == a).all()
+    assert np.allclose(df["dist"].to_numpy(), d)
+
+
+def test_smallest_id_rows_driver_bounded(ray_session, monkeypatch):
+    """r4-verdict directive 2: the driver receives EXACTLY n rows from
+    the seed/training-sample selection, never the O(n_batches·n)
+    candidate pool — the distributed sort+limit reduces first."""
+    import ray.data
+
+    from alix_ray.ops._util import smallest_id_rows
+
+    rng = np.random.default_rng(5)
+    n_rows, dim, n = 200, 4, 7
+    ids = rng.permutation(n_rows).astype(np.int64)
+    E = rng.normal(size=(n_rows, dim))
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in E],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t).repartition(16)
+
+    seen = []
+    orig = ray.data.Dataset.take_all
+
+    def counting_take_all(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", counting_take_all)
+    M = smallest_id_rows(ds, n, "vec_id", "embedding")
+    assert seen == [n]  # one driver pull, exactly n rows
+    want = E[np.argsort(ids)[:n]]
+    assert np.array_equal(M, want)
+
+
 def test_pq_topk_partition_independent(ray_session):
     import ray.data
 
