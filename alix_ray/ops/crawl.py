@@ -47,7 +47,18 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .dedup import _num_parts, _partition_key, md5_lower64
+from .dedup import _num_parts, _partition_key, _token_hashes, md5_lower64
+
+
+def _hash_fn(hash: str):
+    """md5 (default) keeps the exact DuckDB ``md5_number_lower``
+    oracle; fnv is the fully-vectorized production path (same
+    ``hash=`` semantics as ``tfidf_cosine_pairs`` / ``fingerprint``).
+    Status/count outputs are identical on both paths — only hash
+    EQUALITY matters downstream — asserted by unit test."""
+    if hash not in ("md5", "fnv"):
+        raise ValueError(f"hash must be 'md5' or 'fnv', got {hash!r}")
+    return md5_lower64 if hash == "md5" else _token_hashes
 
 # RE2 patterns shared VERBATIM with the SQL oracles (DuckDB regexp_*
 # is RE2 too — one pattern string, two engines, provable parity).
@@ -72,7 +83,8 @@ P_DOMAIN_SQL = r"^https?://([^/:?#]+)"  # DuckDB wants a numbered group
 
 def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
                   key_col: str = "doc_id",
-                  text_col: str = "text") -> ray.data.Dataset:
+                  text_col: str = "text",
+                  hash: str = "md5") -> ray.data.Dataset:
     """Per-key change status between two crawl snapshots:
     ``new`` (only in the new snapshot) / ``deleted`` (only in the
     old) / ``changed`` (both, content hash differs) / ``same``.
@@ -81,11 +93,14 @@ def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
     one row per url per snapshot); duplicate keys within a side fold
     to their min hash, making the op deterministic under violations.
     Keys may be integers (partitioned by value hash) or strings (url
-    keys — partitioned by md5).  Hashes are :func:`md5_lower64` so
-    the status column has an exact DuckDB oracle
-    (``md5_number_lower``); only (key, side, hash) rows ever shuffle.
+    keys — partitioned by content hash).  ``hash="md5"`` (default)
+    uses :func:`md5_lower64` so the status column has an exact DuckDB
+    oracle (``md5_number_lower``); ``hash="fnv"`` is the vectorized
+    production path (identical statuses — only hash equality matters —
+    asserted by unit test).  Only (key, side, hash) rows ever shuffle.
     """
     pk_parts = _num_parts()
+    hfn = _hash_fn(hash)
 
     def slim(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -97,8 +112,8 @@ def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
                     np.uint64)
             else:  # string url keys: partition by content hash
                 keys = pc.cast(karr, pa.string()).combine_chunks()
-                kh = md5_lower64(keys.to_pylist())
-            h = md5_lower64(batch[text_col].to_pylist()).view(np.int64)
+                kh = hfn(keys.to_pylist())
+            h = hfn(batch[text_col].to_pylist()).view(np.int64)
             return pa.table({
                 key_col: keys,
                 "side": pa.array(np.full(len(batch), side, np.int8)),
@@ -207,7 +222,8 @@ def normalize_urls(ds: ray.data.Dataset,
 
 
 def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
-                 chars_col: str | None = "n_chars") -> ray.data.Dataset:
+                 chars_col: str | None = "n_chars",
+                 hash: str = "md5") -> ray.data.Dataset:
     """Per registered domain: page count, distinct canonical urls,
     total chars.  Combine-before-shuffle: each batch emits one partial
     row per domain (pages/chars) plus one row per distinct
@@ -217,31 +233,38 @@ def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
     distinct hashes per (domain, bucket) group — hash-disjoint
     buckets, so per-bucket distinct counts are globally disjoint —
     and level 2 sums the per-bucket counts per domain.  Both exchanges
-    move partial rows, never one row per page."""
+    move partial rows, never one row per page.
+
+    The partial stays columnar end-to-end (``pa.Table.group_by`` for
+    the per-domain fold and the distinct (domain, url) pairs); only
+    the distinct urls — already deduplicated — cross into Python for
+    hashing, and only on the ``hash="md5"`` oracle-parity path
+    (``hash="fnv"`` is the vectorized production path; identical
+    counts, asserted by unit test)."""
     pk_parts = _num_parts()
+    hfn = _hash_fn(hash)
 
     def partial(batch: pa.Table) -> pa.Table:
         u, dom = normalize_batch(batch[url_col].combine_chunks())
-        df = pd.DataFrame({"domain": dom.to_pylist(),
-                           "url_norm": u.to_pylist()})
         if chars_col is not None and chars_col in batch.schema.names:
-            df["chars"] = batch[chars_col].to_numpy(zero_copy_only=False)
+            chars = pc.cast(batch[chars_col], pa.int64())
         else:
-            df["chars"] = 0
-        g = df.groupby("domain").agg(
-            n_pages=("url_norm", "size"), chars=("chars", "sum"))
-        d2 = df.drop_duplicates(["domain", "url_norm"])
-        uh = md5_lower64(list(d2["url_norm"])).view(np.int64)
+            chars = pa.array(np.zeros(len(batch), np.int64))
+        t = pa.table({"domain": dom, "url_norm": u, "chars": chars})
+        g = t.group_by("domain").aggregate(
+            [("url_norm", "count"), ("chars", "sum")])
+        d2 = t.group_by(["domain", "url_norm"]).aggregate([])
+        uh = hfn(d2["url_norm"].to_pylist()).view(np.int64)
         ub = _partition_key(uh.view(np.uint64), pk_parts)
         part = pa.table({
-            "domain": pa.array(g.index.to_numpy(object), pa.string()),
+            "domain": pc.cast(g["domain"], pa.string()),
             "ub": pa.array(np.full(len(g), -1, np.int64)),
-            "n_pages": pa.array(g["n_pages"].to_numpy(np.int64)),
-            "chars": pa.array(g["chars"].to_numpy(np.int64)),
-            "uh": pa.array(np.full(len(g), 0, np.int64)),
+            "n_pages": pc.cast(g["url_norm_count"], pa.int64()),
+            "chars": pc.cast(g["chars_sum"], pa.int64()),
+            "uh": pa.array(np.zeros(len(g), np.int64)),
         })
         urls_rows = pa.table({
-            "domain": pa.array(d2["domain"].to_numpy(object), pa.string()),
+            "domain": pc.cast(d2["domain"], pa.string()),
             "ub": pa.array(ub),
             "n_pages": pa.array(np.zeros(len(d2), np.int64)),
             "chars": pa.array(np.zeros(len(d2), np.int64)),

@@ -185,6 +185,34 @@ class TestReviewRegressions:
                                         "new"]})
         pd.testing.assert_frame_equal(got, want)
 
+    def test_fnv_path_identical_outputs(self, ray_session):
+        """hash="fnv" (vectorized production path) must produce the
+        exact same status/count tables as the md5 oracle-parity
+        default — only hash EQUALITY matters downstream."""
+        from alix_ray.ops.crawl import domain_stats, snapshot_diff
+
+        old = _ds({"url": [f"u{i}" for i in range(40)],
+                   "text": [f"t{i}" for i in range(40)]})
+        new = _ds({"url": [f"u{i}" for i in range(5, 45)],
+                   "text": [f"t{i}" if i % 4 else f"X{i}"
+                            for i in range(5, 45)]})
+        key = lambda d: d.sort_values(  # noqa: E731
+            list(d.columns)).reset_index(drop=True)
+        a = snapshot_diff(old, new, key_col="url").to_pandas()
+        b = snapshot_diff(old, new, key_col="url",
+                          hash="fnv").to_pandas()
+        pd.testing.assert_frame_equal(key(a), key(b))
+
+        urls = (["https://a.org/x", "https://a.org/x?utm_s=1",
+                 "https://a.org/y"] + ["https://b.org/1"] * 2)
+        ds = _ds({"url": urls, "n_chars": [10, 20, 30, 5, 5]})
+        c = domain_stats(ds.repartition(3)).to_pandas()
+        d = domain_stats(ds.repartition(3), hash="fnv").to_pandas()
+        pd.testing.assert_frame_equal(key(c), key(d))
+
+        with pytest.raises(ValueError):
+            snapshot_diff(old, new, key_col="url", hash="sha1")
+
     def test_domain_stats_malformed_url_consistent(self, ray_session):
         """A row whose domain can't extract groups under '' with its
         page/char counts INTACT (previously the stats partial silently
