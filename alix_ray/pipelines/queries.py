@@ -42,9 +42,12 @@ KEYNESS_FOCUS_LANG = "en"
 KEYNESS_TOP = 30
 
 
-def _docs(sf_dir: str) -> ray.data.Dataset:
+def _docs(sf_dir: str,
+          columns: list[str] | None = None) -> ray.data.Dataset:
+    # every call site passes the 2-3 columns it actually needs so only
+    # those leave storage (projection pushdown at the parquet read)
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet")
+        os.path.join(sf_dir, "documents.parquet"), columns=columns,
     )
 
 
@@ -193,7 +196,7 @@ SQL_BM25_TOP10 = _sql_bm25(BM25_QUERY_TERMS, 10)
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     from ..ops.dedup import exact_dedup
 
-    kept = exact_dedup(_docs(sf_dir)).to_pandas()
+    kept = exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     return (
         kept[["doc_id"]].astype("int64").sort_values("doc_id").reset_index(drop=True)
     )
@@ -207,7 +210,7 @@ SELECT min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY text ORDER BY doc_i
 def q_lang_counts(sf_dir: str) -> pd.DataFrame:
     from ..ops.analytics import facet_counts
 
-    df = facet_counts(_docs(sf_dir), "lang").to_pandas()
+    df = facet_counts(_docs(sf_dir, ["lang"]), "lang").to_pandas()
     df["n"] = df["n"].astype("int64")
     return df.sort_values("lang").reset_index(drop=True)
 
@@ -218,7 +221,7 @@ SQL_LANG_COUNTS = "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY la
 def q_source_counts(sf_dir: str) -> pd.DataFrame:
     from ..ops.analytics import facet_counts
 
-    df = facet_counts(_docs(sf_dir), "source").to_pandas()
+    df = facet_counts(_docs(sf_dir, ["source"]), "source").to_pandas()
     df["n"] = df["n"].astype("int64")
     return df.sort_values("source").reset_index(drop=True)
 
@@ -252,7 +255,7 @@ def q_keyness_chi2(sf_dir: str) -> pd.DataFrame:
     (KeynessScorer.java:77-122), top 30."""
     from ..ops.analytics import keyness_chi2, term_stats_ds
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, ["text", "lang"])
     focus = term_stats_ds(docs.filter(expr=f"lang == '{KEYNESS_FOCUS_LANG}'")).to_pandas()
     other = term_stats_ds(docs.filter(expr=f"lang != '{KEYNESS_FOCUS_LANG}'")).to_pandas()
     merged = focus.merge(other, on="term", how="outer", suffixes=("_f", "_o")).fillna(0)
@@ -1310,7 +1313,7 @@ def q_keyness_g2(sf_dir: str) -> pd.DataFrame:
     from ..ops.analytics import keyness_g2, term_stats_ds
     from ..ops.textstats import round_half_away
 
-    docs = _docs(sf_dir)
+    docs = _docs(sf_dir, ["text", "lang"])
     focus = term_stats_ds(docs.filter(expr=f"lang == '{KEYNESS_FOCUS_LANG}'")).to_pandas()
     other = term_stats_ds(docs.filter(expr=f"lang != '{KEYNESS_FOCUS_LANG}'")).to_pandas()
     merged = focus.merge(other, on="term", how="outer", suffixes=("_f", "_o")).fillna(0)
@@ -1450,7 +1453,7 @@ def q_clades(sf_dir: str) -> pd.DataFrame:
     conventions are not SQL-expressible)."""
     from ..ops.clades import contingency, correspondence_coords
 
-    ds = _docs(sf_dir)
+    ds = _docs(sf_dir, ["text", "source"])
     cont = contingency(ds, "source")
     terms_df, cats_df = correspondence_coords(cont, top_terms=30)
     terms_df["kind"] = "term"
@@ -1681,7 +1684,8 @@ def q_contrastive_terms(sf_dir: str) -> pd.DataFrame:
     from ..ops.analytics import contrastive_terms
     from ..ops.textstats import round_half_away
 
-    df = contrastive_terms(_docs(sf_dir), "lang", KEYNESS_FOCUS_LANG, k=20)
+    df = contrastive_terms(_docs(sf_dir, ["text", "lang"]), "lang",
+                           KEYNESS_FOCUS_LANG, k=20)
     df["score"] = round_half_away(df["score"].to_numpy())
     return df.reset_index(drop=True)
 
