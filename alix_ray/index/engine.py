@@ -153,6 +153,12 @@ class PostingStore:
     ``SURVEY.md §1.3``; this is the Parquet equivalent.)"""
 
     _RG_CACHE_MAX = 32
+    # decoded-shard memo cap (terms).  Without it a full-vocabulary
+    # sweep (theme_terms) left every term's decoded postings resident —
+    # the replica ended up holding the whole decoded index, defeating
+    # the "resident memory ∝ touched vocabulary" property.  True LRU:
+    # hits re-insert at the tail.
+    _SHARDS_CACHE_MAX = 4096
     _COLS = ["term", "df", "docs", "tfs", "block_last",
              "block_off_docs", "block_off_tfs", "block_max"]
 
@@ -175,6 +181,7 @@ class PostingStore:
                     self.files.append(os.path.join(d, f))
                     scales.append(float(scale))
         self._file_scale = scales
+        self.total_bytes = sum(os.path.getsize(f) for f in self.files)
         self._pf = [pq.ParquetFile(f) for f in self.files]
         # term → list[(file_idx, row_group, row_in_group)]
         self.locs: dict[str, list[tuple[int, int, int]]] = {}
@@ -206,7 +213,7 @@ class PostingStore:
         return hit
 
     def __getitem__(self, term: str) -> list:
-        shards = self._shards.get(term)
+        shards = self._shards.pop(term, None)
         if shards is None:
             shards = []
             for fi, rg, row in self.locs[term]:
@@ -220,7 +227,9 @@ class PostingStore:
                     s.block_max = np.minimum(s.block_max * scale, 1.0)
                 shards.append(s)
             shards.sort(key=lambda s: s.first_doc())
-            self._shards[term] = shards
+            if len(self._shards) >= self._SHARDS_CACHE_MAX:
+                self._shards.pop(next(iter(self._shards)))
+        self._shards[term] = shards  # (re)insert at tail: true LRU
         return shards
 
     def items(self):
@@ -526,6 +535,54 @@ class _DocField:
         return self.store.gather(idx, self.kind)
 
 
+_THEME_AGG_COLS = ("df", "fdf", "acc", "oacc", "ftf", "otf",
+                   "f_tlogt", "f_tlogdl", "o_tlogt", "o_tlogdl")
+
+
+class _ThemePartial:
+    """Actor-pool stage for the distributed theme-terms sweep: per
+    postings row (one term × doc-range shard) decode the (doc, tf)
+    blobs and emit the 10 per-term part aggregates every contrastive
+    mode needs.  The lazy shard-sliced :class:`DocStatsStore` opens
+    ONCE per actor (norms/dl load per touched doc shard); the packed
+    focus mask is fetched from the object store once per actor."""
+
+    def __init__(self, doc_stats_dirs, shard_range, k1, b, avgdl,
+                 mask_ref, n_docs):
+        import ray
+
+        store = DocStatsStore(doc_stats_dirs, shard_range, k1, b, avgdl)
+        self.doc_tokens = _DocField(store, 0)
+        self.norms = _DocField(store, 1)
+        self.k1 = k1
+        self.mask = np.unpackbits(ray.get(mask_ref))[:n_docs].astype(bool)
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        n = len(batch)
+        out = {c: np.empty(n, np.float64) for c in _THEME_AGG_COLS}
+        docs_col, tfs_col = batch["docs"], batch["tfs"]
+        for i in range(n):
+            d, tf = decode_posting(docs_col[i].as_py(), tfs_col[i].as_py())
+            tf = tf.astype(np.float64)
+            tfpart = tf * (self.k1 + 1.0) / (tf + self.norms[d])
+            m = self.mask[d]
+            logtf = np.log(tf)
+            logdl = np.log(self.doc_tokens[d].astype(np.float64))
+            out["df"][i] = len(d)
+            out["fdf"][i] = m.sum()
+            out["acc"][i] = tfpart[m].sum()
+            out["oacc"][i] = tfpart[~m].sum()
+            out["ftf"][i] = tf[m].sum()
+            out["otf"][i] = tf[~m].sum()
+            out["f_tlogt"][i] = (tf[m] * logtf[m]).sum()
+            out["f_tlogdl"][i] = (tf[m] * logdl[m]).sum()
+            out["o_tlogt"][i] = (tf[~m] * logtf[~m]).sum()
+            out["o_tlogdl"][i] = (tf[~m] * logdl[~m]).sum()
+        cols = {"term": batch["term"]}
+        cols.update({c: pa.array(v) for c, v in out.items()})
+        return pa.table(cols)
+
+
 class TermLexicon:
     """Sorted term dictionary over an Arrow ``large_string`` column —
     binary-search lookups against the Arrow buffers, no per-term Python
@@ -706,6 +763,12 @@ class _Cursor:
 class BM25Index:
     """In-memory handle over the index artifacts in ``out_dir``."""
 
+    _CONTRIB_CACHE_MAX = 4096  # terms; (d, c) arrays ∝ df each
+    _TOPK_CACHE_MAX = 8192     # (term, k) result lists, O(k) each
+    # above this postings size, theme_terms routes through the
+    # distributed Ray job instead of streaming the artifact in-process
+    THEME_DISTRIBUTED_MIN_BYTES = 256 << 20
+
     def __init__(self, out_dir: str):
         self.dir = out_dir
         # generational (incremental) index: generations.json lists the
@@ -789,6 +852,9 @@ class BM25Index:
             for g, c in zip(self.gen_dirs, cfgs)
         ])
         self._analyzer = None
+        # result caches are true-LRU-bounded (hits re-insert at the
+        # tail): a long-running replica serving a wide query mix must
+        # not accumulate O(touched vocabulary) float arrays forever
         self._contrib_cache: dict = {}
         self._topk_cache: dict = {}
         # captured at open for reopen_if_changed (snapshot identity)
@@ -872,8 +938,9 @@ class BM25Index:
         """(doc_ids, contributions) for a term — memoized for bm25 (the
         index is immutable; hot Zipf-head terms re-appear constantly)."""
         if scorer == "bm25":
-            hit = self._contrib_cache.get(term)
+            hit = self._contrib_cache.pop(term, None)
             if hit is not None:
+                self._contrib_cache[term] = hit  # refresh LRU position
                 return hit
         ds_list, cs_list = [], []
         for shard in self.postings[term]:
@@ -893,6 +960,8 @@ class BM25Index:
             d = np.concatenate(ds_list)
             c = np.concatenate(cs_list)
         if scorer == "bm25":
+            if len(self._contrib_cache) >= self._CONTRIB_CACHE_MAX:
+                self._contrib_cache.pop(next(iter(self._contrib_cache)))
             self._contrib_cache[term] = (d, c)
         return d, c
 
@@ -905,8 +974,9 @@ class BM25Index:
         head-term span query no longer pays two full postings decodes
         just to score O(k) survivors.  Uses the memoized full
         contributions when a previous query already paid for them."""
-        hit = self._contrib_cache.get(term)
+        hit = self._contrib_cache.pop(term, None)
         if hit is not None:
+            self._contrib_cache[term] = hit  # refresh LRU position
             d, c = hit
             return c[np.searchsorted(d, cand)]
         tf = np.zeros(len(cand), np.int64)
@@ -1065,8 +1135,9 @@ class BM25Index:
             # replica caches single-term top-k like any result cache.
             term = qs[0]
             ck = (term, k)
-            hit = self._topk_cache.get(ck)
+            hit = self._topk_cache.pop(ck, None)
             if hit is not None:
+                self._topk_cache[ck] = hit  # refresh LRU position
                 return list(hit)
             d, c = self._term_contrib(term, "bm25")
             k2 = min(k, len(d))
@@ -1078,7 +1149,7 @@ class BM25Index:
                 cand = np.arange(len(d))
             order = cand[np.lexsort((d[cand], -c[cand]))][:k2]
             out = [(int(d[i]), float(c[i])) for i in order]
-            if len(self._topk_cache) >= 4096:
+            if len(self._topk_cache) >= self._TOPK_CACHE_MAX:
                 self._topk_cache.pop(next(iter(self._topk_cache)))
             self._topk_cache[ck] = tuple(out)
             return out
@@ -1299,15 +1370,63 @@ class BM25Index:
             "focus_docs": float(focus_mask.sum()),
             "focus_tokens": float(self.doc_tokens[focus_mask].sum()),
         }
+        self._theme_cache_put(key, stats)
+        return stats
+
+    def _theme_cache_put(self, key, stats) -> None:
         if not hasattr(self, "_theme_cache"):
             self._theme_cache = {}
         if len(self._theme_cache) >= 4:
             self._theme_cache.pop(next(iter(self._theme_cache)))
         self._theme_cache[key] = stats
+
+    def _theme_stats_ray(self, focus_mask: np.ndarray) -> dict:
+        """The distributed form of :meth:`_theme_stats`: a term_stats-
+        style Ray job over the postings artifact (map_batches decode →
+        ``groupby(term).sum``), so a theme sweep over a corpus whose
+        postings don't fit one process never streams the whole artifact
+        through the replica.  Each actor opens the lazy shard-sliced
+        DocStatsStore once and reads the packed focus mask from the
+        object store once; the shuffle moves one 11-column float row
+        per (term, shard), never a posting.  Same formulas as the
+        in-process pass — per-term sums differ only in float grouping
+        (per-shard partials vs one concatenated array), which agrees
+        at the oracle's round-6 tolerance."""
+        key = (focus_mask.tobytes(), len(focus_mask), "ray")
+        hit = getattr(self, "_theme_cache", {}).get(key)
+        if hit is not None:
+            return hit
+        import ray
+        import ray.data
+
+        mask_ref = ray.put(np.packbits(focus_mask))
+        cols = list(_THEME_AGG_COLS)
+        agg = (
+            ray.data.read_parquet(self.postings.files,
+                                  columns=["term", "docs", "tfs"])
+            .map_batches(
+                _ThemePartial,
+                fn_constructor_args=(
+                    [resolve_stage(g, "doc_stats") for g in self.gen_dirs],
+                    self.docstats.shard_range, self.k1, self.b,
+                    self.avgdl, mask_ref, len(focus_mask)),
+                batch_format="pyarrow", concurrency=(1, 8))
+            .groupby("term").sum(cols)
+            .to_pandas()
+        )
+        stats = {"terms": agg["term"].to_numpy(object)}
+        for c in cols:
+            stats[c] = agg[f"sum({c})"].to_numpy(np.float64)
+        stats["cf"] = np.array(
+            [float(self.cf[t]) for t in stats["terms"]], np.float64)
+        stats["focus_docs"] = float(focus_mask.sum())
+        stats["focus_tokens"] = float(self.doc_tokens[focus_mask].sum())
+        self._theme_cache_put(key, stats)
         return stats
 
     def theme_terms(self, focus_mask: np.ndarray, k: int = 20,
-                    mode: str = "BM25", min_focus_df: int = 1):
+                    mode: str = "BM25", min_focus_df: int = 1,
+                    distributed: bool | None = None):
         """Rank vocabulary terms against a focus doc set — vectorized.
 
         Reference: ``IdfTermScorer.BM25.termScore()``
@@ -1325,8 +1444,19 @@ class BM25Index:
           (IdfTermScorer.java:385-520)
 
         Returns top-k ``(term, score)``, score desc / term asc.
+
+        ``distributed=None`` auto-routes: above
+        ``THEME_DISTRIBUTED_MIN_BYTES`` of postings the per-term stats
+        come from the Ray job (:meth:`_theme_stats_ray`) instead of the
+        in-process artifact stream — both paths are oracle-green and
+        agree at round-6 (asserted by test).
         """
-        st = self._theme_stats(np.asarray(focus_mask, bool))
+        fm = np.asarray(focus_mask, bool)
+        if distributed is None:
+            distributed = (self.postings.total_bytes
+                           > self.THEME_DISTRIBUTED_MIN_BYTES)
+        st = self._theme_stats_ray(fm) if distributed \
+            else self._theme_stats(fm)
         keep = st["fdf"] >= min_focus_df
         N = float(self.n_docs)
         df, fdf = st["df"], st["fdf"]

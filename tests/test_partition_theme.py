@@ -74,6 +74,44 @@ class TestThemeTerms:
         mask = np.zeros(20, bool)
         mask[:10] = True
         assert ix.theme_terms(mask, k=5) == ix.theme_terms(mask, k=5)
+    @pytest.mark.parametrize("mode", ["BM25", "MINUS", "WEIGHTED", "IRDF",
+                                      "RSJ", "FACTOR", "DKL"])
+    def test_distributed_path_matches(self, ix, mode):
+        """theme_terms(distributed=True) — the term_stats-style Ray job
+        over the postings artifact — must agree with the in-process
+        stream at the oracle's round-6 tolerance, every mode."""
+        mask = np.zeros(20, bool)
+        mask[:10] = True
+        a = ix.theme_terms(mask, k=8, mode=mode, distributed=False)
+        b = ix.theme_terms(mask, k=8, mode=mode, distributed=True)
+        assert [t for t, _ in a] == [t for t, _ in b]
+        np.testing.assert_allclose([s for _, s in a], [s for _, s in b],
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_theme_sweep_caches_stay_bounded(self, ix):
+        """A full-vocabulary theme sweep must not pin the decoded index
+        in replica memory: the shard memo evicts at its LRU cap, and
+        the contrib cache is likewise bounded."""
+        ix.postings._SHARDS_CACHE_MAX = 8
+        ix.postings._shards.clear()
+        mask = np.zeros(20, bool)
+        mask[5:12] = True  # distinct mask → no _theme_cache hit
+        ix.theme_terms(mask, k=5, distributed=False)
+        assert len(ix.postings.locs) > 8  # sweep touched > cap terms
+        assert len(ix.postings._shards) <= 8
+        # decoded arrays on evicted shards are garbage — only the
+        # cached tail may hold them
+        ix._CONTRIB_CACHE_MAX = 3
+        ix._contrib_cache.clear()
+        for t in list(ix.postings.locs)[:10]:
+            ix._term_contrib(t, "bm25")
+        assert len(ix._contrib_cache) <= 3
+        # hot entry survives: re-touch keeps it at the LRU tail
+        hot = next(iter(ix._contrib_cache))
+        ix._term_contrib(hot, "bm25")
+        ix._term_contrib(list(ix.postings.locs)[11], "bm25")
+        assert hot in ix._contrib_cache
+
     def test_dkl_requires_both_parts(self, ix):
         # DklContrast returns NaN (→ excluded) for terms absent from
         # either part (IdfTermScorer.java termScore guards) — the
