@@ -598,13 +598,27 @@ class IndexWriter:
         # fingerprint: the source generation list + tombstone count —
         # a crashed merge resumes stage-by-stage under the same fp
         fp = "merge:" + ",".join(gens) + f":{len(deleted)}"
+        docs_dirs = [resolve_stage(self._gen_dir(g), "docs")
+                     for g in gens]
+        an_dirs = [resolve_stage(self._gen_dir(g), "analyzed")
+                   for g in gens]
+        # small LIVE set → the single-pass flush rebuild (two raw task
+        # waves; skips the 5-stage pipeline's ~4 s fixed overhead).
+        # live count is exact: every tombstone targets one live doc in
+        # these generations (validated at delete/update time).
+        live = sum(c["n_docs"] for c in cfgs) - int(len(deleted))
+        from ..stages.smallbuild import SMALL_COMPACT_MAX_ROWS, \
+            try_compact_small
+
+        if live <= SMALL_COMPACT_MAX_ROWS:
+            if try_compact_small(b, _parquet_files(docs_dirs),
+                                 _parquet_files(an_dirs), deleted, fp):
+                return name
         del_ref = ray.put(deleted)
         drop = _drop_deleted_fn(del_ref)
-        docs_dirs = [resolve_stage(self._gen_dir(g), "docs") for g in gens]
         docs = ray.data.read_parquet(_parquet_files(docs_dirs)).map_batches(
             drop, batch_format="pyarrow")
         b.build_docs_from_documents(docs, fp)
-        an_dirs = [resolve_stage(self._gen_dir(g), "analyzed") for g in gens]
         analyzed = ray.data.read_parquet(_parquet_files(an_dirs)).map_batches(
             drop, batch_format="pyarrow")
         b.seed_analyzed(analyzed, fp)

@@ -66,6 +66,12 @@ from .postings import SegmentEncode, _empty_segment_table, make_merge_fn
 # payload in the object store and <100 MB of driver-held segments.
 SMALL_BUILD_MAX_ROWS = 200_000
 
+# The flush COMPACT path holds strictly less driver state than the
+# flush add path (no url→id dictionary — ids are preserved; the driver
+# holds only the concatenated segment partials, ~400 B/doc), so its
+# row gate is looser.  ~400k docs ≈ <200 MB of driver-held segments.
+SMALL_COMPACT_MAX_ROWS = 2 * SMALL_BUILD_MAX_ROWS
+
 _ANALYZED_COLS = ("terms", "tfs", "width", "tokens", "pos_terms",
                   "positions")
 
@@ -331,6 +337,19 @@ def try_build_small(b, pages, fingerprint: str,
     seg_tables = [t for t in seg_tables if "term" in t.schema.names]
     segments = (pa.concat_tables(seg_tables) if seg_tables
                 else _empty_segment_table())
+    _assemble(b, segments, fp_docs, fp_analyzed, fp_stats, fp_postings,
+              fp_term, an_tmp, stats_tmp, t_docs)
+    return True, pages
+
+
+def _assemble(b, segments: pa.Table, fp_docs: str, fp_analyzed: str,
+              fp_stats: str, fp_postings: str, fp_term: str,
+              an_tmp: str, stats_tmp: str, t_docs: float) -> None:
+    """Driver-side tail shared by the flush ADD path and the flush
+    COMPACT path: config sums re-read from the just-written doc_stats,
+    stage commits + lineage, the (bucket, shard) merge wave, and the
+    term_stats lexicon."""
+    from .build import _fingerprint
 
     # ---- config sums: re-read the two slim doc_stats columns the
     # task waves just wrote (bounded by the row gate; schema-metadata
@@ -442,4 +461,110 @@ def try_build_small(b, pages, fingerprint: str,
     ts_final = b.store.stage_commit("term_stats", fp_term)
     b.manifest.record_partitions("term_stats", ts_final, fp_term,
                                  int((time.time() - t0) * 1000))
-    return True, pages
+
+
+# ---------------------------------------------------------------------
+# flush-path compact / merge (small LIVE sets)
+# ---------------------------------------------------------------------
+
+
+def _drop_rows(t: pa.Table, deleted: np.ndarray) -> pa.Table:
+    """Tombstone filter over a sorted id array (the incremental
+    writer's drop-kernel shape)."""
+    if not len(deleted) or not t.num_rows:
+        return t
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(deleted, ids)
+    pos[pos == len(deleted)] = 0
+    return t.filter(pa.array(deleted[pos] != ids))
+
+
+@ray.remote
+def _compact_an_block(an_file: str, deleted: np.ndarray, an_gtmp: str,
+                      stats_tmp: str, shard_range: int,
+                      num_buckets: int) -> pa.Table:
+    """Compact-wave worker: filter tombstones out of ONE existing
+    analyzed file, write it (plus its doc_stats shard slices) into the
+    new generation, and return its inverted segment.  Analysis never
+    re-runs and doc ids are preserved — the ``_rebuild_from``
+    contract.  File names keyed by block min doc id stay unique: every
+    doc id lives in exactly one source file across generations."""
+    t = _drop_rows(pq.read_table(an_file), deleted)
+    if t.num_rows == 0:
+        return _empty_segment_table()
+    key = f"d{int(pc.min(t['doc_id']).as_py()):012d}"
+    pq.write_table(t, os.path.join(an_gtmp, f"{key}.parquet"))
+    stats = t.select(["doc_id", "width", "tokens"])
+    shards = (stats["doc_id"].to_numpy(zero_copy_only=False)
+              // shard_range).astype(np.int32)
+    for s in np.unique(shards):
+        sdir = os.path.join(stats_tmp, f"shard={int(s)}")
+        os.makedirs(sdir, exist_ok=True)
+        pq.write_table(stats.filter(pa.array(shards == s)),
+                       os.path.join(sdir, f"{key}.parquet"))
+    return SegmentEncode(shard_range, num_buckets)(t)
+
+
+@ray.remote
+def _compact_docs_block(docs_file: str, deleted: np.ndarray,
+                        docs_tmp: str, rows_per_file: int) -> None:
+    t = _drop_rows(pq.read_table(docs_file), deleted)
+    if t.num_rows == 0:
+        return
+    key = f"d{int(pc.min(t['doc_id']).as_py()):012d}"
+    for j, s in enumerate(range(0, t.num_rows, rows_per_file)):
+        pq.write_table(t.slice(s, rows_per_file),
+                       os.path.join(docs_tmp, f"{key}-{j:04d}.parquet"))
+
+
+def try_compact_small(b, docs_files: list[str], an_files: list[str],
+                      deleted: np.ndarray, fingerprint: str) -> bool:
+    """Flush-path compact/merge: when the LIVE doc set is small, the
+    staged five-stage rebuild pays the same ~4 s of fixed overhead the
+    flush ADD path removed — so run the whole rebuild as two raw task
+    waves (tombstone-filter + write + encode per source file, then the
+    shared merge wave / driver assembly).  The caller gates on live
+    rows ≤ ``SMALL_BUILD_MAX_ROWS``; artifacts publish under the SAME
+    chained fingerprints as the staged ``_rebuild_from``, so resume
+    and serving read the two paths interchangeably.  Returns True if
+    it built (False routes the caller to the staged path)."""
+    from .build import _fingerprint, verify_shared_fs
+
+    if getattr(b.store, "fs", None) is not None or \
+            b.hunspell_resources is not None:
+        return False
+    fp_docs = (_fingerprint("docs", fingerprint, b.id_base)
+               if b.id_base else _fingerprint("docs", fingerprint))
+    fp_analyzed = _fingerprint("analyzed", fp_docs, b.analyzer,
+                               b.keep_positions)
+    fp_stats = _fingerprint("doc_stats", fp_analyzed, b.shard_range)
+    fp_postings = _fingerprint("postings", fp_stats, b.shard_range,
+                               b.num_buckets)
+    fp_term = _fingerprint("term_stats", fp_postings)
+    if any(b.manifest.stage_done(s, f) for s, f in (
+            ("docs", fp_docs), ("analyzed", fp_analyzed),
+            ("doc_stats", fp_stats), ("postings", fp_postings),
+            ("term_stats", fp_term))):
+        return False  # partial staged attempt: resume through staged
+    verify_shared_fs(b.out_dir)
+
+    t_docs = time.time()
+    docs_tmp = b.store.stage_begin("docs", fp_docs, clear=True)
+    an_tmp = b.store.stage_begin("analyzed", fp_analyzed, clear=True)
+    an_gtmp = b.store.part_begin(an_tmp, "g00000")
+    stats_tmp = b.store.stage_begin("doc_stats", fp_stats, clear=True)
+    del_ref = ray.put(np.asarray(deleted, np.int64))
+    seg_refs = [_compact_an_block.remote(f, del_ref, an_gtmp, stats_tmp,
+                                         b.shard_range, b.num_buckets)
+                for f in an_files]
+    docs_refs = [_compact_docs_block.remote(f, del_ref, docs_tmp,
+                                            b.docs_rows_per_file)
+                 for f in docs_files]
+    seg_tables = [t for t in ray.get(seg_refs)
+                  if "term" in t.schema.names]
+    ray.get(docs_refs)
+    segments = (pa.concat_tables(seg_tables) if seg_tables
+                else _empty_segment_table())
+    _assemble(b, segments, fp_docs, fp_analyzed, fp_stats, fp_postings,
+              fp_term, an_tmp, stats_tmp, t_docs)
+    return True
