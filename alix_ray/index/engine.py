@@ -1559,19 +1559,55 @@ class BM25Index:
             return self.search_wand(terms, k)
         return self.search_block_window(terms, k)
 
-    def warm(self, top_n: int = 512) -> int:
+    def warm(self, top_n: int = 512,
+             span_terms: int | None = None) -> int:
         """Preload the postings of the ``top_n`` highest-cf terms (the
         Zipf head that dominates real query mixes) into the lazy store
         — bounds cold-read tail latency after open for a serving
         replica without materializing the index.  Returns the number
-        of terms loaded."""
+        of terms loaded.
+
+        ``span_terms`` additionally warms the SPAN-serving state for
+        that many hottest terms: their postings fully decode (+ BM25
+        contributions memoize) and the rail's membership-probe doc_id
+        columns prefetch — exactly the state the first hot span-query
+        mix would build anyway (a hot∧hot conjunction block-decodes
+        both Zipf-head postings on first touch; measured 1.3 s for the
+        first query at 240k docs), so warming moves that cost to open
+        time without raising steady-state memory.  ``None``
+        auto-selects 16 when the index stores positions, 0 otherwise;
+        each decoded Zipf-head posting is O(df) ints — at extreme
+        corpus sizes set it to what the replica heap affords."""
         hot = self.cf.top(top_n)
         n = 0
         for t in hot:
             if t in self.postings:
                 self.postings[t]
                 n += 1
+        if span_terms is None:
+            span_terms = 16 if self._has_positions() else 0
+        if span_terms:
+            rail = self.rail()
+            for _mn, _mx, fi, rg in rail._spans:
+                rail._docs_of(fi, rg)  # 8 B/doc probe columns, own LRU
+            for t in hot[:span_terms]:
+                if t in self.postings:
+                    for s in self.postings[t]:
+                        s.decode()
+                    self._term_contrib(t, "bm25")
         return n
+
+    def _has_positions(self) -> bool:
+        """Whether the analyzed artifact carries the positions rail
+        (``keep_positions=True`` build) — probed from the first
+        analyzed file's schema, never by reading data."""
+        try:
+            files = _walk_parquet(
+                resolve_stage(self.gen_dirs[0], "analyzed"))
+            return "positions" in pq.ParquetFile(
+                sorted(files)[0]).schema_arrow.names
+        except Exception:
+            return False
 
     def suggest_frame(self):
         """Folded (term, cf) frame for prefix/infix suggestion — built

@@ -185,6 +185,13 @@ def run_bench() -> dict:
              input_kind="pages", fingerprint=f"benchspan{n_pages}")
     span_build_sec = time.time() - t0
     ix_span = _B(span_dir)
+    # serving protocol: warm() also pre-decodes the hottest postings +
+    # rail probe columns (span_terms auto), so the "cold" battery
+    # measures first-touch latency AFTER the replica's open-time warm —
+    # what a user actually sees.  Warm wall reported separately.
+    t0 = time.time()
+    ix_span.warm()
+    stage_secs["span_warm"] = round(time.time() - t0, 3)
     by_cf = sorted(ix_span.cf, key=lambda t: -ix_span.cf[t])
     pairs = [(by_cf[i % 8], by_cf[(i + 1) % 8]) for i in range(20)]
     lat_span_cold = []

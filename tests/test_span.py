@@ -65,6 +65,25 @@ class TestSpanSearch:
         scores = [s for _, s in res]
         assert scores == sorted(scores, reverse=True)
 
+    def test_warm_predecode_identical_results(self, span_index):
+        """warm(span_terms=N) pre-decodes the hot postings + rail probe
+        columns; a warmed engine returns identical span results and
+        actually holds the warmed state (decoded shards, memoized
+        contribs, probe columns)."""
+        from alix_ray.index.engine import BM25Index
+
+        cold = span_index.search_span(["chat", "noir"], slop=10)
+        ix = BM25Index(span_index.dir)
+        assert ix._has_positions()
+        ix.warm(span_terms=4)
+        hot = ix.cf.top(4)
+        assert any(s._decoded is not None
+                   for t in hot if t in ix.postings
+                   for s in ix.postings[t])
+        assert any(t in ix._contrib_cache for t in hot)
+        assert len(ix.rail()._docs_cache) > 0
+        assert ix.search_span(["chat", "noir"], slop=10) == cold
+
     def test_candidate_scoring_never_full_decodes(self, ray_session,
                                                   tmp_path_factory):
         """r3-verdict directive 3: scoring span candidates must decode
