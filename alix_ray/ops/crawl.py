@@ -47,7 +47,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .dedup import _num_parts, _partition_key, _token_hashes, md5_lower64
+from .dedup import (_mix64, _num_parts, _partition_key, _token_hashes,
+                    md5_lower64)
 
 
 def _hash_fn(hash: str):
@@ -301,6 +302,78 @@ def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
         ["domain", "ub"]).map_groups(bucket_fold, batch_format="pandas")
     return lvl1.groupby("domain").map_groups(
         domain_fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# anchor-text aggregation
+# ---------------------------------------------------------------------
+
+
+def anchor_terms(links: ray.data.Dataset, k: int = 5,
+                 dst_col: str = "dst",
+                 anchor_col: str = "anchor") -> ray.data.Dataset:
+    """Per-target top-k anchor terms from the inlink anchor texts —
+    the classic web-index ranking signal (anchor text describes the
+    TARGET page better than its own body; Brin & Page 1998 §2.2 use it
+    as a dedicated index field).  Output: ``(dst, term, n)`` rows, the
+    top-k terms per target under the (count desc, term asc) tie rule.
+
+    Scale shape (three levels, nothing ∝ inlinks ever groups):
+    each batch tokenizes its anchors vectorized (the SimpleAnalyzer
+    ``[a-z0-9]+`` arrow kernel — SQL-mirrorable) and pre-aggregates
+    (dst, term) counts with an in-batch arrow ``group_by``
+    (combine-before-shuffle: one slim row per distinct (dst, term) per
+    batch leaves the task, never a row per token); level 1 groups by a
+    coarse partition of hash(dst, term) — disjoint keys, so per-pair
+    sums are global — and level 2 groups by a coarse partition of
+    hash(dst) to take the vectorized per-target top-k.  A Zipf-head
+    target (half the web links to one homepage) reaches level 2 as one
+    row per distinct anchor term, bounded by vocabulary, not by its
+    10^9 inlinks."""
+    from ..analysis import SimpleAnalyzer
+
+    pk_parts = _num_parts()
+    _EMPTY = pa.schema([(dst_col, pa.int64()), ("term", pa.string()),
+                        ("n", pa.int64()), ("pk1", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY.empty_table()
+        lists = SimpleAnalyzer.tokens_arrays(batch[anchor_col])
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(lens)), lens)
+        t = pa.table({
+            dst_col: pc.cast(batch[dst_col], pa.int64()).take(
+                pa.array(owner)),
+            "term": lists.flatten(),
+        })
+        g = t.group_by([dst_col, "term"]).aggregate([("term", "count")])
+        dsts = g[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th = _token_hashes(g["term"].to_pylist())
+        pk1 = _partition_key(_mix64(th ^ dsts.view(np.uint64)), pk_parts)
+        return pa.table({
+            dst_col: pa.array(dsts),
+            "term": pc.cast(g["term"], pa.string()),
+            "n": pc.cast(g["term_count"], pa.int64()),
+            "pk1": pa.array(pk1),
+        })
+
+    def fold_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([dst_col, "term"], as_index=False)["n"].sum()
+        h = out[dst_col].to_numpy(np.int64).astype(np.uint64)
+        out["pk2"] = _partition_key(h, pk_parts)
+        return out[[dst_col, "term", "n", "pk2"]]
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values([dst_col, "n", "term"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+               .groupby(dst_col, as_index=False).head(k))
+        return out[[dst_col, "term", "n"]]
+
+    return (links.map_batches(partial, batch_format="pyarrow")
+            .groupby("pk1").map_groups(fold_pairs, batch_format="pandas")
+            .groupby("pk2").map_groups(topk, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------

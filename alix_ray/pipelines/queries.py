@@ -3136,7 +3136,7 @@ ORACLES.update({"quantiles_by_source": SQL_QUANTILES_BY_SOURCE})
 # ---------------------------------------------------------------------
 
 
-def q_crawl_diff(sf_dir: str) -> pd.DataFrame:
+def q_crawl_diff(sf_dir: str, hash: str = "md5") -> pd.DataFrame:
     """Two deterministic snapshot views of the documents table (old =
     doc_id%3≠0, new = doc_id%5≠0 with every %7==0 text edited) diffed
     into new/deleted/changed/same per url key (ops/crawl.py:
@@ -3163,7 +3163,7 @@ def q_crawl_diff(sf_dir: str) -> pd.DataFrame:
                                 "text", pa.array(out, pa.string()))
 
     new = docs.map_batches(edit, batch_format="pyarrow")
-    df = snapshot_diff(old, new).to_pandas()
+    df = snapshot_diff(old, new, hash=hash).to_pandas()
     df["doc_id"] = df["doc_id"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -3388,3 +3388,78 @@ def q_pagerank_dist(sf_dir: str) -> pd.DataFrame:
 
 QUERIES.update({"pagerank_dist": q_pagerank_dist})
 ORACLES.update({"pagerank_dist": _sql_pagerank()})
+
+
+# ---------------------------------------------------------------------
+# anchor-text aggregation — full oracle
+# ---------------------------------------------------------------------
+
+ANCHOR_TOP_K = 3
+ANCHOR_CHARS = 40
+
+
+def q_anchor_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-target top-k anchor terms over the deterministic pagerank
+    link graph (src=doc_id → (7·id+1)%N and (13·id+3)%N), each link's
+    anchor = the first 40 chars of the SOURCE page's text
+    (ops/crawl.py:anchor_terms — combine-before-shuffle partials, two
+    slim exchanges, per-target rows bounded by anchor vocabulary)."""
+    from ..ops.crawl import anchor_terms
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    n = docs.count()
+
+    def mk_links(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        anchor = pc.utf8_slice_codeunits(
+            pc.cast(batch["text"], pa.string()), 0, ANCHOR_CHARS)
+        return pa.table({
+            "dst": pa.array(np.concatenate(
+                [(ids * 7 + 1) % n, (ids * 13 + 3) % n])),
+            "anchor": pa.concat_arrays(
+                [anchor.combine_chunks()] * 2),
+        })
+
+    links = docs.map_batches(mk_links, batch_format="pyarrow")
+    df = anchor_terms(links, k=ANCHOR_TOP_K).to_pandas()
+    df["dst"] = df["dst"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["dst", "n", "term"],
+                          ascending=[True, False, True]).reset_index(
+                              drop=True)
+
+
+SQL_ANCHOR_TERMS = f"""
+WITH edges AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (doc_id * 13 + 3) % (SELECT count(*) FROM documents)
+  FROM documents),
+anchors AS (
+  SELECT e.dst,
+         unnest(list_filter(regexp_split_to_array(
+             lower(substr(d.text, 1, {ANCHOR_CHARS})), '[^a-z0-9]+'),
+             x -> x <> '')) AS term
+  FROM edges e JOIN documents d ON d.doc_id = e.src),
+counts AS (
+  SELECT dst, term, count(*)::BIGINT AS n
+  FROM anchors GROUP BY dst, term),
+ranked AS (
+  SELECT dst, term, n,
+         row_number() OVER (PARTITION BY dst
+                            ORDER BY n DESC, term) AS rk
+  FROM counts)
+SELECT dst::BIGINT AS dst, term, n FROM ranked
+WHERE rk <= {ANCHOR_TOP_K}
+ORDER BY dst, n DESC, term
+"""
+
+
+QUERIES.update({"anchor_terms": q_anchor_terms})
+ORACLES.update({"anchor_terms": SQL_ANCHOR_TERMS})

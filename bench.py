@@ -242,6 +242,12 @@ def run_bench() -> dict:
                        hash="fnv").to_pandas()
     pipeline_secs["tfidf_pairs_fnv"] = round(time.time() - t0, 3)
 
+    # the crawl-diff production hash path (md5 battery entry above is
+    # the oracle-parity default; this is the vectorized fnv variant)
+    t0 = time.time()
+    q.q_crawl_diff(SF_DIR, hash="fnv")
+    pipeline_secs["crawl_diff_fnv"] = round(time.time() - t0, 3)
+
     # incremental update path: a 10% delta generation onto the built
     # index (cost must scale with the DELTA, not the corpus), then a
     # full compaction (re-merges postings/stats from the analyzed

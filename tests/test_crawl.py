@@ -172,6 +172,39 @@ class TestPagerank:
         assert a["rank"].tolist() == b["rank"].tolist()
 
 
+class TestAnchorTerms:
+    def test_counts_and_tie_rule(self, ray_session):
+        from alix_ray.ops.crawl import anchor_terms
+
+        links = _ds({
+            "dst": [1, 1, 1, 2, 2],
+            "anchor": ["Home Page!", "home sweet home", "page",
+                       "About Us", "about"]})
+        got = anchor_terms(links, k=2).to_pandas().sort_values(
+            ["dst", "n", "term"],
+            ascending=[True, False, True]).reset_index(drop=True)
+        # dst 1: home×3, page×2, sweet×1 → top-2 home/page;
+        # dst 2: about×2, us×1
+        want = pd.DataFrame({"dst": [1, 1, 2, 2],
+                             "term": ["home", "page", "about", "us"],
+                             "n": [3, 2, 2, 1]})
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_partition_independence(self, ray_session):
+        from alix_ray.ops.crawl import anchor_terms
+
+        rows = {"dst": [i % 7 for i in range(200)],
+                "anchor": [f"word{i % 11} shared tail{i % 3}"
+                           for i in range(200)]}
+        key = lambda d: d.sort_values(  # noqa: E731
+            list(d.columns)).reset_index(drop=True)
+        a = anchor_terms(_ds(rows), k=3).to_pandas()
+        b = anchor_terms(_ds(rows).repartition(9), k=3).to_pandas()
+        pd.testing.assert_frame_equal(key(a), key(b))
+        assert set(a["dst"]) == set(range(7))
+        assert (a.groupby("dst").size() <= 3).all()
+
+
 class TestReviewRegressions:
     def test_snapshot_diff_string_keys(self, ray_session):
         from alix_ray.ops.crawl import snapshot_diff
