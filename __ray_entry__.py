@@ -99,7 +99,8 @@ def entry() -> Any:
 # check).  Registration order in pipelines/queries.py is unchanged.
 _DRIVER_PRIORITY = [
     "tfidf_pairs", "kmeans", "semdedup", "pagerank_dist", "pagerank",
-    "crawl_diff", "domain_stats", "anchor_terms", "lm_perplexity",
+    "crawl_diff", "domain_stats", "anchor_terms", "hits",
+    "degree_dist", "host_graph", "lm_perplexity",
     "curate",
     "cluster_reps", "blocklist", "quantiles_by_source", "cross_dedup",
     "dsir_weights", "pack_chunks", "corpus_card", "pack_offsets",

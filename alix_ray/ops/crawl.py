@@ -685,3 +685,212 @@ def pagerank_partitioned(edges: ray.data.Dataset, n_nodes: int,
         return pa.table({"node": t["id"], "rank": t["r"]})
 
     return nodes.map_batches(out_rows, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------
+# HITS hubs / authorities
+# ---------------------------------------------------------------------
+
+
+def hits(edges: ray.data.Dataset, n_nodes: int, n_iter: int = 4,
+         src_col: str = "src", dst_col: str = "dst",
+         max_broadcast_nodes: int = 100_000_000,
+         round_decimals: int | None = 9) -> ray.data.Dataset:
+    """Fixed-iteration HITS hubs-and-authorities (Kleinberg 1999,
+    JACM 46(5)) over an edge table — the query-independent variant
+    run over the whole crawl graph, the classic complement to
+    PageRank for crawl prioritization (a good HUB is worth
+    recrawling: it points at many good authorities).
+
+    Dense node ids in ``[0, n_nodes)``.  Per iteration two edge
+    sweeps: ``auth[v] = Σ_{(u,v)} hub[u]`` then ``hub[u] =
+    Σ_{(u,v)} auth[v]``, each L1-normalized (divide by the sweep's
+    total mass) and rounded to ``round_decimals`` — the repo's
+    round-before-aggregate convention, making the result independent
+    of partition summation order and therefore exactly mirrorable by
+    chained SQL CTEs.
+
+    Scale shape: identical to :func:`pagerank`'s broadcast path —
+    the edge table stays in place (materialized once); each sweep is
+    one ``map_batches`` pass emitting SPARSE per-batch partials
+    (argsort + ``np.add.reduceat``, memory O(batch) never O(nodes)),
+    one small groupby of partials, one driver fold of the 8 B/node
+    vector, one ``ray.put`` re-broadcast.  ``max_broadcast_nodes``
+    fails fast past the broadcast bound; the beyond-broadcast
+    extension is the :func:`pagerank_partitioned` shape verbatim
+    (scores as a hash-partitioned table, two slim shuffles per
+    sweep) — not shipped separately because the exchange plan is
+    identical."""
+    from .textstats import round_half_away
+
+    if n_nodes > max_broadcast_nodes:
+        raise ValueError(
+            f"hits broadcast path holds 8 B × {n_nodes} nodes; beyond "
+            "max_broadcast_nodes shard the score vector with the "
+            "pagerank_partitioned exchange plan")
+
+    def _round(x):
+        return round_half_away(x, round_decimals) \
+            if round_decimals is not None else x
+
+    # slim projection, materialized ONCE — 2·n_iter sweeps read it
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    def _sweep(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        vec_ref = ray.put(vec)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            v = ray.get(vec_ref)
+            frm = batch[from_col].to_numpy(zero_copy_only=False)
+            to = batch[to_col].to_numpy(zero_copy_only=False)
+            w = v[frm]
+            # sparse per-batch sum: memory O(batch), never O(n_nodes)
+            order = np.argsort(to, kind="stable")
+            st, sw = to[order], w[order]
+            ids, starts = np.unique(st, return_index=True)
+            return pa.table({
+                "id": pa.array(ids.astype(np.int64)),
+                "c": pa.array(np.add.reduceat(sw, starts)
+                              if len(sw) else sw),
+            })
+
+        acc = np.zeros(n_nodes, np.float64)
+        parts = edges.map_batches(fn, batch_format="pyarrow").groupby(
+            "id").sum("c")
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            acc[b["id"].to_numpy(zero_copy_only=False)] = \
+                b["sum(c)"].to_numpy(zero_copy_only=False)
+        z = float(acc.sum())
+        if z > 0.0:
+            acc /= z
+        return _round(acc)
+
+    hub = _round(np.full(n_nodes, 1.0 / n_nodes))
+    auth = np.zeros(n_nodes, np.float64)
+    for _ in range(n_iter):
+        auth = _sweep(hub, src_col, dst_col)
+        hub = _sweep(auth, dst_col, src_col)
+
+    out = pa.table({
+        "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
+        "hub": pa.array(hub), "auth": pa.array(auth)})
+    return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------
+# degree distribution
+# ---------------------------------------------------------------------
+
+
+def degree_distribution(edges: ray.data.Dataset,
+                        src_col: str = "src",
+                        dst_col: str = "dst") -> ray.data.Dataset:
+    """Out- and in-degree distribution of the link graph: one
+    ``(direction, degree, n_nodes)`` row per observed degree value —
+    the crawl-health histogram (a healthy web graph is Zipf in both
+    directions; a scraper trap shows up as a mass spike at one
+    out-degree).  Nodes absent from a direction's endpoint column
+    don't contribute a degree-0 row (the distribution is over
+    OBSERVED endpoints, so no ``n_nodes`` contract is needed).
+
+    Scale shape: per direction, per-batch sparse endpoint-count
+    partials (one ``(id, n)`` row per distinct endpoint per batch)
+    → one groupby folding exact per-node degrees → per-batch
+    histogram partials over the degree values (one row per distinct
+    degree per batch — hundreds for a Zipf graph, never ∝ nodes)
+    → one tiny groupby.  The second exchange is O(distinct degrees);
+    only the first is O(nodes) rows, and they're 16 B each."""
+    def _one(col: str, label: str) -> ray.data.Dataset:
+        deg = edges.map_batches(
+            _deg_partial_fn(col), batch_format="pyarrow").groupby(
+                "id").sum("n")
+
+        def hist(batch: pa.Table) -> pa.Table:
+            d = batch["sum(n)"].to_numpy(zero_copy_only=False)
+            vals, cnt = np.unique(d, return_counts=True)
+            return pa.table({
+                "direction": pa.array([label] * len(vals)),
+                "degree": pa.array(vals.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            })
+
+        return deg.map_batches(hist, batch_format="pyarrow")
+
+    both = _one(src_col, "out").union(_one(dst_col, "in"))
+    folded = both.groupby(["direction", "degree"]).sum("n")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "direction": batch["direction"],
+            "degree": batch["degree"],
+            "n_nodes": batch["sum(n)"],
+        })
+
+    return folded.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# host-level link graph
+# ---------------------------------------------------------------------
+
+
+def host_link_graph(edges: ray.data.Dataset, hosts: np.ndarray,
+                    src_col: str = "src", dst_col: str = "dst",
+                    max_broadcast_nodes: int = 100_000_000
+                    ) -> ray.data.Dataset:
+    """Collapse the page-level link graph to the host (domain) level:
+    one ``(src_host, dst_host, n_links)`` row per ordered host pair —
+    the graph crawl schedulers and spam classifiers actually operate
+    on (host-level PageRank feeds politeness quotas; dense off-host
+    reciprocation is the classic link-farm signature).  Self-pairs
+    (intra-host links) are kept; callers filter.
+
+    ``hosts`` is the dense node-id → host-name array, broadcast ONCE
+    via ``ray.put`` (the repo's broadcast-dictionary-join pattern —
+    the small side ships to the object store once, not per batch).
+    Each batch maps both endpoints vectorized and pre-aggregates with
+    an in-batch arrow ``group_by`` (combine-before-shuffle: one slim
+    row per distinct host pair per batch, never per link); the single
+    exchange folds pair partials under a coarse hash(src_host,
+    dst_host) partition — disjoint keys, so per-pair sums are global.
+    Beyond ``max_broadcast_nodes`` the mapping no longer broadcasts;
+    the fallback is the :func:`pagerank_partitioned` exchange plan
+    (node→host as a hash-partitioned table, src-side then dst-side
+    join) — fail fast rather than thrash."""
+    if len(hosts) > max_broadcast_nodes:
+        raise ValueError(
+            f"host_link_graph broadcasts {len(hosts)} host names; "
+            "beyond max_broadcast_nodes route the mapping through the "
+            "pagerank_partitioned-style partitioned join instead")
+
+    pk_parts = _num_parts()
+    hosts_arr = pa.array(np.asarray(hosts, dtype=object),
+                         type=pa.string())
+    hosts_ref = ray.put(hosts_arr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = ray.get(hosts_ref)
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "src_host": h.take(pa.array(src.astype(np.int64))),
+            "dst_host": h.take(pa.array(dst.astype(np.int64))),
+        })
+        g = t.group_by(["src_host", "dst_host"]).aggregate(
+            [("src_host", "count")])
+        sh = _token_hashes(g["src_host"].to_pylist())
+        dh = _token_hashes(g["dst_host"].to_pylist())
+        pk = _partition_key(_mix64(sh ^ _mix64(dh)), pk_parts)
+        return pa.table({
+            "src_host": g["src_host"], "dst_host": g["dst_host"],
+            "n": pc.cast(g["src_host_count"], pa.int64()),
+            "pk": pa.array(pk),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src_host", "dst_host"], as_index=False)[
+            "n"].sum()
+        out = out.rename(columns={"n": "n_links"})
+        return out[["src_host", "dst_host", "n_links"]]
+
+    return (edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("pk").map_groups(fold, batch_format="pandas"))

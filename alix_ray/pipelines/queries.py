@@ -3463,3 +3463,198 @@ ORDER BY dst, n DESC, term
 
 QUERIES.update({"anchor_terms": q_anchor_terms})
 ORACLES.update({"anchor_terms": SQL_ANCHOR_TERMS})
+
+
+# ---------------------------------------------------------------------
+# HITS hubs / authorities — full oracle (chained per-sweep CTEs)
+# ---------------------------------------------------------------------
+
+HITS_ITER = 4
+
+
+def q_hits(sf_dir: str) -> pd.DataFrame:
+    """Fixed-iteration HITS hubs/authorities over a deterministic
+    NON-regular link graph (src=doc_id → (7·id+1)%N and (id²+3)%N —
+    the quadratic map is non-bijective, so in-degrees genuinely vary;
+    the pagerank graph's two linear maps are both bijections mod N,
+    which makes every centrality EXACTLY uniform and the oracle
+    non-discriminative).  Broadcast-sweep shape (ops/crawl.py:hits —
+    sparse per-batch partials, L1 normalization each sweep);
+    round-before-aggregate at 9 decimals makes the result
+    partition-order independent, mirrored exactly by the chained-CTE
+    oracle (one authority + one hub CTE pair per iteration)."""
+    from ..ops.crawl import hits
+    from ..ops.textstats import round_half_away
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids])),
+            "dst": pa.array(np.concatenate(
+                [(ids * 7 + 1) % n, (ids * ids + 3) % n])),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = hits(edges, n, n_iter=HITS_ITER).to_pandas()
+    df["hub"] = round_half_away(df["hub"].to_numpy())
+    df["auth"] = round_half_away(df["auth"].to_numpy())
+    df["node"] = df["node"].astype("int64")
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def _sql_hits() -> str:
+    head = """
+WITH edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 3) % (SELECT count(*) FROM documents) FROM documents),
+h0 AS (SELECT doc_id AS id,
+              round(1.0 / (SELECT count(*) FROM documents), 9) AS s
+       FROM documents)"""
+    # each CTE is referenced EXACTLY once downstream (the L1
+    # normalizer is a sum() OVER () window inside the same CTE, not a
+    # second scalar-subquery reference) — a prior draft referenced
+    # each level twice and DuckDB's CTE inlining made the plan grow
+    # 2^(2·iters): it hung on 600 rows
+    its = []
+    for k in range(1, HITS_ITER + 1):
+        its.append(f""",
+a{k}r AS (SELECT e.dst AS id, sum(p.s) AS s,
+                 sum(sum(p.s)) OVER () AS z
+          FROM edges e JOIN h{k - 1} p ON p.id = e.src GROUP BY e.dst),
+a{k} AS (SELECT d.doc_id AS id,
+                round(COALESCE(r.s / r.z, 0), 9) AS s
+         FROM documents d LEFT JOIN a{k}r r ON r.id = d.doc_id),
+h{k}r AS (SELECT e.src AS id, sum(p.s) AS s,
+                 sum(sum(p.s)) OVER () AS z
+          FROM edges e JOIN a{k} p ON p.id = e.dst GROUP BY e.src),
+h{k} AS (SELECT d.doc_id AS id,
+                round(COALESCE(r.s / r.z, 0), 9) AS s
+         FROM documents d LEFT JOIN h{k}r r ON r.id = d.doc_id)""")
+    return (head + "".join(its) + f"""
+SELECT h.id::BIGINT AS node, round(h.s, 6) AS hub, round(a.s, 6) AS auth
+FROM h{HITS_ITER} h JOIN a{HITS_ITER} a ON a.id = h.id
+ORDER BY node""")
+
+
+QUERIES.update({"hits": q_hits})
+ORACLES.update({"hits": _sql_hits()})
+
+
+# ---------------------------------------------------------------------
+# degree distribution — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_degree_dist(sf_dir: str) -> pd.DataFrame:
+    """Out-/in-degree histogram of the deterministic NON-regular link
+    graph (src=doc_id → (7·id+1)%N and (id²+3)%N — the quadratic map
+    gives a genuine in-degree spread; see q_hits)
+    (ops/crawl.py:degree_distribution — per-batch sparse endpoint
+    partials → exact per-node degrees → per-batch histogram partials;
+    the second exchange is O(distinct degrees), never ∝ nodes)."""
+    from ..ops.crawl import degree_distribution
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids])),
+            "dst": pa.array(np.concatenate(
+                [(ids * 7 + 1) % n, (ids * ids + 3) % n])),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = degree_distribution(edges).to_pandas()
+    df["degree"] = df["degree"].astype("int64")
+    df["n_nodes"] = df["n_nodes"].astype("int64")
+    return df.sort_values(["direction", "degree"]).reset_index(drop=True)
+
+
+SQL_DEGREE_DIST = """
+WITH edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 3) % (SELECT count(*) FROM documents) FROM documents),
+outd AS (SELECT src AS id, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+ind  AS (SELECT dst AS id, count(*)::BIGINT AS deg FROM edges GROUP BY dst),
+both_d AS (
+  SELECT 'out' AS direction, deg FROM outd
+  UNION ALL
+  SELECT 'in', deg FROM ind)
+SELECT direction, deg::BIGINT AS degree, count(*)::BIGINT AS n_nodes
+FROM both_d GROUP BY direction, deg
+ORDER BY direction, degree
+"""
+
+
+QUERIES.update({"degree_dist": q_degree_dist})
+ORACLES.update({"degree_dist": SQL_DEGREE_DIST})
+
+
+# ---------------------------------------------------------------------
+# host-level link graph — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_host_graph(sf_dir: str) -> pd.DataFrame:
+    """Collapse the deterministic page link graph to the host level
+    (host = the documents table's ``source`` column), one
+    (src_host, dst_host, n_links) row per ordered pair
+    (ops/crawl.py:host_link_graph — broadcast-dictionary join of the
+    node→host mapping, in-batch arrow group_by partials, ONE coarse
+    hash-pair exchange)."""
+    from ..ops.crawl import host_link_graph
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"])
+    mapping = docs.to_pandas()
+    n = len(mapping)
+    hosts = np.empty(n, dtype=object)
+    hosts[mapping["doc_id"].to_numpy(np.int64)] = \
+        mapping["source"].to_numpy(object)
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids])),
+            "dst": pa.array(np.concatenate(
+                [(ids * 7 + 1) % n, (ids * 13 + 3) % n])),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = host_link_graph(edges, hosts).to_pandas()
+    df["n_links"] = df["n_links"].astype("int64")
+    return df.sort_values(["src_host", "dst_host"]).reset_index(
+        drop=True)
+
+
+SQL_HOST_GRAPH = """
+WITH edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 3) % (SELECT count(*) FROM documents) FROM documents),
+hg AS (
+  SELECT ds.source AS src_host, dd.source AS dst_host
+  FROM edges e
+  JOIN documents ds ON ds.doc_id = e.src
+  JOIN documents dd ON dd.doc_id = e.dst)
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM hg GROUP BY src_host, dst_host
+ORDER BY src_host, dst_host
+"""
+
+
+QUERIES.update({"host_graph": q_host_graph})
+ORACLES.update({"host_graph": SQL_HOST_GRAPH})

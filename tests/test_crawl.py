@@ -262,3 +262,107 @@ class TestReviewRegressions:
             "n_pages": [1, 1], "n_urls": [1, 1],
             "total_chars": [2, 1]})
         pd.testing.assert_frame_equal(got, want)
+
+
+def _reference_hits(edges, n, n_iter=4, rd=9):
+    from alix_ray.ops.textstats import round_half_away
+
+    h = round_half_away(np.full(n, 1.0 / n), rd)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        np.add.at(a, edges[:, 1], h[edges[:, 0]])
+        z = a.sum()
+        a = round_half_away(a / z if z > 0 else a, rd)
+        h = np.zeros(n)
+        np.add.at(h, edges[:, 0], a[edges[:, 1]])
+        z = h.sum()
+        h = round_half_away(h / z if z > 0 else h, rd)
+    return h, a
+
+
+class TestHits:
+    def test_matches_dense_reference(self, ray_session):
+        from alix_ray.ops.crawl import hits
+
+        n = 50
+        rng = np.random.default_rng(7)
+        edges = rng.integers(0, n, (400, 2))
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = hits(ds, n).to_pandas().sort_values("node")
+        h, a = _reference_hits(edges, n)
+        np.testing.assert_allclose(got["hub"].to_numpy(), h,
+                                   rtol=0, atol=2e-9)
+        np.testing.assert_allclose(got["auth"].to_numpy(), a,
+                                   rtol=0, atol=2e-9)
+        # both vectors are L1-normalized each sweep
+        assert got["hub"].sum() == pytest.approx(1.0, abs=1e-6)
+        assert got["auth"].sum() == pytest.approx(1.0, abs=1e-6)
+
+    def test_partition_independence(self, ray_session):
+        from alix_ray.ops.crawl import hits
+
+        edges = np.array([[0, 1], [0, 2], [1, 2], [3, 2], [2, 0]])
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = hits(ds, 4).to_pandas().sort_values("node")
+        got2 = hits(ds.repartition(4), 4).to_pandas().sort_values("node")
+        assert got["hub"].tolist() == got2["hub"].tolist()
+        assert got["auth"].tolist() == got2["auth"].tolist()
+        # node 2 is the authority of this graph; node 0 the best hub
+        assert got["auth"].idxmax() == 2
+        assert got["hub"].idxmax() == 0
+
+    def test_broadcast_bound_raises(self, ray_session):
+        from alix_ray.ops.crawl import hits
+
+        with pytest.raises(ValueError):
+            hits(_ds({"src": [0], "dst": [1]}), 10,
+                 max_broadcast_nodes=5)
+
+
+class TestDegreeDistribution:
+    def test_known_graph(self, ray_session):
+        from alix_ray.ops.crawl import degree_distribution
+
+        # out-degrees: 0→2, 1→1, 3→1 ; in-degrees: 1→1, 2→3
+        edges = np.array([[0, 1], [0, 2], [1, 2], [3, 2]])
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = degree_distribution(ds).to_pandas().sort_values(
+            ["direction", "degree"]).reset_index(drop=True)
+        want = pd.DataFrame({
+            "direction": ["in", "in", "out", "out"],
+            "degree": [1, 3, 1, 2],
+            "n_nodes": [1, 1, 2, 1]})
+        pd.testing.assert_frame_equal(got, want)
+        # partial-combine correctness: tiny batches, same answer
+        got2 = degree_distribution(ds.repartition(4)).to_pandas() \
+            .sort_values(["direction", "degree"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got2, want)
+
+
+class TestHostLinkGraph:
+    def test_known_pairs(self, ray_session):
+        from alix_ray.ops.crawl import host_link_graph
+
+        hosts = np.array(["a.com", "a.com", "b.org", "c.net"],
+                         dtype=object)
+        edges = np.array([[0, 1], [0, 2], [1, 2], [3, 2], [2, 0]])
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = host_link_graph(ds, hosts).to_pandas().sort_values(
+            ["src_host", "dst_host"]).reset_index(drop=True)
+        want = pd.DataFrame({
+            "src_host": ["a.com", "a.com", "b.org", "c.net"],
+            "dst_host": ["a.com", "b.org", "a.com", "b.org"],
+            "n_links": [1, 2, 1, 1]})
+        pd.testing.assert_frame_equal(got, want)
+        got2 = host_link_graph(ds.repartition(5), hosts).to_pandas() \
+            .sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got2, want)
+
+    def test_broadcast_bound_raises(self, ray_session):
+        from alix_ray.ops.crawl import host_link_graph
+
+        with pytest.raises(ValueError):
+            host_link_graph(_ds({"src": [0], "dst": [1]}),
+                            np.array(["a", "b"], dtype=object),
+                            max_broadcast_nodes=1)
