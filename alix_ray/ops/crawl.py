@@ -894,3 +894,105 @@ def host_link_graph(edges: ray.data.Dataset, hosts: np.ndarray,
 
     return (edges.map_batches(partial, batch_format="pyarrow")
             .groupby("pk").map_groups(fold, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------
+# recrawl scheduling
+# ---------------------------------------------------------------------
+
+
+def crawl_schedule(statuses: ray.data.Dataset, ranks: np.ndarray,
+                   hosts: np.ndarray, quota: int = 10,
+                   weights: dict[str, float] | None = None,
+                   id_col: str = "doc_id", status_col: str = "status",
+                   max_broadcast_nodes: int = 100_000_000,
+                   round_decimals: int = 9) -> ray.data.Dataset:
+    """Recrawl scheduler: combine the snapshot-diff status, the page's
+    link-graph centrality and a per-host politeness quota into the
+    next crawl wave — ``priority = rank × status_weight``, top
+    ``quota`` pages per host.  This is the composition the three
+    upstream ops exist for (diff says what MIGHT need fetching,
+    centrality says what it's WORTH, the quota keeps any one host
+    polite).
+
+    ``ranks`` (float64 per dense node id) and ``hosts`` (host name per
+    node id) are broadcast ONCE via ``ray.put`` — the same
+    broadcast-dictionary-join bound as :func:`hits` /
+    :func:`host_link_graph`, fail-fast past ``max_broadcast_nodes``
+    (beyond it both become hash-partitioned tables and the assembly
+    runs as the pagerank_partitioned-style two-sided join).
+
+    Scale shape: zero-shuffle assembly (status rows map to
+    (host, id, priority) in place), then a per-batch PRE-PRUNE — each
+    batch keeps only its own per-host top-``quota`` before the
+    exchange, a valid superset of the global answer since the global
+    per-host top-k is contained in the union of per-batch top-ks — so
+    a Zipf-head host crosses the single hash(host) exchange as
+    O(quota · batches) rows, never O(pages).  Status weights default
+    to new=1.0 / changed=0.7 / same=0.1; deleted (or any weight-0
+    status) never leaves the map task."""
+    from .textstats import round_half_away
+
+    if len(hosts) > max_broadcast_nodes:
+        raise ValueError(
+            f"crawl_schedule broadcasts {len(hosts)} node mappings; "
+            "beyond max_broadcast_nodes route ranks/hosts through a "
+            "partitioned join instead")
+    weights = dict(weights) if weights is not None else \
+        {"new": 1.0, "changed": 0.7, "same": 0.1}
+
+    pk_parts = _num_parts()
+    ranks_ref = ray.put(np.asarray(ranks, np.float64))
+    hosts_ref = ray.put(pa.array(np.asarray(hosts, dtype=object),
+                                 type=pa.string()))
+    _EMPTY = pa.schema([
+        ("domain", pa.string()), (id_col, pa.int64()),
+        (status_col, pa.string()), ("priority", pa.float64()),
+        ("pk", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY.empty_table()
+        r = ray.get(ranks_ref)
+        h = ray.get(hosts_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        # vectorized status→weight: map the (tiny) dictionary, index
+        # by code — no per-row Python
+        st = pc.dictionary_encode(
+            pc.cast(batch[status_col], pa.string())).combine_chunks()
+        wmap = np.array([weights.get(v, 0.0)
+                         for v in st.dictionary.to_pylist()])
+        w = wmap[st.indices.to_numpy(zero_copy_only=False)]
+        keep = w > 0.0
+        if not keep.any():
+            return _EMPTY.empty_table()
+        ids = ids[keep]
+        pri = round_half_away(r[ids] * w[keep], round_decimals)
+        df = pd.DataFrame({
+            "domain": h.take(pa.array(ids)).to_pandas(),
+            id_col: ids,
+            status_col: pc.cast(batch[status_col], pa.string())
+            .to_pandas()[keep].to_numpy(),
+            "priority": pri,
+        })
+        # per-batch pre-prune: the global per-host top-quota is inside
+        # the union of per-batch top-quotas
+        df = (df.sort_values(["domain", "priority", id_col],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+              .groupby("domain", as_index=False).head(quota))
+        dh = _token_hashes(df["domain"].tolist())
+        df["pk"] = _partition_key(dh, pk_parts)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            _EMPTY)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["domain", "priority", id_col],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+               .groupby("domain", as_index=False).head(quota))
+        return out[["domain", id_col, status_col, "priority"]]
+
+    return (statuses.map_batches(partial, batch_format="pyarrow")
+            .groupby("pk").map_groups(fold, batch_format="pandas"))

@@ -3658,3 +3658,101 @@ ORDER BY src_host, dst_host
 
 QUERIES.update({"host_graph": q_host_graph})
 ORACLES.update({"host_graph": SQL_HOST_GRAPH})
+
+
+# ---------------------------------------------------------------------
+# recrawl schedule — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_crawl_schedule(sf_dir: str) -> pd.DataFrame:
+    """End-to-end recrawl wave: the crawl_diff snapshot statuses ×
+    a deterministic per-page rank × the documents' source as host,
+    top-10 per host by priority = rank × status weight
+    (ops/crawl.py:crawl_schedule — broadcast rank/host dictionaries,
+    per-batch per-host top-quota pre-prune, ONE hash(host) exchange;
+    'deleted' never leaves the map task).  Ranks are synthesized as
+    ((37·id+11) % 1000)/1000 + 0.001 — the same double expression in
+    both engines — rather than chaining the 5-iteration pagerank CTE
+    under a diff and a window (the composition is exercised at the op
+    level; the oracle stays tractable)."""
+    from ..ops.crawl import crawl_schedule, snapshot_diff
+    from ..ops.textstats import round_half_away
+
+    docs = _docs_text(sf_dir)
+
+    def keep_mod(m: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % m != 0))
+        return fn
+
+    old = docs.map_batches(keep_mod(3), batch_format="pyarrow")
+
+    def edit(batch: pa.Table) -> pa.Table:
+        batch = keep_mod(5)(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = batch["text"].to_pylist()
+        out = [t + " [edited v2]" if i % 7 == 0 else t
+               for i, t in zip(ids, txt)]
+        return batch.set_column(batch.schema.get_field_index("text"),
+                                "text", pa.array(out, pa.string()))
+
+    new = docs.map_batches(edit, batch_format="pyarrow")
+    statuses = snapshot_diff(old, new)
+
+    mapping = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"]).to_pandas()
+    n = len(mapping)
+    hosts = np.empty(n, dtype=object)
+    hosts[mapping["doc_id"].to_numpy(np.int64)] = \
+        mapping["source"].to_numpy(object)
+    ids = np.arange(n, dtype=np.int64)
+    ranks = ((ids * 37 + 11) % 1000) / 1000.0 + 0.001
+
+    df = crawl_schedule(statuses, ranks, hosts, quota=10).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["priority"] = round_half_away(df["priority"].to_numpy())
+    return df.sort_values(["domain", "priority", "doc_id"],
+                          ascending=[True, False, True]).reset_index(
+        drop=True)
+
+
+SQL_CRAWL_SCHEDULE = """
+WITH a AS (
+  SELECT doc_id, md5_number_lower(text) AS h
+  FROM documents WHERE doc_id % 3 <> 0),
+b AS (
+  SELECT doc_id,
+         md5_number_lower(text || CASE WHEN doc_id % 7 = 0
+                                       THEN ' [edited v2]' ELSE '' END) AS h
+  FROM documents WHERE doc_id % 5 <> 0),
+st AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'new'
+              WHEN b.doc_id IS NULL THEN 'deleted'
+              WHEN a.h <> b.h THEN 'changed'
+              ELSE 'same' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+pri AS (
+  SELECT d.source AS domain, st.doc_id, st.status,
+         round((((st.doc_id * 37 + 11) % 1000) / 1000.0 + 0.001)
+               * CASE st.status WHEN 'new' THEN 1.0
+                                WHEN 'changed' THEN 0.7
+                                WHEN 'same' THEN 0.1
+                                ELSE 0.0 END, 9) AS priority
+  FROM st JOIN documents d ON d.doc_id = st.doc_id
+  WHERE st.status <> 'deleted'),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY domain
+                               ORDER BY priority DESC, doc_id) AS rn
+  FROM pri)
+SELECT domain, doc_id::BIGINT AS doc_id, status,
+       round(priority, 6) AS priority
+FROM rk WHERE rn <= 10
+ORDER BY domain, priority DESC, doc_id
+"""
+
+QUERIES.update({"crawl_schedule": q_crawl_schedule})
+ORACLES.update({"crawl_schedule": SQL_CRAWL_SCHEDULE})

@@ -366,3 +366,58 @@ class TestHostLinkGraph:
             host_link_graph(_ds({"src": [0], "dst": [1]}),
                             np.array(["a", "b"], dtype=object),
                             max_broadcast_nodes=1)
+
+
+class TestCrawlSchedule:
+    def test_known_schedule(self, ray_session):
+        from alix_ray.ops.crawl import crawl_schedule
+
+        hosts = np.array(["a", "a", "a", "a", "b", "b", "b",
+                          "c", "c", "c"], dtype=object)
+        ranks = np.array([.9, .8, .7, .6, .5, .9, .4, .3, .2, .1])
+        statuses = _ds({
+            "doc_id": list(range(10)),
+            "status": ["new", "same", "changed", "new", "same",
+                       "deleted", "new", "changed", "same", "new"]})
+        got = (crawl_schedule(statuses, ranks, hosts, quota=2)
+               .to_pandas()
+               .sort_values(["domain", "priority", "doc_id"],
+                            ascending=[True, False, True])
+               .reset_index(drop=True))
+        want = pd.DataFrame({
+            "domain": ["a", "a", "b", "b", "c", "c"],
+            "doc_id": [0, 3, 6, 4, 7, 9],
+            "status": ["new", "new", "new", "same", "changed", "new"],
+            "priority": [0.9, 0.6, 0.4, 0.05, 0.21, 0.1]})
+        pd.testing.assert_frame_equal(got, want)
+        # 'deleted' (weight 0) never leaves the map task
+        assert 5 not in set(got["doc_id"])
+
+    def test_partition_independence(self, ray_session):
+        from alix_ray.ops.crawl import crawl_schedule
+
+        rng = np.random.RandomState(7)
+        n = 60
+        hosts = np.array([f"h{i % 4}" for i in range(n)], dtype=object)
+        ranks = rng.rand(n)
+        st = np.array(["new", "changed", "same", "deleted"])[
+            np.arange(n) % 4]
+        statuses = _ds({"doc_id": np.arange(n), "status": st})
+        key = ["domain", "priority", "doc_id"]
+        a = (crawl_schedule(statuses, ranks, hosts, quota=3)
+             .to_pandas().sort_values(key).reset_index(drop=True))
+        b = (crawl_schedule(statuses.repartition(7), ranks, hosts,
+                            quota=3)
+             .to_pandas().sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        # per-host cap holds
+        assert a.groupby("domain").size().max() <= 3
+
+    def test_broadcast_bound_raises(self, ray_session):
+        from alix_ray.ops.crawl import crawl_schedule
+
+        with pytest.raises(ValueError):
+            crawl_schedule(_ds({"doc_id": [0], "status": ["new"]}),
+                           np.array([1.0]),
+                           np.array(["a"], dtype=object),
+                           max_broadcast_nodes=0)
