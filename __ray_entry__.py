@@ -100,7 +100,8 @@ def entry() -> Any:
 _DRIVER_PRIORITY = [
     "tfidf_pairs", "kmeans", "semdedup", "pagerank_dist", "pagerank",
     "crawl_diff", "domain_stats", "anchor_terms", "hits",
-    "degree_dist", "host_graph", "crawl_schedule", "lm_perplexity",
+    "degree_dist", "host_graph", "crawl_schedule", "components",
+    "lm_perplexity",
     "curate",
     "cluster_reps", "blocklist", "quantiles_by_source", "cross_dedup",
     "dsir_weights", "pack_chunks", "corpus_card", "pack_offsets",

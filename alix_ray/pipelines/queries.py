@@ -3756,3 +3756,75 @@ ORDER BY domain, priority DESC, doc_id
 
 QUERIES.update({"crawl_schedule": q_crawl_schedule})
 ORACLES.update({"crawl_schedule": SQL_CRAWL_SCHEDULE})
+
+
+# ---------------------------------------------------------------------
+# connected components — full oracle
+# ---------------------------------------------------------------------
+
+CC_K = 7          # number of components (node residue classes mod K)
+CC_SQL_LEVELS = 14  # ≥ graph diameter at every test sf (≤10 at sf0.1);
+#                     min-propagation is idempotent past convergence,
+#                     so extra CTE levels are exact no-ops
+
+
+def q_components(sf_dir: str) -> pd.DataFrame:
+    """Undirected connected components over a deterministic
+    multi-component graph: K=7 components (doc_id residue classes),
+    each wired as a binary tree (i — (i%K) + K·((i//K)//2)) PLUS an
+    intra-class chain (i — i+K) so min-label propagation needs
+    genuinely multi-hop convergence (~log2(N/K) rounds) but the
+    fixpoint arrives well under the oracle's fixed CTE depth
+    (ops/crawl.py:connected_components — pagerank-broadcast exchange
+    plan, sparse per-batch int64 minima, driver fixpoint test;
+    integer labels mean parity is exact with no rounding schedule)."""
+    from ..ops.crawl import connected_components
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tree = ids[ids >= CC_K]
+        parent = (tree % CC_K) + CC_K * ((tree // CC_K) // 2)
+        chain = ids[ids + CC_K < n]
+        return pa.table({
+            "src": pa.array(np.concatenate([tree, chain])),
+            "dst": pa.array(np.concatenate([parent, chain + CC_K])),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = connected_components(edges, n).to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["component"] = df["component"].astype("int64")
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def _sql_components() -> str:
+    head = f"""
+WITH consts AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS a,
+         (doc_id % {CC_K}) + {CC_K} * ((doc_id // {CC_K}) // 2) AS b
+  FROM documents WHERE doc_id >= {CC_K}
+  UNION ALL
+  SELECT doc_id, doc_id + {CC_K}
+  FROM documents WHERE doc_id + {CC_K} < (SELECT n FROM consts)),
+se AS (SELECT a, b FROM e0
+       UNION ALL SELECT b, a FROM e0
+       UNION ALL SELECT doc_id, doc_id FROM documents),
+l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents)"""
+    its = []
+    for k in range(1, CC_SQL_LEVELS + 1):
+        its.append(f""",
+l{k} AS (SELECT se.a AS id, min(l.lbl) AS lbl
+         FROM se JOIN l{k - 1} l ON l.id = se.b GROUP BY se.a)""")
+    return (head + "".join(its) + f"""
+SELECT id::BIGINT AS node, lbl::BIGINT AS component
+FROM l{CC_SQL_LEVELS} ORDER BY node""")
+
+
+QUERIES.update({"components": q_components})
+ORACLES.update({"components": _sql_components()})

@@ -421,3 +421,53 @@ class TestCrawlSchedule:
                            np.array([1.0]),
                            np.array(["a"], dtype=object),
                            max_broadcast_nodes=0)
+
+
+class TestConnectedComponents:
+    def test_known_components(self, ray_session):
+        from alix_ray.ops.crawl import connected_components
+
+        # components: {0,1,2,3} (path), {4,5,6} (triangle), {7} isolated
+        edges = np.array([[0, 1], [1, 2], [2, 3],
+                          [4, 5], [5, 6], [6, 4]])
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = connected_components(ds, 8).to_pandas()
+        want = pd.DataFrame({
+            "node": np.arange(8, dtype=np.int64),
+            "component": np.array([0, 0, 0, 0, 4, 4, 4, 7],
+                                  dtype=np.int64)})
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_deep_chain_converges(self, ray_session):
+        from alix_ray.ops.crawl import connected_components
+
+        # a 30-node path needs 29 propagation rounds; plus a 2-node
+        # island to keep the fixpoint non-trivial
+        n = 32
+        edges = np.array([[i, i + 1] for i in range(29)] + [[30, 31]])
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = connected_components(ds, n).to_pandas()
+        assert (got["component"].to_numpy()[:30] == 0).all()
+        assert (got["component"].to_numpy()[30:] == 30).all()
+
+    def test_partition_independence(self, ray_session):
+        from alix_ray.ops.crawl import connected_components
+
+        rng = np.random.RandomState(11)
+        n = 80
+        src = rng.randint(0, n, 120)
+        dst = rng.randint(0, n, 120)
+        ds = _ds({"src": src, "dst": dst})
+        a = connected_components(ds, n).to_pandas()
+        b = connected_components(ds.repartition(9), n).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        # labels are canonical: each component's label is its min node
+        for comp, grp in a.groupby("component"):
+            assert comp == grp["node"].min()
+
+    def test_broadcast_bound_raises(self, ray_session):
+        from alix_ray.ops.crawl import connected_components
+
+        with pytest.raises(ValueError):
+            connected_components(_ds({"src": [0], "dst": [1]}), 2,
+                                 max_broadcast_nodes=1)
