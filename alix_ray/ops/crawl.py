@@ -1080,3 +1080,130 @@ def connected_components(edges: ray.data.Dataset, n_nodes: int,
         "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
         "component": pa.array(labels)})
     return ray.data.from_arrow(out)
+
+
+def connected_components_partitioned(edges: ray.data.Dataset,
+                                     n_nodes: int,
+                                     src_col: str = "src",
+                                     dst_col: str = "dst",
+                                     max_iter: int = 64
+                                     ) -> ray.data.Dataset:
+    """The beyond-broadcast connected components: labels live as a
+    DISTRIBUTED (id, label) table hash-partitioned by node id —
+    nothing is ever O(n_nodes) on the driver or in a single task
+    (same promotion :func:`pagerank` → :func:`pagerank_partitioned`).
+
+    The symmetric edge table is materialized once as (pk(a), a, b)
+    rows for BOTH directions of every edge ("reading a's label feeds
+    b's minimum").  Per iteration two slim shuffles:
+
+    1. src-side join: label rows ∪ edge rows groupby(pk); each group
+       joins in-memory and emits per-group PRE-REDUCED sparse
+       (pk(b), b, min-candidate) rows — a Zipf-head target receives
+       one row per (group, target), never per edge;
+    2. dst-side fold: candidate rows ∪ label table groupby(pk); new
+       label = min(old, candidates), with a per-row ``chg`` marker
+       whose distributed sum is the FIXPOINT test (min-propagation is
+       monotone, so the test is exact, not heuristic).
+
+    Integer min has no rounding schedule, so this variant is
+    bit-equal to the broadcast :func:`connected_components` by
+    construction (asserted by test): the broadcast path is the fast
+    small-graph implementation, this is the shape you ship at
+    crawl-graph scale.  Row-kind markers ride the ``o`` column
+    (edge rows ``o>=0``, label rows ``o==-1``, candidates ``o==-2``)
+    — never block metadata, which Ray duplicates across splits."""
+    pk_parts = _num_parts()
+    n_blocks = max(1, min(pk_parts, -(-n_nodes // 3_000_000)))
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        return pa.table({
+            "pk": pa.array(_partition_key(a.astype(np.uint64),
+                                          pk_parts)),
+            "id": pa.array(a), "o": pa.array(b),
+            "lbl": pa.array(np.full(len(a), -1, np.int64)),
+        })
+
+    ekeyed = edges.map_batches(edge_rows,
+                               batch_format="pyarrow").materialize()
+
+    def init_labels(batch) -> pa.Table:
+        ids = batch["id"].astype(np.int64)
+        return pa.table({
+            "pk": pa.array(_partition_key(ids.astype(np.uint64),
+                                          pk_parts)),
+            "id": pa.array(ids),
+            "o": pa.array(np.full(len(ids), -1, np.int64)),
+            "lbl": pa.array(ids),
+        })
+
+    nodes = ray.data.range(n_nodes).map_batches(
+        init_labels, batch_format="numpy").repartition(
+            n_blocks).materialize()
+
+    _CAND = pa.schema([("pk", pa.int64()), ("id", pa.int64()),
+                       ("o", pa.int64()), ("lbl", pa.int64())])
+    _FOLD = pa.schema(list(_CAND) + [("chg", pa.int64())])
+
+    for _ in range(max_iter):
+        def src_join(g: pd.DataFrame) -> pa.Table:
+            e = g[g["o"] >= 0]
+            rk = g[g["o"] == -1]
+            if len(e) == 0 or len(rk) == 0:
+                return _CAND.empty_table()
+            m = e[["id", "o"]].merge(rk[["id", "lbl"]], on="id",
+                                     how="inner")
+            tgt = m["o"].to_numpy(np.int64)
+            lab = m["lbl"].to_numpy(np.int64)
+            order = np.argsort(tgt, kind="stable")
+            st, sl = tgt[order], lab[order]
+            ids, starts = np.unique(st, return_index=True)
+            return pa.table({
+                "pk": pa.array(_partition_key(ids.astype(np.uint64),
+                                              pk_parts)),
+                "id": pa.array(ids),
+                "o": pa.array(np.full(len(ids), -2, np.int64)),
+                "lbl": pa.array(np.minimum.reduceat(sl, starts)
+                                if len(sl) else sl),
+            })
+
+        cands = nodes.union(ekeyed).groupby("pk").map_groups(
+            src_join, batch_format="pandas")
+
+        def dst_fold(g: pd.DataFrame) -> pa.Table:
+            rk = g[g["o"] == -1]
+            if len(rk) == 0:
+                return _FOLD.empty_table()
+            cs = g[g["o"] == -2].groupby("id")["lbl"].min()
+            ids = rk["id"].to_numpy(np.int64)
+            old = rk["lbl"].to_numpy(np.int64)
+            # n_nodes is a safe "no candidate" sentinel (labels are
+            # < n_nodes; int64-max round-trips through float64 wrong)
+            new = np.minimum(old, cs.reindex(ids).fillna(
+                float(n_nodes)).to_numpy(np.int64))
+            return pa.table({
+                "pk": pa.array(rk["pk"].to_numpy(np.int64)),
+                "id": pa.array(ids),
+                "o": pa.array(np.full(len(ids), -1, np.int64)),
+                "lbl": pa.array(new),
+                "chg": pa.array((new != old).astype(np.int64)),
+            })
+
+        folded = nodes.union(cands).groupby("pk").map_groups(
+            dst_fold, batch_format="pandas").repartition(
+                n_blocks).materialize()
+        changed = folded.sum("chg")
+        nodes = folded.drop_columns(["chg"]).materialize()
+        if not changed:
+            break
+
+    def out_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["id"], "component": t["lbl"]})
+
+    return nodes.map_batches(out_rows, batch_format="pyarrow")

@@ -3778,7 +3778,13 @@ def q_components(sf_dir: str) -> pd.DataFrame:
     (ops/crawl.py:connected_components — pagerank-broadcast exchange
     plan, sparse per-batch int64 minima, driver fixpoint test;
     integer labels mean parity is exact with no rounding schedule)."""
-    from ..ops.crawl import connected_components
+    return _run_components_query(sf_dir)
+
+
+def _run_components_query(sf_dir: str,
+                          partitioned: bool = False) -> pd.DataFrame:
+    from ..ops.crawl import (connected_components,
+                             connected_components_partitioned)
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
@@ -3796,7 +3802,9 @@ def q_components(sf_dir: str) -> pd.DataFrame:
         })
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
-    df = connected_components(edges, n).to_pandas()
+    fn = connected_components_partitioned if partitioned \
+        else connected_components
+    df = fn(edges, n).to_pandas()
     df["node"] = df["node"].astype("int64")
     df["component"] = df["component"].astype("int64")
     return df.sort_values("node").reset_index(drop=True)
@@ -3828,3 +3836,16 @@ FROM l{CC_SQL_LEVELS} ORDER BY node""")
 
 QUERIES.update({"components": q_components})
 ORACLES.update({"components": _sql_components()})
+
+
+def q_components_dist(sf_dir: str) -> pd.DataFrame:
+    """The beyond-broadcast connected components
+    (`connected_components_partitioned`: labels as a hash-partitioned
+    table, two slim shuffles per round, nothing O(n_nodes) anywhere).
+    Integer min-propagation is bit-equal to the broadcast path by
+    construction, so it earns the SAME fixed-depth CTE oracle."""
+    return _run_components_query(sf_dir, partitioned=True)
+
+
+QUERIES.update({"components_dist": q_components_dist})
+ORACLES.update({"components_dist": _sql_components()})

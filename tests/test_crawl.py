@@ -471,3 +471,34 @@ class TestConnectedComponents:
         with pytest.raises(ValueError):
             connected_components(_ds({"src": [0], "dst": [1]}), 2,
                                  max_broadcast_nodes=1)
+
+
+class TestConnectedComponentsPartitioned:
+    def test_bit_equal_to_broadcast(self, ray_session):
+        from alix_ray.ops.crawl import (connected_components,
+                                        connected_components_partitioned)
+
+        rng = np.random.RandomState(3)
+        n = 70
+        src = rng.randint(0, n, 90)
+        dst = rng.randint(0, n, 90)
+        ds = _ds({"src": src, "dst": dst})
+        a = (connected_components(ds, n).to_pandas()
+             .sort_values("node").reset_index(drop=True))
+        b = (connected_components_partitioned(ds.repartition(6), n)
+             .to_pandas().sort_values("node").reset_index(drop=True))
+        b["node"] = b["node"].astype(a["node"].dtype)
+        b["component"] = b["component"].astype(a["component"].dtype)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_deep_chain_fixpoint(self, ray_session):
+        from alix_ray.ops.crawl import connected_components_partitioned
+
+        n = 24
+        edges = np.array([[i, i + 1] for i in range(21)] + [[22, 23]])
+        ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+        got = (connected_components_partitioned(ds, n).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+        comp = got["component"].to_numpy()
+        assert (comp[:22] == 0).all()
+        assert (comp[22:] == 22).all()
