@@ -583,6 +583,32 @@ class _ThemePartial:
         return pa.table(cols)
 
 
+def _lev_leq(a: str, b: str, k: int) -> bool:
+    """Unit-cost Levenshtein distance(a, b) <= k, with a banded
+    early-exit: any full DP row whose minimum exceeds ``k`` can never
+    recover (costs only grow), so the scan aborts there.  Semantics
+    match DuckDB ``levenshtein`` exactly (oracle parity for
+    ``search_fuzzy``)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            c = 0 if ca == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + c)
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 class TermLexicon:
     """Sorted term dictionary over an Arrow ``large_string`` column —
     binary-search lookups against the Arrow buffers, no per-term Python
@@ -1035,6 +1061,54 @@ class BM25Index:
             cand = np.arange(len(nz))
         order = cand[np.lexsort((nz[cand], -scores[cand]))][:k]
         return [(int(nz[i]), float(scores[i])) for i in order]
+
+    # -- fuzzy term expansion (FuzzyQuery.java) -----------------------
+    def fuzzy_terms(self, term: str, max_edits: int = 1,
+                    prefix_len: int = 0) -> list[str]:
+        """Vocabulary terms within ``max_edits`` Levenshtein edits of
+        ``term`` (Lucene ``FuzzyQuery.java`` semantics: ``maxEdits`` ≤
+        2, ``prefixLength`` chars must match literally).  Lucene
+        intersects a Levenshtein automaton (Schulz & Mihov 2002) with
+        the term dictionary; here the Arrow-friendly equivalent: one
+        VECTORIZED prune over the lexicon's Arrow buffers (utf8_length
+        band ±max_edits, optional starts_with prefix) and a banded
+        early-exit DP only on the survivors.  The scan is O(vocab) —
+        vocabulary is bounded by distinct terms, independent of corpus
+        size, so expansion stays a replica-local lookup at any doc
+        count; the automaton is the documented escalation if a vocab
+        ever outgrows the vectorized prune.  The edit distance is
+        standard unit-cost Levenshtein — identical to DuckDB's
+        ``levenshtein``, which is what gives :func:`search_fuzzy` a
+        full SQL oracle."""
+        import pyarrow.compute as _pc
+
+        if max_edits < 0:
+            raise ValueError("max_edits must be >= 0")
+        arr = self.lexicon.terms
+        lens = _pc.utf8_length(arr)
+        mask = _pc.and_(
+            _pc.greater_equal(lens, pa.scalar(len(term) - max_edits)),
+            _pc.less_equal(lens, pa.scalar(len(term) + max_edits)))
+        if prefix_len > 0:
+            mask = _pc.and_(mask, _pc.starts_with(
+                arr, pattern=term[:prefix_len]))
+        cands = _pc.filter(arr, mask).to_pylist()
+        return [c for c in cands if _lev_leq(term, c, max_edits)]
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1,
+                     prefix_len: int = 0, scorer: str = "bm25"):
+        """Fuzzy single-term search: expand via :meth:`fuzzy_terms`,
+        then score the expansion as a plain BM25 OR query (each
+        matched term contributes with its OWN df — the
+        rewrite-to-BooleanQuery shape of Lucene's
+        ``FuzzyQuery``/``MultiTermQuery``; Lucene's optional
+        ``(1 - d/len)`` boost-by-distance is deliberately not applied
+        so the score stays oracle-expressible, documented
+        divergence)."""
+        cands = self.fuzzy_terms(term, max_edits, prefix_len)
+        if not cands:
+            return []
+        return self.search_exact(cands, k, mode="or", scorer=scorer)
 
     # -- block-max windowed evaluation (vectorized scale path) --------
     def search_block_window(self, terms, k: int = 10, window: int = 16384):

@@ -160,17 +160,19 @@ def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _sql_bm25(terms: tuple, k: int) -> str:
+def _sql_bm25(terms: tuple, k: int, term_pred: str | None = None,
+              extra_cte: str = "") -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
+    pred = term_pred or f"term IN ({tlist})"
     return f"""
-WITH toks AS ({TOKS}),
+WITH toks AS ({TOKS}),{extra_cte}
 corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
 avg_dl AS (SELECT sum(dl.dl) / corpus.n AS avgdl FROM dl, corpus GROUP BY corpus.n),
 df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
-       WHERE term IN ({tlist}) GROUP BY term),
+       WHERE {pred} GROUP BY term),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
-       WHERE term IN ({tlist}) GROUP BY doc_id, term),
+       WHERE {pred} GROUP BY doc_id, term),
 scored AS (
   SELECT tf.doc_id,
     sum( pow(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5)), {IDF_EXP}) *
@@ -3849,3 +3851,42 @@ def q_components_dist(sf_dir: str) -> pd.DataFrame:
 
 QUERIES.update({"components_dist": q_components_dist})
 ORACLES.update({"components_dist": _sql_components()})
+
+
+# ---------------------------------------------------------------------
+# fuzzy term search — full oracle
+# ---------------------------------------------------------------------
+
+FUZZY_QUERY = "sow"     # matches 'row' (sub) and 'slow' (insert)
+FUZZY_MAX_EDITS = 1
+
+
+def q_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Lucene FuzzyQuery analog: expand the (misspelled) query term
+    against the index vocabulary within ``FUZZY_MAX_EDITS`` Levenshtein
+    edits (index/engine.py:fuzzy_terms — vectorized length-band +
+    prefix prune over the lexicon's Arrow buffers, banded early-exit
+    DP on survivors; the expansion is O(vocab), corpus-size
+    independent), then BM25-OR over the expansion with per-term df
+    (the rewrite-to-BooleanQuery shape, FuzzyQuery.java).  The edit
+    distance is unit-cost Levenshtein == DuckDB ``levenshtein``, so
+    the whole pipeline holds an exact SQL oracle."""
+    from ..ops.textstats import round_half_away
+
+    ix = _index(sf_dir)
+    res = ix.search_fuzzy(FUZZY_QUERY, 10, max_edits=FUZZY_MAX_EDITS)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+SQL_FUZZY = _sql_bm25(
+    (), 10,
+    term_pred="term IN (SELECT term FROM fterms)",
+    extra_cte=f"""
+fterms AS (SELECT DISTINCT term FROM toks
+           WHERE levenshtein(term, '{FUZZY_QUERY}') <= {FUZZY_MAX_EDITS}),""")
+
+QUERIES.update({"fuzzy": q_fuzzy})
+ORACLES.update({"fuzzy": SQL_FUZZY})

@@ -246,3 +246,58 @@ def test_document_fetch(ray_session, tmp_path):
 
     with pytest.raises(KeyError):
         ix.document(999)
+
+
+def _lev_ref(a: str, b: str) -> int:
+    # full-matrix reference implementation (no band, no early exit)
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            c = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + c)
+    return d[la][lb]
+
+
+def test_lev_leq_matches_reference():
+    from alix_ray.index.engine import _lev_leq
+
+    rng = np.random.RandomState(5)
+    alpha = "abcde"
+    words = ["".join(alpha[i] for i in rng.randint(0, 5, rng.randint(0, 8)))
+             for _ in range(60)]
+    for a in words[:20]:
+        for b in words:
+            d = _lev_ref(a, b)
+            for k in range(4):
+                assert _lev_leq(a, b, k) == (d <= k), (a, b, k, d)
+
+
+def test_fuzzy_terms_and_search(built_index):
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    term = max(ix.cf, key=lambda t: ix.cf[t])
+    # distance 0 always includes the term itself, nothing else closer
+    assert ix.fuzzy_terms(term, max_edits=0) == [term]
+    # brute-force oracle over the whole vocabulary
+    for q in (term, term[:-1] + "x", "zz" + term):
+        for me in (1, 2):
+            want = sorted(t for t in ix.cf if _lev_ref(q, t) <= me)
+            assert sorted(ix.fuzzy_terms(q, max_edits=me)) == want
+    # prefix_len constrains candidates to a shared literal prefix
+    got = ix.fuzzy_terms(term, max_edits=2, prefix_len=len(term))
+    assert all(t.startswith(term) for t in got)
+    # search == exact OR over the expansion (rewrite-to-boolean shape)
+    q = term[:-1] + "x"
+    exp = ix.fuzzy_terms(q, max_edits=1)
+    assert exp
+    assert ix.search_fuzzy(q, 5, max_edits=1) == ix.search_exact(exp, 5)
+    # no expansion -> no hits
+    assert ix.search_fuzzy("qqqqqqqqqq", 5, max_edits=1) == []
