@@ -1095,6 +1095,34 @@ class BM25Index:
         cands = _pc.filter(arr, mask).to_pylist()
         return [c for c in cands if _lev_leq(term, c, max_edits)]
 
+    def regex_terms(self, pattern: str) -> list[str]:
+        """Vocabulary terms fully matching an RE2 ``pattern`` (Lucene
+        ``RegexpQuery.java`` semantics: the pattern is anchored to the
+        WHOLE term).  One vectorized pass over the lexicon's Arrow
+        buffers — ``match_substring_regex`` is RE2, the same engine as
+        DuckDB's ``regexp_full_match``, so sharing the pattern string
+        VERBATIM between both gives oracle parity by construction (the
+        ``domain_stats`` argument).  Lucene compiles the regex to an
+        automaton intersected with the term dict; the vectorized scan
+        is the Arrow equivalent at O(vocab), corpus-size
+        independent."""
+        import pyarrow.compute as _pc
+
+        arr = self.lexicon.terms
+        mask = _pc.match_substring_regex(
+            arr, pattern=f"^(?:{pattern})$")
+        return _pc.filter(arr, mask).to_pylist()
+
+    def search_regex(self, pattern: str, k: int = 10,
+                     scorer: str = "bm25"):
+        """Regexp term search: expand via :meth:`regex_terms`, score
+        the expansion as a BM25 OR query with per-term df (the
+        rewrite-to-BooleanQuery shape of ``MultiTermQuery``)."""
+        cands = self.regex_terms(pattern)
+        if not cands:
+            return []
+        return self.search_exact(cands, k, mode="or", scorer=scorer)
+
     def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1,
                      prefix_len: int = 0, scorer: str = "bm25"):
         """Fuzzy single-term search: expand via :meth:`fuzzy_terms`,

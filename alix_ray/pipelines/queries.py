@@ -3890,3 +3890,38 @@ fterms AS (SELECT DISTINCT term FROM toks
 
 QUERIES.update({"fuzzy": q_fuzzy})
 ORACLES.update({"fuzzy": SQL_FUZZY})
+
+
+# ---------------------------------------------------------------------
+# regexp term search — full oracle
+# ---------------------------------------------------------------------
+
+# RE2 pattern shared VERBATIM between pyarrow match_substring_regex
+# (anchored) and DuckDB regexp_full_match — parity by construction
+REGEX_PATTERN = "s[a-z]+"
+
+
+def q_regex(sf_dir: str) -> pd.DataFrame:
+    """Lucene RegexpQuery analog: whole-term RE2 match over the index
+    vocabulary (index/engine.py:regex_terms — one vectorized Arrow
+    pass, O(vocab), corpus-size independent), then BM25-OR with
+    per-term df (rewrite-to-BooleanQuery, MultiTermQuery.java)."""
+    from ..ops.textstats import round_half_away
+
+    ix = _index(sf_dir)
+    res = ix.search_regex(REGEX_PATTERN, 10)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+SQL_REGEX = _sql_bm25(
+    (), 10,
+    term_pred="term IN (SELECT term FROM rterms)",
+    extra_cte=f"""
+rterms AS (SELECT DISTINCT term FROM toks
+           WHERE regexp_full_match(term, '{REGEX_PATTERN}')),""")
+
+QUERIES.update({"regex": q_regex})
+ORACLES.update({"regex": SQL_REGEX})

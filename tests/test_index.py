@@ -301,3 +301,19 @@ def test_fuzzy_terms_and_search(built_index):
     assert ix.search_fuzzy(q, 5, max_edits=1) == ix.search_exact(exp, 5)
     # no expansion -> no hits
     assert ix.search_fuzzy("qqqqqqqqqq", 5, max_edits=1) == []
+
+
+def test_regex_terms_and_search(built_index):
+    import re
+
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    term = max(ix.cf, key=lambda t: ix.cf[t])
+    pat = re.escape(term[:2]) + "[a-z]*"
+    want = sorted(t for t in ix.cf if re.fullmatch(pat, t))
+    assert sorted(ix.regex_terms(pat)) == want
+    assert want  # the pattern actually matches something
+    assert ix.search_regex(pat, 5) == ix.search_exact(want, 5)
+    assert ix.search_regex("qqq+", 5) == []
