@@ -101,7 +101,7 @@ _DRIVER_PRIORITY = [
     "tfidf_pairs", "kmeans", "semdedup", "pagerank_dist", "pagerank",
     "crawl_diff", "domain_stats", "anchor_terms", "hits",
     "degree_dist", "host_graph", "crawl_schedule", "components",
-    "components_dist", "fuzzy", "regex",
+    "components_dist", "fuzzy", "regex", "term_range",
     "lm_perplexity",
     "curate",
     "cluster_reps", "blocklist", "quantiles_by_source", "cross_dedup",

@@ -1095,6 +1095,40 @@ class BM25Index:
         cands = _pc.filter(arr, mask).to_pylist()
         return [c for c in cands if _lev_leq(term, c, max_edits)]
 
+    def range_terms(self, lo: str | None, hi: str | None) -> list[str]:
+        """Vocabulary terms in the lexicographic interval
+        ``[lo, hi)`` (Lucene ``TermRangeQuery.java`` with
+        includeLower=True / includeUpper=False; ``None`` = open end).
+        The lexicon is SORTED, so this is two binary searches and a
+        slice — O(log vocab + matches), no scan at all (the only
+        MultiTermQuery rewrite that never touches the whole
+        dictionary)."""
+        arr = self.lexicon.terms
+        n = len(arr)
+
+        def lower_bound(key: str) -> int:
+            lo_i, hi_i = 0, n
+            while lo_i < hi_i:
+                mid = (lo_i + hi_i) // 2
+                if arr[mid].as_py() < key:
+                    lo_i = mid + 1
+                else:
+                    hi_i = mid
+            return lo_i
+
+        a = lower_bound(lo) if lo is not None else 0
+        b = lower_bound(hi) if hi is not None else n
+        return arr.slice(a, max(0, b - a)).to_pylist()
+
+    def search_term_range(self, lo: str | None, hi: str | None,
+                          k: int = 10, scorer: str = "bm25"):
+        """Term-range search: expand via :meth:`range_terms`, score as
+        a BM25 OR query with per-term df (rewrite-to-BooleanQuery)."""
+        cands = self.range_terms(lo, hi)
+        if not cands:
+            return []
+        return self.search_exact(cands, k, mode="or", scorer=scorer)
+
     def regex_terms(self, pattern: str) -> list[str]:
         """Vocabulary terms fully matching an RE2 ``pattern`` (Lucene
         ``RegexpQuery.java`` semantics: the pattern is anchored to the

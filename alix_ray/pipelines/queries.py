@@ -3925,3 +3925,34 @@ rterms AS (SELECT DISTINCT term FROM toks
 
 QUERIES.update({"regex": q_regex})
 ORACLES.update({"regex": SQL_REGEX})
+
+
+# ---------------------------------------------------------------------
+# term-range search — full oracle
+# ---------------------------------------------------------------------
+
+RANGE_LO, RANGE_HI = "sc", "so"   # [lo, hi): scan, slow, small
+
+
+def q_term_range(sf_dir: str) -> pd.DataFrame:
+    """Lucene TermRangeQuery analog: vocabulary terms in the
+    lexicographic interval [lo, hi) — two binary searches + a slice
+    on the sorted lexicon, O(log vocab), the only MultiTermQuery
+    rewrite that never scans the dictionary
+    (index/engine.py:range_terms) — then BM25-OR with per-term df."""
+    from ..ops.textstats import round_half_away
+
+    ix = _index(sf_dir)
+    res = ix.search_term_range(RANGE_LO, RANGE_HI, 10)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+SQL_TERM_RANGE = _sql_bm25(
+    (), 10,
+    term_pred=f"term >= '{RANGE_LO}' AND term < '{RANGE_HI}'")
+
+QUERIES.update({"term_range": q_term_range})
+ORACLES.update({"term_range": SQL_TERM_RANGE})

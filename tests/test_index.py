@@ -317,3 +317,24 @@ def test_regex_terms_and_search(built_index):
     assert want  # the pattern actually matches something
     assert ix.search_regex(pat, 5) == ix.search_exact(want, 5)
     assert ix.search_regex("qqq+", 5) == []
+
+
+def test_range_terms_and_search(built_index):
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    vocab = sorted(ix.cf)
+    lo, hi = vocab[2], vocab[-3]
+    want = [t for t in vocab if lo <= t < hi]
+    assert ix.range_terms(lo, hi) == want
+    # open ends
+    assert ix.range_terms(None, None) == vocab
+    assert ix.range_terms(hi, None) == [t for t in vocab if t >= hi]
+    assert ix.range_terms(None, lo) == [t for t in vocab if t < lo]
+    # keys that are not themselves vocabulary terms
+    assert ix.range_terms(lo + "\x00", hi) == \
+        [t for t in vocab if t > lo and t < hi]
+    # search == exact OR over the expansion
+    assert ix.search_term_range(lo, hi, 5) == ix.search_exact(want, 5)
+    assert ix.search_term_range("zzz", "zzzz", 5) == []
