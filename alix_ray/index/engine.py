@@ -1095,6 +1095,28 @@ class BM25Index:
         cands = _pc.filter(arr, mask).to_pylist()
         return [c for c in cands if _lev_leq(term, c, max_edits)]
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       n_terms: int = 25, mode: str = "BM25"):
+        """Find documents similar to ``doc_id`` (the
+        ``MoreLikeThis.java`` shape): select the doc's ``n_terms``
+        most interesting terms via :meth:`theme_terms` with a
+        single-doc focus mask (mode BM25 = corpus idf × the doc's
+        BM25 tf-part — the same "high tf here, rare elsewhere"
+        criterion as Lucene's tf·idf interestingness, expressed with
+        the engine's own scorer so the selection shares the
+        theme-terms SQL oracle), then run a BM25 OR query over the
+        selection and drop the seed doc from the hits.  Cost is one
+        theme sweep (auto-routed to the distributed stats job above
+        the postings-size threshold) plus one k+1 search."""
+        mask = np.zeros(self.n_slots, bool)
+        mask[doc_id] = True
+        picked = self.theme_terms(mask, k=n_terms, mode=mode)
+        terms = [t for t, _ in picked]
+        if not terms:
+            return []
+        res = self.search_exact(terms, k + 1)
+        return [(d, s) for d, s in res if d != doc_id][:k]
+
     def range_terms(self, lo: str | None, hi: str | None) -> list[str]:
         """Vocabulary terms in the lexicographic interval
         ``[lo, hi)`` (Lucene ``TermRangeQuery.java`` with

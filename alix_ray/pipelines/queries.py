@@ -161,7 +161,7 @@ def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
 
 
 def _sql_bm25(terms: tuple, k: int, term_pred: str | None = None,
-              extra_cte: str = "") -> str:
+              extra_cte: str = "", final_where: str = "") -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     pred = term_pred or f"term IN ({tlist})"
     return f"""
@@ -185,7 +185,7 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 6) AS score
-FROM scored ORDER BY scored.score DESC, doc_id LIMIT {k}
+FROM scored {final_where} ORDER BY scored.score DESC, doc_id LIMIT {k}
 """
 # NB: ORDER BY scored.score (the RAW float64 sum), not the rounded
 # alias — the engine ranks by raw score, and two docs straddling the
@@ -3956,3 +3956,59 @@ SQL_TERM_RANGE = _sql_bm25(
 
 QUERIES.update({"term_range": q_term_range})
 ORACLES.update({"term_range": SQL_TERM_RANGE})
+
+
+# ---------------------------------------------------------------------
+# more-like-this — full oracle
+# ---------------------------------------------------------------------
+
+MLT_DOC = 7
+MLT_N_TERMS = 3
+
+
+def q_more_like_this(sf_dir: str) -> pd.DataFrame:
+    """MoreLikeThis over the seed doc: interesting-term selection =
+    theme_terms with a single-doc focus (BM25 mode: corpus idf × the
+    doc's BM25 tf-part — "high tf here, rare elsewhere"), then BM25-OR
+    over the selection with the seed dropped from the hits
+    (index/engine.py:more_like_this).  Both halves are closed-form:
+    the selection is the theme-terms oracle specialised to one focus
+    doc, the search is the shared BM25 oracle body — chained in one
+    SQL statement."""
+    from ..ops.textstats import round_half_away
+
+    ix = _index(sf_dir)
+    res = ix.more_like_this(MLT_DOC, 10, n_terms=MLT_N_TERMS)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+SQL_MLT = _sql_bm25(
+    (), 10,
+    term_pred="term IN (SELECT term FROM mterms)",
+    extra_cte=f"""
+mcorpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+mdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+mavg AS (SELECT sum(dl) / (SELECT n FROM mcorpus) AS avgdl FROM mdl),
+mftf AS (SELECT term, count(*)::DOUBLE AS tf FROM toks
+         WHERE doc_id = {MLT_DOC} GROUP BY term),
+mdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+        GROUP BY term),
+mterms AS (
+  SELECT f.term
+  FROM mftf f JOIN mdf d USING (term)
+  ORDER BY
+    pow(ln(1 + ((SELECT n FROM mcorpus) - d.df + 0.5) / (d.df + 0.5)),
+        {IDF_EXP})
+    * f.tf * ({K1} + 1)
+    / (f.tf + {K1} * (1 - {B} + {B}
+       * (SELECT dl FROM mdl WHERE doc_id = {MLT_DOC})
+       / (SELECT avgdl FROM mavg))) DESC,
+    f.term
+  LIMIT {MLT_N_TERMS}),""",
+    final_where=f"WHERE doc_id <> {MLT_DOC}")
+
+QUERIES.update({"more_like_this": q_more_like_this})
+ORACLES.update({"more_like_this": SQL_MLT})

@@ -338,3 +338,23 @@ def test_range_terms_and_search(built_index):
     # search == exact OR over the expansion
     assert ix.search_term_range(lo, hi, 5) == ix.search_exact(want, 5)
     assert ix.search_term_range("zzz", "zzzz", 5) == []
+
+
+def test_more_like_this(built_index):
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    seed = 3
+    res = ix.more_like_this(seed, k=5, n_terms=4)
+    assert res
+    assert all(d != seed for d, _ in res)
+    assert len(res) <= 5
+    # composition contract: theme-terms selection + exact OR minus seed
+    mask = np.zeros(ix.n_slots, bool)
+    mask[seed] = True
+    terms = [t for t, _ in ix.theme_terms(mask, k=4, mode="BM25")]
+    want = [(d, s) for d, s in ix.search_exact(terms, 6) if d != seed][:5]
+    assert res == want
+    # scores ordered desc, doc asc on ties
+    assert res == sorted(res, key=lambda r: (-r[1], r[0]))
