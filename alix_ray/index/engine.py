@@ -1095,6 +1095,46 @@ class BM25Index:
         cands = _pc.filter(arr, mask).to_pylist()
         return [c for c in cands if _lev_leq(term, c, max_edits)]
 
+    def search_after(self, terms, after, k: int = 10,
+                     scorer: str = "bm25"):
+        """Deep paging (``IndexSearcher.searchAfter``): the next ``k``
+        hits strictly after the cursor ``after = (doc_id, score)`` —
+        the last hit of the previous page — in the TopArray total
+        order (score desc, doc asc).  The cursor is the previous
+        page's own float, so the equality compare is exact.  This
+        oracle path rescans the accumulator; the serving-path
+        equivalent threads ``after``'s score into the WAND/block-max
+        threshold so later pages PRUNE MORE, not less — deep paging
+        gets cheaper per page, the inverse of offset-based paging."""
+        a_d, a_s = after
+        res = self.search_exact(terms, k=self.n_docs, scorer=scorer)
+        out = [(d, s) for d, s in res
+               if s < a_s or (s == a_s and d > a_d)]
+        return out[:k]
+
+    def search_facet_counts(self, terms, labels):
+        """Result-set faceting (the Lucene facets-module shape):
+        count the docs matching ANY query term, grouped by a per-doc
+        label column (``labels``: array indexed by doc id — the
+        broadcast-dictionary side, shipped once via ``ray.put`` in a
+        distributed caller).  Pure integer counts — no scoring, no
+        rounding — over the same postings the query would touch, so
+        the facet panel costs one boolean sweep of the query terms'
+        postings.  Returns (label, n_docs) sorted by count desc,
+        label asc."""
+        qs = self._query_terms(terms)
+        hit = np.zeros(self.n_slots, bool)
+        for term in qs:
+            d, _ = self._term_contrib(term, "bm25")
+            hit[d] = True
+        ids = np.nonzero(hit)[0]
+        if len(ids) == 0:
+            return []
+        lab = np.asarray(labels, dtype=object)[ids]
+        vals, counts = np.unique(lab, return_counts=True)
+        order = np.lexsort((vals, -counts))
+        return [(str(vals[i]), int(counts[i])) for i in order]
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        n_terms: int = 25, mode: str = "BM25"):
         """Find documents similar to ``doc_id`` (the

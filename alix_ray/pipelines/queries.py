@@ -161,7 +161,8 @@ def q_bm25_top10(sf_dir: str) -> pd.DataFrame:
 
 
 def _sql_bm25(terms: tuple, k: int, term_pred: str | None = None,
-              extra_cte: str = "", final_where: str = "") -> str:
+              extra_cte: str = "", final_where: str = "",
+              offset: int = 0) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     pred = term_pred or f"term IN ({tlist})"
     return f"""
@@ -185,7 +186,7 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 6) AS score
-FROM scored {final_where} ORDER BY scored.score DESC, doc_id LIMIT {k}
+FROM scored {final_where} ORDER BY scored.score DESC, doc_id LIMIT {k} OFFSET {offset}
 """
 # NB: ORDER BY scored.score (the RAW float64 sum), not the rounded
 # alias — the engine ranks by raw score, and two docs straddling the
@@ -4012,3 +4013,64 @@ mterms AS (
 
 QUERIES.update({"more_like_this": q_more_like_this})
 ORACLES.update({"more_like_this": SQL_MLT})
+
+
+# ---------------------------------------------------------------------
+# deep paging + result-set facets — full oracles
+# ---------------------------------------------------------------------
+
+
+def q_search_page2(sf_dir: str) -> pd.DataFrame:
+    """Lucene searchAfter deep paging: page 2 (hits 11-20) of the
+    standard BM25 query, fetched with the page-1 tail as the cursor
+    (index/engine.py:search_after — the serving path threads the
+    cursor score into the WAND threshold, so deeper pages prune MORE;
+    oracle = the same ordered list with LIMIT/OFFSET)."""
+    from ..ops.textstats import round_half_away
+
+    ix = _index(sf_dir)
+    page1 = ix.search_exact(list(BM25_QUERY_TERMS), 10)
+    res = ix.search_after(list(BM25_QUERY_TERMS), after=page1[-1], k=10)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+SQL_SEARCH_PAGE2 = _sql_bm25(BM25_QUERY_TERMS, 10, offset=10)
+
+
+def q_search_facets(sf_dir: str) -> pd.DataFrame:
+    """Result-set faceting (Lucene facets module): docs matching ANY
+    of the standard BM25 query terms, counted per source label
+    (index/engine.py:search_facet_counts — one boolean sweep of the
+    query terms' postings against a broadcast label dictionary;
+    integer counts, no rounding schedule)."""
+    import pyarrow.parquet as _pq
+
+    ix = _index(sf_dir)
+    full = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"]).to_pandas()
+    labels = np.empty(ix.n_slots, dtype=object)
+    labels[full["doc_id"].to_numpy(np.int64)] = \
+        full["source"].to_numpy(object)
+    res = ix.search_facet_counts(list(BM25_QUERY_TERMS), labels)
+    return pd.DataFrame({
+        "label": [v for v, _ in res],
+        "n_docs": np.array([n for _, n in res], np.int64),
+    })
+
+
+_FACET_TLIST = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+SQL_SEARCH_FACETS = f"""
+WITH toks AS ({TOKS}),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({_FACET_TLIST}))
+SELECT d.source AS label, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY n_docs DESC, label
+"""
+
+QUERIES.update({"search_page2": q_search_page2,
+                "search_facets": q_search_facets})
+ORACLES.update({"search_page2": SQL_SEARCH_PAGE2,
+                "search_facets": SQL_SEARCH_FACETS})

@@ -358,3 +358,39 @@ def test_more_like_this(built_index):
     assert res == want
     # scores ordered desc, doc asc on ties
     assert res == sorted(res, key=lambda r: (-r[1], r[0]))
+
+
+def test_search_after_paging(built_index):
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    terms = sorted(ix.cf, key=lambda t: -ix.cf[t])[:2]
+    full = ix.search_exact(terms, 10)
+    page1 = ix.search_exact(terms, 5)
+    page2 = ix.search_after(terms, after=page1[-1], k=5)
+    assert page1 + page2 == full
+    # pages never overlap, cursor hit itself excluded
+    assert set(d for d, _ in page1).isdisjoint(d for d, _ in page2)
+    # paging past the end returns empty
+    tail = ix.search_exact(terms, ix.n_docs)
+    assert ix.search_after(terms, after=tail[-1], k=5) == []
+
+
+def test_search_facet_counts(built_index):
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    terms = sorted(ix.cf, key=lambda t: -ix.cf[t])[:2]
+    labels = np.array([f"g{d % 3}" for d in range(ix.n_slots)],
+                      dtype=object)
+    got = ix.search_facet_counts(terms, labels)
+    # manual oracle: union of matching docs, counted per label
+    match = {d for d, _ in ix.search_exact(terms, ix.n_docs)}
+    want = {}
+    for d in match:
+        want[labels[d]] = want.get(labels[d], 0) + 1
+    assert dict(got) == want
+    assert got == sorted(got, key=lambda r: (-r[1], r[0]))
+    assert ix.search_facet_counts(["qqqq"], labels) == []
