@@ -102,7 +102,7 @@ _DRIVER_PRIORITY = [
     "crawl_diff", "domain_stats", "anchor_terms", "hits",
     "degree_dist", "host_graph", "crawl_schedule", "components",
     "components_dist", "fuzzy", "regex", "term_range",
-    "more_like_this", "search_page2", "search_facets",
+    "more_like_this", "search_page2", "search_facets", "bulk_queries",
     "lm_perplexity",
     "curate",
     "cluster_reps", "blocklist", "quantiles_by_source", "cross_dedup",

@@ -89,3 +89,63 @@ class QueryService:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class BulkScorer:
+    """Ray-Data-native bulk query scoring: the callable-CLASS
+    ``map_batches`` shape — ONE frozen :class:`BM25Index` replica per
+    actor, opened (and Zipf-head warmed) in ``__init__``, batches of
+    query terms scored in ``__call__``.  This is the offline
+    counterpart of :class:`QueryActor`: relevance sweeps, golden-set
+    regression scoring, query-log replay — 10^8 queries stream
+    through ``concurrency=N`` replicas with the index artifacts read
+    once per actor, never per batch.
+
+    Emits one (query, rank, doc_id, score) row per hit, rank 1-based
+    in the TopArray order (score desc, doc asc)."""
+
+    def __init__(self, index_dir: str, k: int = 3,
+                 warm_top_n: int = 512):
+        from .engine import BM25Index
+
+        self.ix = BM25Index(index_dir)
+        if warm_top_n:
+            self.ix.warm(warm_top_n)
+        self.k = k
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        queries, ranks, docs, scores = [], [], [], []
+        for q in batch["query"].to_pylist():
+            for r, (d, s) in enumerate(
+                    self.ix.search_exact([q], self.k), start=1):
+                queries.append(q)
+                ranks.append(r)
+                docs.append(d)
+                scores.append(s)
+        import numpy as np
+
+        return pa.table({
+            "query": pa.array(queries, pa.string()),
+            "rank": pa.array(np.asarray(ranks, np.int64)),
+            "doc_id": pa.array(np.asarray(docs, np.int64)),
+            "score": pa.array(np.asarray(scores, np.float64)),
+        })
+
+
+def bulk_search(queries, index_dir: str, k: int = 3,
+                concurrency: int = 2, batch_size: int = 256,
+                warm_top_n: int = 512):
+    """Score a Dataset of query terms against a frozen index with an
+    actor pool (``map_batches`` over :class:`BulkScorer`).  The
+    queries dataset streams; each actor holds one replica; sizing is
+    ``concurrency`` × one index handle of RAM."""
+    import ray.data  # noqa: F401  (Dataset method surface)
+
+    return queries.map_batches(
+        BulkScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k,
+                               "warm_top_n": warm_top_n},
+        concurrency=concurrency, batch_size=batch_size,
+        batch_format="pyarrow")

@@ -4074,3 +4074,71 @@ QUERIES.update({"search_page2": q_search_page2,
                 "search_facets": q_search_facets})
 ORACLES.update({"search_page2": SQL_SEARCH_PAGE2,
                 "search_facets": SQL_SEARCH_FACETS})
+
+
+# ---------------------------------------------------------------------
+# bulk query scoring (actor-pool serving stage) — full oracle
+# ---------------------------------------------------------------------
+
+BULK_N_QUERIES = 20
+BULK_K = 3
+
+
+def q_bulk_queries(sf_dir: str) -> pd.DataFrame:
+    """Offline bulk scoring: the 20 highest-cf vocabulary terms as a
+    query-log dataset, streamed through an ACTOR POOL of frozen index
+    replicas (index/serve.py:BulkScorer — the callable-class
+    map_batches shape: BM25Index opened + warmed once per actor in
+    __init__, batches scored in __call__; 10^8-query replay streams
+    through concurrency×replicas with the artifacts read once per
+    actor).  Top-3 per query in the TopArray order."""
+    ix = _index(sf_dir)
+    stats = q_term_stats(sf_dir)
+    terms = (stats.sort_values(["cf", "term"], ascending=[False, True])
+             .head(BULK_N_QUERIES)["term"].tolist())
+    queries = ray.data.from_arrow(
+        pa.table({"query": pa.array(terms, pa.string())}))
+    from ..index.serve import bulk_search
+    from ..ops.textstats import round_half_away
+
+    df = (bulk_search(queries.repartition(4), ix.dir, k=BULK_K)
+          .to_pandas())
+    df["rank"] = df["rank"].astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = round_half_away(df["score"].to_numpy())
+    return df.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+SQL_BULK_QUERIES = f"""
+WITH toks AS ({TOKS}),
+corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+avg_dl AS (SELECT sum(dl.dl) / corpus.n AS avgdl FROM dl, corpus GROUP BY corpus.n),
+qsel AS (SELECT term FROM (
+  SELECT term, count(*) AS cf FROM toks
+  GROUP BY term ORDER BY cf DESC, term LIMIT {BULK_N_QUERIES})),
+df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+       WHERE term IN (SELECT term FROM qsel) GROUP BY term),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks
+       WHERE term IN (SELECT term FROM qsel) GROUP BY doc_id, term),
+scored AS (
+  SELECT tf.term AS query, tf.doc_id,
+    pow(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5)), {IDF_EXP}) *
+    tf.tf * ({K1} + 1) /
+    (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / avg_dl.avgdl)) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus CROSS JOIN avg_dl),
+ranked AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored)
+SELECT query, rn::BIGINT AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rn <= {BULK_K}
+ORDER BY query, rank
+"""
+
+QUERIES.update({"bulk_queries": q_bulk_queries})
+ORACLES.update({"bulk_queries": SQL_BULK_QUERIES})

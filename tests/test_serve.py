@@ -66,3 +66,33 @@ def test_actor_refresh_adopts_writer_changes(served, ray_session):
     hits = ray.get(actor.search_terms.remote(["zqxfresh"], 10))
     assert len(hits) == 5
     assert ray.get(actor.refresh.remote()) is False
+
+
+def test_bulk_search_matches_local(served, ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from alix_ray.index.engine import BM25Index
+    from alix_ray.index.serve import bulk_search
+
+    _, index_dir = served
+    ix = BM25Index(index_dir)
+    terms = sorted(ix.cf, key=lambda t: (-ix.cf[t], t))[:6]
+    queries = ray.data.from_arrow(
+        pa.table({"query": pa.array(terms, pa.string())}))
+    got = (bulk_search(queries.repartition(3), index_dir, k=3,
+                       concurrency=2)
+           .to_pandas().sort_values(["query", "rank"])
+           .reset_index(drop=True))
+    rows = []
+    for q in sorted(terms):
+        for r, (d, s) in enumerate(ix.search_exact([q], 3), start=1):
+            rows.append((q, r, d, s))
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["query", "rank", "doc_id",
+                                       "score"])
+    want["rank"] = want["rank"].astype(np.int64)
+    want["doc_id"] = want["doc_id"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
