@@ -101,7 +101,7 @@ _DRIVER_PRIORITY = [
     "tfidf_pairs", "kmeans", "semdedup", "pagerank_dist", "pagerank",
     "crawl_diff", "domain_stats", "anchor_terms", "hits",
     "degree_dist", "host_graph", "crawl_schedule", "components",
-    "components_dist", "fuzzy", "regex", "term_range",
+    "components_dist", "fuzzy", "regex", "wildcard", "term_range",
     "more_like_this", "search_page2", "search_facets", "bulk_queries",
     "lm_perplexity",
     "curate",

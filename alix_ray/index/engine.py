@@ -1209,6 +1209,28 @@ class BM25Index:
             arr, pattern=f"^(?:{pattern})$")
         return _pc.filter(arr, mask).to_pylist()
 
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Vocabulary terms matching a Lucene ``WildcardQuery``
+        pattern (``*`` = any run, ``?`` = any single char, both
+        whole-term anchored).  Compiled to an anchored RE2 via
+        :meth:`regex_terms` — and nota bene the SAME pattern maps
+        1:1 onto SQL ``LIKE`` (``*``→``%``, ``?``→``_``), which is
+        what gives the wildcard query its oracle."""
+        import re
+
+        rx = "".join(".*" if c == "*" else "." if c == "?"
+                     else re.escape(c) for c in pattern)
+        return self.regex_terms(rx)
+
+    def search_wildcard(self, pattern: str, k: int = 10,
+                        scorer: str = "bm25"):
+        """Wildcard term search: expand via :meth:`wildcard_terms`,
+        score as a BM25 OR query (rewrite-to-BooleanQuery)."""
+        cands = self.wildcard_terms(pattern)
+        if not cands:
+            return []
+        return self.search_exact(cands, k, mode="or", scorer=scorer)
+
     def search_regex(self, pattern: str, k: int = 10,
                      scorer: str = "bm25"):
         """Regexp term search: expand via :meth:`regex_terms`, score

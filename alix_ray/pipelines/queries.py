@@ -4142,3 +4142,38 @@ ORDER BY query, rank
 
 QUERIES.update({"bulk_queries": q_bulk_queries})
 ORACLES.update({"bulk_queries": SQL_BULK_QUERIES})
+
+
+# ---------------------------------------------------------------------
+# wildcard term search — full oracle
+# ---------------------------------------------------------------------
+
+WILDCARD_PATTERN = "s?a*"      # scan, small, spark ...
+_WILDCARD_LIKE = WILDCARD_PATTERN.replace("*", "%").replace("?", "_")
+
+
+def q_wildcard(sf_dir: str) -> pd.DataFrame:
+    """Lucene WildcardQuery analog: `*`/`?` whole-term pattern over
+    the vocabulary (index/engine.py:wildcard_terms — compiled to an
+    anchored RE2, one vectorized Arrow pass), then BM25-OR.  The
+    pattern maps 1:1 onto SQL LIKE (`*`→`%`, `?`→`_`), giving the
+    exact oracle."""
+    from ..ops.textstats import round_half_away
+
+    ix = _index(sf_dir)
+    res = ix.search_wildcard(WILDCARD_PATTERN, 10)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+SQL_WILDCARD = _sql_bm25(
+    (), 10,
+    term_pred="term IN (SELECT term FROM wterms)",
+    extra_cte=f"""
+wterms AS (SELECT DISTINCT term FROM toks
+           WHERE term LIKE '{_WILDCARD_LIKE}'),""")
+
+QUERIES.update({"wildcard": q_wildcard})
+ORACLES.update({"wildcard": SQL_WILDCARD})

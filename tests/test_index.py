@@ -394,3 +394,24 @@ def test_search_facet_counts(built_index):
     assert dict(got) == want
     assert got == sorted(got, key=lambda r: (-r[1], r[0]))
     assert ix.search_facet_counts(["qqqq"], labels) == []
+
+
+def test_wildcard_terms_and_search(built_index):
+    import fnmatch
+
+    out, _, _ = built_index
+    from alix_ray.index.engine import BM25Index
+
+    ix = BM25Index(out)
+    term = max(ix.cf, key=lambda t: ix.cf[t])
+    for pat in (term[:2] + "*", "?" + term[1:], term[:-1] + "?",
+                "*" + term[-2:]):
+        want = sorted(t for t in ix.cf if fnmatch.fnmatchcase(t, pat))
+        assert sorted(ix.wildcard_terms(pat)) == want, pat
+    # regex metacharacters in the literal part are escaped
+    assert ix.wildcard_terms("a.c*") == sorted(
+        t for t in ix.cf if fnmatch.fnmatchcase(t, "a.c*"))
+    pat = term[:2] + "*"
+    exp = ix.wildcard_terms(pat)
+    assert exp
+    assert ix.search_wildcard(pat, 5) == ix.search_exact(exp, 5)
