@@ -217,7 +217,8 @@ def run_bench() -> dict:
     pipeline_secs = {}
     for name in ("term_stats", "bm25_top10", "minhash_pairs", "ann_topk",
                  "lm_perplexity", "curate", "tfidf_pairs", "semdedup",
-                 "crawl_diff", "pagerank", "components", "crawl_schedule"):
+                 "crawl_diff", "pagerank", "components", "crawl_schedule",
+                 "bulk_queries"):
         t0 = time.time()
         q.QUERIES[name](SF_DIR)
         pipeline_secs[name] = round(time.time() - t0, 3)
