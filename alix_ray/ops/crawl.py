@@ -1207,3 +1207,114 @@ def connected_components_partitioned(edges: ray.data.Dataset,
         return pa.table({"node": t["id"], "component": t["lbl"]})
 
     return nodes.map_batches(out_rows, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------
+
+
+def triangle_counts(edges: ray.data.Dataset, n_nodes: int,
+                    src_col: str = "src", dst_col: str = "dst",
+                    max_broadcast_edges: int = 500_000_000
+                    ) -> ray.data.Dataset:
+    """Per-node triangle participation counts over the undirected
+    simple graph (self-loops and duplicate/reverse edges collapse in
+    canonicalization).  The webgraph reading: triangles measure local
+    clustering — link farms and mutual-admiration spam rings light up
+    as triangle-dense cores, while organic hub pages are
+    triangle-sparse (Becchetti 2008's spam-detection feature).
+
+    Semantics: ``triangles(v)`` = closed wedges with apex ``v`` — each
+    triangle {a,b,c} contributes exactly one closed wedge per member,
+    so the per-node column counts the triangles CONTAINING the node
+    and sums to 3× the global triangle count.
+
+    Shape: the canonical edge-key set (sorted ``a·n+b`` int64, a<b)
+    is folded once and broadcast via ``ray.put`` (fail-fast past
+    ``max_broadcast_edges`` — 8 B/edge); wedge enumeration then runs
+    DISTRIBUTED over the node range (``ray.data.range`` →
+    ``map_batches``): per apex the neighbor pairs come from
+    ``np.triu_indices`` (numpy per apex — the O(d²) wedge cost is
+    intrinsic, not an implementation loop) and the batch's pooled
+    candidate pairs close against the broadcast key set in ONE
+    vectorized ``searchsorted``.  Beyond the broadcast bound the
+    standard escalation is degree-oriented wedge-join MapReduce
+    (Suri & Vassilvitskii 2011): orient edges low→high degree, ship
+    wedges to the edge's hash partition — O(E^{3/2}) total work,
+    nothing resident."""
+    if n_nodes > np.sqrt(np.iinfo(np.int64).max):
+        raise ValueError("edge keys need n_nodes^2 < 2^63")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        return pa.table({"k": pa.array(np.unique(a * n_nodes + b))})
+
+    # one slim fold of distinct edge keys (8 B/edge on the wire)
+    kparts = [b["k"].to_numpy(zero_copy_only=False)
+              for b in edges.map_batches(canon, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")]
+    keys = np.unique(np.concatenate(kparts)) if kparts else \
+        np.empty(0, np.int64)
+    if len(keys) > max_broadcast_edges:
+        raise ValueError(
+            f"triangle_counts broadcasts {len(keys)} edge keys; beyond "
+            "max_broadcast_edges use the degree-oriented wedge-join "
+            "(Suri & Vassilvitskii 2011) escalation")
+
+    # CSR adjacency (both directions) from the canonical keys
+    a = keys // n_nodes
+    b = keys % n_nodes
+    heads = np.concatenate([a, b])
+    tails = np.concatenate([b, a])
+    order = np.argsort(heads, kind="stable")
+    heads, tails = heads[order], tails[order]
+    indptr = np.zeros(n_nodes + 1, np.int64)
+    np.add.at(indptr, heads + 1, 1)
+    indptr = np.cumsum(indptr)
+    # neighbors sorted per node for deterministic wedge order
+    for_srt = np.lexsort((tails, heads))
+    tails = tails[for_srt]
+
+    keys_ref = ray.put(keys)
+    indptr_ref = ray.put(indptr)
+    tails_ref = ray.put(tails)
+
+    def count(batch) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ip = ray.get(indptr_ref)
+        tl = ray.get(tails_ref)
+        nodes = batch["id"].astype(np.int64)
+        apex, us, ws = [], [], []
+        for v in nodes:
+            nb = tl[ip[v]:ip[v + 1]]
+            d = len(nb)
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, k=1)
+            apex.append(np.full(len(i), v, np.int64))
+            us.append(nb[i])
+            ws.append(nb[j])
+        if not apex:
+            return pa.table({"node": pa.array(nodes),
+                             "triangles": pa.array(
+                                 np.zeros(len(nodes), np.int64))})
+        av = np.concatenate(apex)
+        cand = np.concatenate(us) * n_nodes + np.concatenate(ws)
+        pos = np.searchsorted(ks, cand)
+        hit = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)]
+                                 == cand)
+        tri = np.zeros(len(nodes), np.int64)
+        vidx = np.searchsorted(nodes, av[hit])
+        np.add.at(tri, vidx, 1)
+        return pa.table({"node": pa.array(nodes),
+                         "triangles": pa.array(tri)})
+
+    return ray.data.range(n_nodes).map_batches(
+        count, batch_format="numpy")

@@ -4177,3 +4177,63 @@ wterms AS (SELECT DISTINCT term FROM toks
 
 QUERIES.update({"wildcard": q_wildcard})
 ORACLES.update({"wildcard": SQL_WILDCARD})
+
+
+# ---------------------------------------------------------------------
+# triangle counts — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle participation over a deterministic
+    triangle-rich irregular graph (ring i—i+1, half-chords i—i+2 for
+    even i, quadratic map i—(i²+3)%N; per-node counts spread 1-4 at
+    test scale, so the check discriminates)
+    (ops/crawl.py:triangle_counts — canonical edge keys folded once
+    and broadcast, wedge enumeration distributed over the node range,
+    one vectorized searchsorted membership pass per batch; integer
+    counts, no rounding schedule)."""
+    from ..ops.crawl import triangle_counts
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ev = ids[ids % 2 == 0]
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ev, ids])),
+            "dst": pa.array(np.concatenate(
+                [(ids + 1) % n, (ev + 2) % n, (ids * ids + 3) % n])),
+        })
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = triangle_counts(edges, n).to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["triangles"] = df["triangles"].astype("int64")
+    return df.sort_values("node").reset_index(drop=True)
+
+
+SQL_TRIANGLES = """
+WITH raw AS (
+  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % (SELECT count(*) FROM documents) FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 3) % (SELECT count(*) FROM documents) FROM documents),
+e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM raw WHERE src <> dst),
+sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+wed AS (SELECT s1.a AS v, s1.b AS u, s2.b AS w
+        FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b),
+tri AS (SELECT v, count(*) AS t
+        FROM wed JOIN e0 e ON e.a = wed.u AND e.b = wed.w GROUP BY v)
+SELECT d.doc_id::BIGINT AS node, coalesce(t.t, 0)::BIGINT AS triangles
+FROM documents d LEFT JOIN tri t ON t.v = d.doc_id
+ORDER BY node
+"""
+
+QUERIES.update({"triangles": q_triangles})
+ORACLES.update({"triangles": SQL_TRIANGLES})

@@ -502,3 +502,45 @@ class TestConnectedComponentsPartitioned:
         comp = got["component"].to_numpy()
         assert (comp[:22] == 0).all()
         assert (comp[22:] == 22).all()
+
+
+class TestTriangleCounts:
+    def test_known_graphs(self, ray_session):
+        from alix_ray.ops.crawl import triangle_counts
+
+        # one triangle {0,1,2} plus a pendant edge 2-3
+        ds = _ds({"src": [0, 1, 2, 2], "dst": [1, 2, 0, 3]})
+        got = triangle_counts(ds, 4).to_pandas().sort_values(
+            "node").reset_index(drop=True)
+        assert got["triangles"].tolist() == [1, 1, 1, 0]
+        # two triangles sharing edge 1-2; self-loops, dups and
+        # reversed edges collapse in canonicalization
+        ds2 = _ds({"src": [0, 1, 2, 1, 2, 3, 0, 1, 2],
+                   "dst": [1, 2, 0, 3, 3, 3, 1, 0, 2]})
+        got2 = triangle_counts(ds2, 4).to_pandas().sort_values(
+            "node").reset_index(drop=True)
+        assert got2["triangles"].tolist() == [1, 2, 2, 1]
+        # column sums to 3x the global triangle count
+        assert got2["triangles"].sum() == 3 * 2
+
+    def test_partition_independence(self, ray_session):
+        from alix_ray.ops.crawl import triangle_counts
+
+        rng = np.random.RandomState(13)
+        n = 40
+        src = rng.randint(0, n, 200)
+        dst = rng.randint(0, n, 200)
+        ds = _ds({"src": src, "dst": dst})
+        a = triangle_counts(ds, n).to_pandas().sort_values(
+            "node").reset_index(drop=True)
+        b = triangle_counts(ds.repartition(7), n).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert a["triangles"].sum() % 3 == 0
+
+    def test_broadcast_bound_raises(self, ray_session):
+        from alix_ray.ops.crawl import triangle_counts
+
+        with pytest.raises(ValueError):
+            triangle_counts(_ds({"src": [0, 1], "dst": [1, 2]}), 3,
+                            max_broadcast_edges=1)
