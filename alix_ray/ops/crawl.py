@@ -1228,7 +1228,10 @@ def triangle_counts(edges: ray.data.Dataset, n_nodes: int,
     Semantics: ``triangles(v)`` = closed wedges with apex ``v`` — each
     triangle {a,b,c} contributes exactly one closed wedge per member,
     so the per-node column counts the triangles CONTAINING the node
-    and sums to 3× the global triangle count.
+    and sums to 3× the global triangle count.  The simple-graph
+    ``degree`` rides along for free (CSR indptr diff) — it is the
+    denominator of the local clustering coefficient
+    ``2·tri / (d·(d−1))`` (Watts–Strogatz 1998).
 
     Shape: the canonical edge-key set (sorted ``a·n+b`` int64, a<b)
     is folded once and broadcast via ``ray.put`` (fail-fast past
@@ -1291,6 +1294,7 @@ def triangle_counts(edges: ray.data.Dataset, n_nodes: int,
         ip = ray.get(indptr_ref)
         tl = ray.get(tails_ref)
         nodes = batch["id"].astype(np.int64)
+        deg = ip[nodes + 1] - ip[nodes]
         apex, us, ws = [], [], []
         for v in nodes:
             nb = tl[ip[v]:ip[v + 1]]
@@ -1304,7 +1308,8 @@ def triangle_counts(edges: ray.data.Dataset, n_nodes: int,
         if not apex:
             return pa.table({"node": pa.array(nodes),
                              "triangles": pa.array(
-                                 np.zeros(len(nodes), np.int64))})
+                                 np.zeros(len(nodes), np.int64)),
+                             "degree": pa.array(deg)})
         av = np.concatenate(apex)
         cand = np.concatenate(us) * n_nodes + np.concatenate(ws)
         pos = np.searchsorted(ks, cand)
@@ -1314,7 +1319,8 @@ def triangle_counts(edges: ray.data.Dataset, n_nodes: int,
         vidx = np.searchsorted(nodes, av[hit])
         np.add.at(tri, vidx, 1)
         return pa.table({"node": pa.array(nodes),
-                         "triangles": pa.array(tri)})
+                         "triangles": pa.array(tri),
+                         "degree": pa.array(deg)})
 
     return ray.data.range(n_nodes).map_batches(
         count, batch_format="numpy")

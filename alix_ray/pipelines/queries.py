@@ -4213,6 +4213,7 @@ def q_triangles(sf_dir: str) -> pd.DataFrame:
     df = triangle_counts(edges, n).to_pandas()
     df["node"] = df["node"].astype("int64")
     df["triangles"] = df["triangles"].astype("int64")
+    df["degree"] = df["degree"].astype("int64")
     return df.sort_values("node").reset_index(drop=True)
 
 
@@ -4229,11 +4230,52 @@ sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
 wed AS (SELECT s1.a AS v, s1.b AS u, s2.b AS w
         FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b),
 tri AS (SELECT v, count(*) AS t
-        FROM wed JOIN e0 e ON e.a = wed.u AND e.b = wed.w GROUP BY v)
-SELECT d.doc_id::BIGINT AS node, coalesce(t.t, 0)::BIGINT AS triangles
+        FROM wed JOIN e0 e ON e.a = wed.u AND e.b = wed.w GROUP BY v),
+deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a)
+SELECT d.doc_id::BIGINT AS node, coalesce(t.t, 0)::BIGINT AS triangles,
+       coalesce(g.d, 0)::BIGINT AS degree
 FROM documents d LEFT JOIN tri t ON t.v = d.doc_id
+LEFT JOIN deg g ON g.v = d.doc_id
 ORDER BY node
 """
 
 QUERIES.update({"triangles": q_triangles})
 ORACLES.update({"triangles": SQL_TRIANGLES})
+
+
+def q_clustering(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient c(v) = 2·tri(v)/(d(v)·(d(v)−1))
+    (Watts–Strogatz 1998) over the same triangle-rich graph — the
+    per-page "spamminess of the neighborhood" scalar; both factors
+    come from ONE triangle_counts pass (the degree rides the CSR for
+    free)."""
+    from ..ops.textstats import round_half_away
+
+    df = q_triangles(sf_dir)
+    d = df["degree"].to_numpy(np.float64)
+    t = df["triangles"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.where(d >= 2, 2.0 * t / (d * (d - 1.0)), 0.0)
+    return pd.DataFrame({
+        "node": df["node"],
+        "coeff": round_half_away(c),
+    })
+
+
+SQL_CLUSTERING = SQL_TRIANGLES.replace(
+    """SELECT d.doc_id::BIGINT AS node, coalesce(t.t, 0)::BIGINT AS triangles,
+       coalesce(g.d, 0)::BIGINT AS degree
+FROM documents d LEFT JOIN tri t ON t.v = d.doc_id
+LEFT JOIN deg g ON g.v = d.doc_id
+ORDER BY node""",
+    """SELECT d.doc_id::BIGINT AS node,
+       round(CASE WHEN coalesce(g.d, 0) >= 2
+             THEN 2.0 * coalesce(t.t, 0) / (g.d * (g.d - 1.0))
+             ELSE 0.0 END, 6) AS coeff
+FROM documents d LEFT JOIN tri t ON t.v = d.doc_id
+LEFT JOIN deg g ON g.v = d.doc_id
+ORDER BY node""")
+assert SQL_CLUSTERING != SQL_TRIANGLES
+
+QUERIES.update({"clustering": q_clustering})
+ORACLES.update({"clustering": SQL_CLUSTERING})
