@@ -622,7 +622,10 @@ class TermLexicon:
         self.terms = terms
         self._n = len(terms)
 
-    def index(self, term: str) -> int:
+    def lower_bound(self, term: str) -> int:
+        """First position whose term is >= ``term`` (binary search
+        over the Arrow buffers — the single comparison kernel shared
+        by exact lookup and range expansion)."""
         lo, hi = 0, self._n
         while lo < hi:
             mid = (lo + hi) // 2
@@ -630,6 +633,10 @@ class TermLexicon:
                 lo = mid + 1
             else:
                 hi = mid
+        return lo
+
+    def index(self, term: str) -> int:
+        lo = self.lower_bound(term)
         if lo < self._n and self.terms[lo].as_py() == term:
             return lo
         return -1
@@ -1165,22 +1172,11 @@ class BM25Index:
         slice — O(log vocab + matches), no scan at all (the only
         MultiTermQuery rewrite that never touches the whole
         dictionary)."""
-        arr = self.lexicon.terms
-        n = len(arr)
-
-        def lower_bound(key: str) -> int:
-            lo_i, hi_i = 0, n
-            while lo_i < hi_i:
-                mid = (lo_i + hi_i) // 2
-                if arr[mid].as_py() < key:
-                    lo_i = mid + 1
-                else:
-                    hi_i = mid
-            return lo_i
-
-        a = lower_bound(lo) if lo is not None else 0
-        b = lower_bound(hi) if hi is not None else n
-        return arr.slice(a, max(0, b - a)).to_pylist()
+        lex = self.lexicon
+        n = len(lex)
+        a = lex.lower_bound(lo) if lo is not None else 0
+        b = lex.lower_bound(hi) if hi is not None else n
+        return lex.terms.slice(a, max(0, b - a)).to_pylist()
 
     def search_term_range(self, lo: str | None, hi: str | None,
                           k: int = 10, scorer: str = "bm25"):
@@ -1808,7 +1804,11 @@ class BM25Index:
             span_terms = 16 if self._has_positions() else 0
         if span_terms:
             rail = self.rail()
-            for _mn, _mx, fi, rg in rail._spans:
+            # prefetch only what the probe LRU can HOLD — warming all
+            # row groups of a large artifact would scan the corpus at
+            # open and self-evict everything but the tail anyway
+            cap = 8 * Rail._RG_CACHE_MAX
+            for _mn, _mx, fi, rg in rail._spans[:cap]:
                 rail._docs_of(fi, rg)  # 8 B/doc probe columns, own LRU
             for t in hot[:span_terms]:
                 if t in self.postings:

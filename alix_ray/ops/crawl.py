@@ -51,15 +51,39 @@ from .dedup import (_mix64, _num_parts, _partition_key, _token_hashes,
                     md5_lower64)
 
 
+def _fast_hashes(strings: list[str]) -> np.ndarray:
+    """Production 64-bit content hashes, length-routed: short strings
+    (urls, tokens — max ≤ 256 B in the batch) go through the
+    byte-position-vectorized FNV (:func:`_token_hashes`, whose inner
+    loop runs max(len) iterations over the WHOLE batch — great for
+    tokens, pathological for page-sized texts), long strings through
+    per-string blake2b-64 (C speed, O(total bytes) — faster than the
+    md5 oracle path and with the same collision geometry).  Only hash
+    EQUALITY matters downstream, so the router never changes any
+    status/count output."""
+    import hashlib
+
+    if strings and max(len(t) for t in strings) > 256:
+        out = np.empty(len(strings), np.uint64)
+        for i, t in enumerate(strings):
+            out[i] = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"),
+                                digest_size=8).digest(), "little")
+        return out
+    return _token_hashes(strings)
+
+
 def _hash_fn(hash: str):
     """md5 (default) keeps the exact DuckDB ``md5_number_lower``
-    oracle; fnv is the fully-vectorized production path (same
-    ``hash=`` semantics as ``tfidf_cosine_pairs`` / ``fingerprint``).
-    Status/count outputs are identical on both paths — only hash
-    EQUALITY matters downstream — asserted by unit test."""
+    oracle; fnv is the production path (same ``hash=`` semantics as
+    ``tfidf_cosine_pairs`` / ``fingerprint``), length-routed between
+    the vectorized token FNV and per-string blake2b-64 for
+    content-sized payloads (:func:`_fast_hashes`).  Status/count
+    outputs are identical on both paths — only hash EQUALITY matters
+    downstream — asserted by unit test."""
     if hash not in ("md5", "fnv"):
         raise ValueError(f"hash must be 'md5' or 'fnv', got {hash!r}")
-    return md5_lower64 if hash == "md5" else _token_hashes
+    return md5_lower64 if hash == "md5" else _fast_hashes
 
 # RE2 patterns shared VERBATIM with the SQL oracles (DuckDB regexp_*
 # is RE2 too — one pattern string, two engines, provable parity).
@@ -248,7 +272,10 @@ def domain_stats(ds: ray.data.Dataset, url_col: str = "url",
     def partial(batch: pa.Table) -> pa.Table:
         u, dom = normalize_batch(batch[url_col].combine_chunks())
         if chars_col is not None and chars_col in batch.schema.names:
-            chars = pc.cast(batch[chars_col], pa.int64())
+            # safe=False keeps the old pandas-path tolerance for
+            # float chars columns (fractional values truncate instead
+            # of failing the whole job)
+            chars = pc.cast(batch[chars_col], pa.int64(), safe=False)
         else:
             chars = pa.array(np.zeros(len(batch), np.int64))
         t = pa.table({"domain": dom, "url_norm": u, "chars": chars})
@@ -1044,6 +1071,7 @@ def connected_components(edges: ray.data.Dataset, n_nodes: int,
     edges = edges.select_columns([src_col, dst_col]).materialize()
     labels = np.arange(n_nodes, dtype=np.int64)
 
+    converged = False
     for _ in range(max_iter):
         lab_ref = ray.put(labels)
 
@@ -1073,8 +1101,17 @@ def connected_components(edges: ray.data.Dataset, n_nodes: int,
             m = b["min(m)"].to_numpy(zero_copy_only=False)
             np.minimum.at(new, ids, m)
         if np.array_equal(new, labels):
+            converged = True
             break
         labels = new
+    if not converged:
+        # silently returning partial labels would split components —
+        # rounds needed = graph diameter, so a long chain (paginated
+        # site) can legitimately exceed the default
+        raise RuntimeError(
+            f"connected_components did not reach the fixpoint in "
+            f"{max_iter} rounds (graph diameter exceeds max_iter); "
+            "raise max_iter")
 
     out = pa.table({
         "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
@@ -1151,6 +1188,7 @@ def connected_components_partitioned(edges: ray.data.Dataset,
                        ("o", pa.int64()), ("lbl", pa.int64())])
     _FOLD = pa.schema(list(_CAND) + [("chg", pa.int64())])
 
+    converged = False
     for _ in range(max_iter):
         def src_join(g: pd.DataFrame) -> pa.Table:
             e = g[g["o"] >= 0]
@@ -1201,7 +1239,13 @@ def connected_components_partitioned(edges: ray.data.Dataset,
         changed = folded.sum("chg")
         nodes = folded.drop_columns(["chg"]).materialize()
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_partitioned did not reach the "
+            f"fixpoint in {max_iter} rounds (graph diameter exceeds "
+            "max_iter); raise max_iter")
 
     def out_rows(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["id"], "component": t["lbl"]})
@@ -1276,14 +1320,13 @@ def triangle_counts(edges: ray.data.Dataset, n_nodes: int,
     b = keys % n_nodes
     heads = np.concatenate([a, b])
     tails = np.concatenate([b, a])
-    order = np.argsort(heads, kind="stable")
+    # one lexsort gives the final (head-major, neighbor-sorted) CSR
+    # layout directly; indptr counts are order-independent
+    order = np.lexsort((tails, heads))
     heads, tails = heads[order], tails[order]
     indptr = np.zeros(n_nodes + 1, np.int64)
     np.add.at(indptr, heads + 1, 1)
     indptr = np.cumsum(indptr)
-    # neighbors sorted per node for deterministic wedge order
-    for_srt = np.lexsort((tails, heads))
-    tails = tails[for_srt]
 
     keys_ref = ray.put(keys)
     indptr_ref = ray.put(indptr)

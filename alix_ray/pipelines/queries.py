@@ -3311,6 +3311,25 @@ PR_ITER = 5
 PR_DAMP = 0.85
 
 
+def _mk_edges_fn(n: int, maps):
+    """Deterministic synthetic link-graph builder shared by the graph
+    queries: one (src=doc_id, dst=map(id)%n) edge per map per doc.
+    The maps must stay byte-identical to each oracle's edges CTE —
+    hence ONE home for the batch kernel (each query still picks its
+    own map pair: bijective linear maps give uniform centralities, so
+    hits/degree_dist deliberately use the non-bijective quadratic).
+    NB the int64 square in the quadratic map overflows past
+    doc_id ≈ 3e9 — the synthetic graphs are test-scale by design."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids] * len(maps))),
+            "dst": pa.array(np.concatenate([m(ids) % n for m in maps])),
+        })
+    return fn
+
+
 def _run_pagerank_query(sf_dir: str, impl_kwargs=None,
                         partitioned: bool = False) -> pd.DataFrame:
     """Shared harness for the two PageRank variants: the SAME
@@ -3324,14 +3343,9 @@ def _run_pagerank_query(sf_dir: str, impl_kwargs=None,
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     n = docs.count()
 
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        src = np.concatenate([ids, ids])
-        dst = np.concatenate([(ids * 7 + 1) % n, (ids * 13 + 3) % n])
-        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-
-    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = docs.map_batches(
+        _mk_edges_fn(n, [lambda i: i * 7 + 1, lambda i: i * 13 + 3]),
+        batch_format="pyarrow")
     impl = pagerank_partitioned if partitioned else pagerank
     df = impl(edges, n, n_iter=PR_ITER, damping=PR_DAMP,
               **(impl_kwargs or {})).to_pandas()
@@ -3493,16 +3507,9 @@ def q_hits(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     n = docs.count()
 
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        return pa.table({
-            "src": pa.array(np.concatenate([ids, ids])),
-            "dst": pa.array(np.concatenate(
-                [(ids * 7 + 1) % n, (ids * ids + 3) % n])),
-        })
-
-    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = docs.map_batches(
+        _mk_edges_fn(n, [lambda i: i * 7 + 1, lambda i: i * i + 3]),
+        batch_format="pyarrow")
     df = hits(edges, n, n_iter=HITS_ITER).to_pandas()
     df["hub"] = round_half_away(df["hub"].to_numpy())
     df["auth"] = round_half_away(df["auth"].to_numpy())
@@ -3567,16 +3574,9 @@ def q_degree_dist(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     n = docs.count()
 
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        return pa.table({
-            "src": pa.array(np.concatenate([ids, ids])),
-            "dst": pa.array(np.concatenate(
-                [(ids * 7 + 1) % n, (ids * ids + 3) % n])),
-        })
-
-    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = docs.map_batches(
+        _mk_edges_fn(n, [lambda i: i * 7 + 1, lambda i: i * i + 3]),
+        batch_format="pyarrow")
     df = degree_distribution(edges).to_pandas()
     df["degree"] = df["degree"].astype("int64")
     df["n_nodes"] = df["n_nodes"].astype("int64")
@@ -3627,16 +3627,9 @@ def q_host_graph(sf_dir: str) -> pd.DataFrame:
     hosts[mapping["doc_id"].to_numpy(np.int64)] = \
         mapping["source"].to_numpy(object)
 
-    def mk_edges(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64)
-        return pa.table({
-            "src": pa.array(np.concatenate([ids, ids])),
-            "dst": pa.array(np.concatenate(
-                [(ids * 7 + 1) % n, (ids * 13 + 3) % n])),
-        })
-
-    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    edges = docs.map_batches(
+        _mk_edges_fn(n, [lambda i: i * 7 + 1, lambda i: i * 13 + 3]),
+        batch_format="pyarrow")
     df = host_link_graph(edges, hosts).to_pandas()
     df["n_links"] = df["n_links"].astype("int64")
     return df.sort_values(["src_host", "dst_host"]).reset_index(
@@ -4030,7 +4023,8 @@ def q_search_page2(sf_dir: str) -> pd.DataFrame:
 
     ix = _index(sf_dir)
     page1 = ix.search_exact(list(BM25_QUERY_TERMS), 10)
-    res = ix.search_after(list(BM25_QUERY_TERMS), after=page1[-1], k=10)
+    res = [] if not page1 else \
+        ix.search_after(list(BM25_QUERY_TERMS), after=page1[-1], k=10)
     return pd.DataFrame({
         "doc_id": [d for d, _ in res],
         "score": round_half_away([s for _, s in res]),

@@ -524,7 +524,9 @@ def try_compact_small(b, docs_files: list[str], an_files: list[str],
     flush ADD path removed — so run the whole rebuild as two raw task
     waves (tombstone-filter + write + encode per source file, then the
     shared merge wave / driver assembly).  The caller gates on live
-    rows ≤ ``SMALL_BUILD_MAX_ROWS``; artifacts publish under the SAME
+    rows ≤ ``SMALL_COMPACT_MAX_ROWS`` (2× the add-path gate — a
+    compact has no analysis stage, so twice the rows fit the same
+    driver budget); artifacts publish under the SAME
     chained fingerprints as the staged ``_rebuild_from``, so resume
     and serving read the two paths interchangeably.  Returns True if
     it built (False routes the caller to the staged path)."""

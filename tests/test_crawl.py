@@ -544,3 +544,16 @@ class TestTriangleCounts:
         with pytest.raises(ValueError):
             triangle_counts(_ds({"src": [0, 1], "dst": [1, 2]}), 3,
                             max_broadcast_edges=1)
+
+
+def test_components_max_iter_exhaustion_raises(ray_session):
+    from alix_ray.ops.crawl import (connected_components,
+                                    connected_components_partitioned)
+
+    # 10-node path needs 9 rounds; max_iter=3 cannot converge
+    edges = np.array([[i, i + 1] for i in range(9)])
+    ds = _ds({"src": edges[:, 0], "dst": edges[:, 1]})
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(ds, 10, max_iter=3)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_partitioned(ds, 10, max_iter=3)
