@@ -4273,3 +4273,61 @@ assert SQL_CLUSTERING != SQL_TRIANGLES
 
 QUERIES.update({"clustering": q_clustering})
 ORACLES.update({"clustering": SQL_CLUSTERING})
+
+
+# ---------------------------------------------------------------------
+# global graph stats — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_graph_stats(sf_dir: str) -> pd.DataFrame:
+    """Global panel of the ring+quadratic graph (i→i+1, i→(i²+3)%N):
+    edge counts, distinct pairs, reciprocal pairs, and Newman (2002)
+    degree assortativity (ops/crawl.py:graph_stats).  The parity
+    trick: every Pearson term is an INTEGER sum of integer degrees —
+    exact in any combination order across engines/partitions — so the
+    only float op is the final division, rounded once; no
+    round-before-aggregate schedule anywhere."""
+    from ..ops.crawl import graph_stats
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    n = docs.count()
+    edges = docs.map_batches(
+        _mk_edges_fn(n, [lambda i: i + 1, lambda i: i * i + 3]),
+        batch_format="pyarrow")
+    df = graph_stats(edges, n).to_pandas()
+    for c in ("n_edges", "n_distinct", "n_reciprocal"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+SQL_GRAPH_STATS = """
+WITH e AS (
+  SELECT doc_id AS src, (doc_id + 1) % (SELECT count(*) FROM documents) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * doc_id + 3) % (SELECT count(*) FROM documents) FROM documents),
+deg AS (SELECT id, count(*)::BIGINT AS d FROM (
+          SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        GROUP BY id),
+dk AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+sums AS (
+  SELECT count(*)::BIGINT AS e_cnt,
+         sum(ds.d)::BIGINT AS sx, sum(dd.d)::BIGINT AS sy,
+         sum(ds.d * dd.d)::BIGINT AS sxy,
+         sum(ds.d * ds.d)::BIGINT AS sxx,
+         sum(dd.d * dd.d)::BIGINT AS syy
+  FROM e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst)
+SELECT e_cnt AS n_edges,
+       (SELECT count(*) FROM dk)::BIGINT AS n_distinct,
+       (SELECT count(*) FROM dk a JOIN dk b
+        ON a.src = b.dst AND a.dst = b.src)::BIGINT AS n_reciprocal,
+       round((e_cnt * sxy - sx * sy)
+             / sqrt((e_cnt * sxx - sx * sx)::DOUBLE
+                    * (e_cnt * syy - sy * sy)::DOUBLE), 6)
+         AS assortativity
+FROM sums
+"""
+
+QUERIES.update({"graph_stats": q_graph_stats})
+ORACLES.update({"graph_stats": SQL_GRAPH_STATS})

@@ -557,3 +557,36 @@ def test_components_max_iter_exhaustion_raises(ray_session):
         connected_components(ds, 10, max_iter=3)
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components_partitioned(ds, 10, max_iter=3)
+
+
+class TestGraphStats:
+    def test_known_values(self, ray_session):
+        from alix_ray.ops.crawl import graph_stats
+
+        # edges: 0->1, 1->0 (reciprocal pair), 1->2, 2->2 (self), dup 0->1
+        ds = _ds({"src": [0, 1, 1, 2, 0], "dst": [1, 0, 2, 2, 1]})
+        got = graph_stats(ds, 3).to_pandas().iloc[0]
+        assert got["n_edges"] == 5
+        assert got["n_distinct"] == 3        # 0->1, 1->0, 1->2
+        assert got["n_reciprocal"] == 2      # both members of the pair
+        # assortativity: manual pearson over endpoint total degrees
+        deg = np.zeros(3, np.int64)
+        for s, d in [(0, 1), (1, 0), (1, 2), (2, 2), (0, 1)]:
+            deg[s] += 1
+            deg[d] += 1
+        x = deg[[0, 1, 1, 2, 0]].astype(float)
+        y = deg[[1, 0, 2, 2, 1]].astype(float)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(got["assortativity"] - round(want, 6)) < 2e-6
+
+    def test_partition_independence_exact(self, ray_session):
+        from alix_ray.ops.crawl import graph_stats
+
+        rng = np.random.RandomState(17)
+        n = 50
+        ds = _ds({"src": rng.randint(0, n, 300),
+                  "dst": rng.randint(0, n, 300)})
+        a = graph_stats(ds, n).to_pandas()
+        b = graph_stats(ds.repartition(11), n).to_pandas()
+        # integer partials combine exactly -> bit-equal, any partitioning
+        pd.testing.assert_frame_equal(a, b)
