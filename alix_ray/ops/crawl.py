@@ -98,6 +98,7 @@ P_QUERY_TAIL = r"[?&]+$"
 P_DEFAULT_PORT = r"^(https?://[^/:]+):(80|443)(/|\?|$)"
 P_TRAILING_SLASH = r"/+$"
 P_DOMAIN = r"^https?://(?P<d>[^/:?#]+)"
+P_AUTHORITY = r"^https?://[^/?#]+"  # strip to the robots match target
 P_DOMAIN_SQL = r"^https?://([^/:?#]+)"  # DuckDB wants a numbered group
 
 
@@ -1486,3 +1487,50 @@ def graph_stats(edges: ray.data.Dataset, n_nodes: int,
         "n_reciprocal": pa.array([np.int64(n_reciprocal)]),
         "assortativity": pa.array([assort]),
     }))
+
+
+# ---------------------------------------------------------------------
+# robots compliance filter
+# ---------------------------------------------------------------------
+
+
+def robots_filter(pages: ray.data.Dataset,
+                  rules: dict[str, list[str]],
+                  url_col: str = "url") -> ray.data.Dataset:
+    """Robots-exclusion compliance gate (the C4/CommonCrawl curation
+    step): drop rows whose URL path is Disallow'd for its domain.
+    ``rules`` maps domain → list of disallowed PATH PREFIXES
+    (robots.txt core semantics: a rule matches when the part of the
+    URL after the authority STARTS WITH the prefix; the match target
+    includes query and fragment, pinned identically in the SQL
+    oracle).  Longest-match Allow/Disallow resolution (RFC 9309 §2.2)
+    is the documented extension — Disallow-only covers the
+    compliance-gating use.
+
+    Zero-shuffle: the (tiny) rule table broadcasts once via
+    ``ray.put``; per batch, ONE RE2 domain extract + ONE authority
+    strip (patterns shared VERBATIM with the oracle's
+    ``regexp_extract`` / ``regexp_replace`` — both RE2), then one
+    vectorized ``starts_with`` pass per (domain, prefix) rule —
+    O(rules) column kernels, no Python per row."""
+    rules_ref = ray.put({d: tuple(ps) for d, ps in rules.items()})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rl = ray.get(rules_ref)
+        urls = pc.cast(batch[url_col], pa.string())
+        dom = pc.struct_field(
+            pc.extract_regex(urls, P_DOMAIN), "d")
+        path = pc.replace_substring_regex(
+            urls, pattern=P_AUTHORITY, replacement="")
+        dom_np = np.asarray(dom.to_pylist(), dtype=object)
+        blocked = np.zeros(len(batch), bool)
+        for d, prefixes in rl.items():
+            dmask = dom_np == d
+            if not dmask.any():
+                continue
+            for pfx in prefixes:
+                blocked |= dmask & pc.starts_with(
+                    path, pattern=pfx).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~blocked))
+
+    return pages.map_batches(fn, batch_format="pyarrow")

@@ -4331,3 +4331,57 @@ FROM sums
 
 QUERIES.update({"graph_stats": q_graph_stats})
 ORACLES.update({"graph_stats": SQL_GRAPH_STATS})
+
+
+# ---------------------------------------------------------------------
+# robots compliance filter — full oracle
+# ---------------------------------------------------------------------
+
+# every third source domain disallows the /p/1* and /p/2* path families
+ROBOTS_RULES = {f"src{j}.example.org": ["/p/1", "/p/2"]
+                for j in range(0, 20, 3)}
+
+
+def q_robots(sf_dir: str) -> pd.DataFrame:
+    """Robots-exclusion gate over the synthetic messy URLs
+    (ops/crawl.py:robots_filter — broadcast rule table, one RE2
+    domain extract + one authority strip per batch with the SAME
+    pattern strings as the oracle's regexp_extract/regexp_replace,
+    one vectorized starts_with per rule).  Returns the ALLOWED rows;
+    /p/1 also blocks /p/10..19 — robots prefix semantics, by
+    design."""
+    from ..ops.crawl import robots_filter
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"])
+    pages = docs.map_batches(_synth_urls, batch_format="pyarrow")
+    df = (robots_filter(pages, ROBOTS_RULES)
+          .to_pandas()[["doc_id", "url"]])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_robots() -> str:
+    from ..ops.crawl import P_AUTHORITY, P_DOMAIN_SQL
+
+    vals = ", ".join(f"('{d}', '{p}')"
+                     for d, ps in sorted(ROBOTS_RULES.items())
+                     for p in ps)
+    return f"""
+WITH urls AS (SELECT doc_id, ({_URL_SYNTH_SQL}) AS url FROM documents),
+rules AS (SELECT * FROM (VALUES {vals}) AS t(domain, pfx)),
+x AS (SELECT doc_id, url,
+             regexp_extract(url, '{P_DOMAIN_SQL}', 1) AS dom,
+             regexp_replace(url, '{P_AUTHORITY}', '') AS path
+      FROM urls)
+SELECT doc_id, url FROM x
+WHERE NOT EXISTS (SELECT 1 FROM rules r
+                  WHERE r.domain = x.dom
+                    AND starts_with(x.path, r.pfx))
+ORDER BY doc_id
+"""
+
+
+QUERIES.update({"robots": q_robots})
+ORACLES.update({"robots": _sql_robots()})

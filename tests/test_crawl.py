@@ -590,3 +590,31 @@ class TestGraphStats:
         b = graph_stats(ds.repartition(11), n).to_pandas()
         # integer partials combine exactly -> bit-equal, any partitioning
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestRobotsFilter:
+    def test_prefix_semantics(self, ray_session):
+        from alix_ray.ops.crawl import robots_filter
+
+        urls = [
+            "http://a.com/p/1",          # blocked: /p/1 prefix
+            "http://a.com/p/10?x=1",     # blocked: prefix matches /p/10
+            "http://a.com/p/2",          # allowed on a.com
+            "https://b.org/p/1",         # allowed: rule is a.com only
+            "http://a.com:80/p/1",       # blocked: port in authority,
+                                         # path target still /p/1... no:
+                                         # authority strip removes :80
+            "not-a-url",                 # malformed: never blocked
+            "http://a.com/q#/p/1",       # allowed: path is /q#/p/1
+        ]
+        ds = _ds({"doc_id": list(range(len(urls))), "url": urls})
+        got = robots_filter(ds, {"a.com": ["/p/1"]}).to_pandas()
+        assert sorted(got["doc_id"]) == [2, 3, 5, 6]
+
+    def test_query_in_match_target(self, ray_session):
+        from alix_ray.ops.crawl import robots_filter
+
+        ds = _ds({"doc_id": [0, 1],
+                  "url": ["http://a.com/s?q=x", "http://a.com/s"]})
+        got = robots_filter(ds, {"a.com": ["/s?q"]}).to_pandas()
+        assert sorted(got["doc_id"]) == [1]
