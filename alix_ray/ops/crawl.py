@@ -1534,3 +1534,122 @@ def robots_filter(pages: ray.data.Dataset,
         return batch.filter(pa.array(~blocked))
 
     return pages.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# k-core decomposition (coreness)
+# ---------------------------------------------------------------------
+
+
+def coreness(edges: ray.data.Dataset, n_nodes: int,
+             src_col: str = "src", dst_col: str = "dst",
+             max_iter: int = 64,
+             max_broadcast_nodes: int = 100_000_000
+             ) -> ray.data.Dataset:
+    """Per-node coreness (k-core decomposition) of the undirected
+    simple graph — the crawl-frontier quality signal (a page's core
+    number survives degree-1 spam tails where raw degree does not;
+    the web's k-core sizes follow the bow-tie).
+
+    Algorithm: the iterated H-index operator (Lü et al. 2016, Nature
+    Comms 7:10168): ``h₀ = degree``; ``h_{t+1}(v) = H(h_t(u) : u ∈
+    N(v))`` where H is the Hirsch operator (largest h such that ≥ h
+    neighbors have value ≥ h).  The sequence is monotone
+    non-increasing, integer, and converges EXACTLY to coreness — and
+    the fixpoint is idempotent, which (as with
+    :func:`connected_components`) lets a fixed-depth SQL CTE chain
+    mirror a converge-until-done loop: extra levels are no-ops.
+    Classic peeling is O(E) total but inherently sequential;
+    the h-index iteration is the distributable formulation.
+
+    Shape: the canonical symmetric adjacency rows (16 B, pre-keyed by
+    hash(node)) materialize ONCE; the value vector (8 B/node)
+    broadcasts per round (fail-fast past ``max_broadcast_nodes``);
+    each round is one map pass emitting (pk, node, neighbor-value)
+    slim rows + one ``groupby(pk).map_groups`` computing H per node
+    with vectorized rank logic (sort + cumcount — no Python per
+    node), and an O(n) driver fold + fixpoint test.  H is not
+    associative, so per-batch pre-combining can only compress to
+    per-(node, value) counts — the in-group sort is the honest
+    cost."""
+    if n_nodes > max_broadcast_nodes:
+        raise ValueError(
+            f"coreness broadcasts 8 B × {n_nodes} values; shard the "
+            "value vector beyond max_broadcast_nodes")
+    pk_parts = _num_parts()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = batch[dst_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep])
+        b = np.maximum(s[keep], d[keep])
+        k = np.unique(a * n_nodes + b)
+        a, b = k // n_nodes, k % n_nodes
+        aa = np.concatenate([a, b])
+        bb = np.concatenate([b, a])
+        return pa.table({
+            "pk": pa.array(_partition_key(aa.astype(np.uint64),
+                                          pk_parts)),
+            "a": pa.array(aa), "b": pa.array(bb)})
+
+    # duplicate (a,b) rows surviving ACROSS batches are removed by the
+    # one-time exchange below; within-batch dups die in np.unique
+    sym = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby("pk").map_groups(
+               lambda g: g.drop_duplicates(["a", "b"]),
+               batch_format="pandas").materialize())
+
+    # h0 = degree over the deduped adjacency
+    deg = np.zeros(n_nodes, np.int64)
+    dparts = sym.map_batches(_deg_partial_fn("a"),
+                             batch_format="pyarrow").groupby(
+        "id").sum("n")
+    for bt in dparts.iter_batches(batch_format="pyarrow"):
+        deg[bt["id"].to_numpy(zero_copy_only=False)] = \
+            bt["sum(n)"].to_numpy(zero_copy_only=False)
+
+    vals = deg
+    converged = False
+    for _ in range(max_iter):
+        vals_ref = ray.put(vals)
+
+        def emit(batch: pa.Table) -> pa.Table:
+            v = ray.get(vals_ref)
+            return pa.table({
+                "pk": batch["pk"], "node": batch["a"],
+                "val": pa.array(v[batch["b"].to_numpy(
+                    zero_copy_only=False)]),
+            })
+
+        def h_fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["node", "val"],
+                              ascending=[True, False],
+                              kind="mergesort")
+            rn = g.groupby("node").cumcount() + 1
+            ok = g["val"].to_numpy() >= rn.to_numpy()
+            h = pd.Series(np.where(ok, rn, 0), index=g.index) \
+                .groupby(g["node"]).max()
+            return pd.DataFrame({"node": h.index.to_numpy(np.int64),
+                                 "h": h.to_numpy(np.int64)})
+
+        new = np.zeros(n_nodes, np.int64)
+        out = sym.map_batches(emit, batch_format="pyarrow").groupby(
+            "pk").map_groups(h_fold, batch_format="pandas")
+        for bt in out.iter_batches(batch_format="pyarrow"):
+            new[bt["node"].to_numpy(zero_copy_only=False)] = \
+                bt["h"].to_numpy(zero_copy_only=False)
+        if np.array_equal(new, vals):
+            converged = True
+            break
+        vals = new
+    if not converged:
+        raise RuntimeError(
+            f"coreness did not reach the fixpoint in {max_iter} "
+            "h-index rounds; raise max_iter")
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(np.arange(n_nodes, dtype=np.int64)),
+        "coreness": pa.array(vals)}))

