@@ -4474,3 +4474,50 @@ FROM h{CORE_SQL_LEVELS} ORDER BY node""")
 
 QUERIES.update({"coreness": q_coreness})
 ORACLES.update({"coreness": _sql_coreness()})
+
+
+# ---------------------------------------------------------------------
+# percolation (standing-query monitor) — full oracle
+# ---------------------------------------------------------------------
+
+PERCOLATE_QUERIES = {
+    "scan_and_join": ["scan", "join"],
+    "hash_only": ["hash"],
+    "triple": ["vector", "window", "merge"],
+}
+
+
+def q_percolate(sf_dir: str) -> pd.DataFrame:
+    """The inverse of search: standing conjunctive queries matched
+    against the streaming documents (index/monitor.py:Percolator —
+    registry compiled once per actor, registry-prefiltered token
+    sets, one vectorized merge + groupby per batch; the crawl
+    ALERTING shape — thousands of standing queries vs billions of
+    streamed docs, zero shuffle)."""
+    from ..index.monitor import percolate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    df = (percolate(docs, PERCOLATE_QUERIES).to_pandas())
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values(["doc_id", "query"]).reset_index(drop=True)
+
+
+def _sql_percolate() -> str:
+    vals = ", ".join(f"('{q}', '{t}')"
+                     for q, ts in sorted(PERCOLATE_QUERIES.items())
+                     for t in sorted(set(ts)))
+    return f"""
+WITH toks AS (SELECT DISTINCT doc_id, term FROM ({TOKS})),
+q(query, term) AS (SELECT * FROM (VALUES {vals})),
+qn AS (SELECT query, count(*) AS n FROM q GROUP BY query),
+m AS (SELECT t.doc_id, q.query, count(DISTINCT t.term) AS c
+      FROM toks t JOIN q ON q.term = t.term
+      GROUP BY t.doc_id, q.query)
+SELECT m.doc_id, m.query
+FROM m JOIN qn USING (query) WHERE m.c = qn.n
+ORDER BY doc_id, query
+"""
+
+
+QUERIES.update({"percolate": q_percolate})
+ORACLES.update({"percolate": _sql_percolate()})
