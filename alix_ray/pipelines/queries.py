@@ -4521,3 +4521,49 @@ ORDER BY doc_id, query
 
 QUERIES.update({"percolate": q_percolate})
 ORACLES.update({"percolate": _sql_percolate()})
+
+
+# ---------------------------------------------------------------------
+# spellcheck (did-you-mean) — full oracle
+# ---------------------------------------------------------------------
+
+SPELL_QUERY = "dat"   # 5 candidates at <=2 edits (data at 1)
+SPELL_MAX_EDITS = 2
+SPELL_K = 5
+
+
+def q_spellcheck(sf_dir: str) -> pd.DataFrame:
+    """Did-you-mean: vocabulary candidates within 2 edits of the
+    misspelling, ranked by corpus evidence (cf desc, then distance
+    asc, then term — Lucene DirectSpellChecker's frequency-first mode
+    over the same banded-DP expansion as `fuzzy`)."""
+    ix = _index(sf_dir)
+    cands = ix.fuzzy_terms(SPELL_QUERY, max_edits=SPELL_MAX_EDITS)
+    from ..index.engine import _lev_leq
+
+    def dist(t: str) -> int:
+        return 1 if _lev_leq(SPELL_QUERY, t, 1) else SPELL_MAX_EDITS
+
+    rows = sorted(((t, int(ix.cf[t]), dist(t)) for t in cands),
+                  key=lambda r: (-r[1], r[2], r[0]))[:SPELL_K]
+    return pd.DataFrame({
+        "term": [r[0] for r in rows],
+        "cf": np.array([r[1] for r in rows], np.int64),
+        "distance": np.array([r[2] for r in rows], np.int64),
+    })
+
+
+SQL_SPELLCHECK = f"""
+WITH toks AS ({TOKS}),
+stats AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
+cand AS (SELECT term, cf,
+                CASE WHEN levenshtein(term, '{SPELL_QUERY}') <= 1
+                     THEN 1 ELSE {SPELL_MAX_EDITS} END AS distance
+         FROM stats
+         WHERE levenshtein(term, '{SPELL_QUERY}') <= {SPELL_MAX_EDITS})
+SELECT term, cf, distance::BIGINT AS distance
+FROM cand ORDER BY cf DESC, distance, term LIMIT {SPELL_K}
+"""
+
+QUERIES.update({"spellcheck": q_spellcheck})
+ORACLES.update({"spellcheck": SQL_SPELLCHECK})
