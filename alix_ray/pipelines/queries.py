@@ -4567,3 +4567,61 @@ FROM cand ORDER BY cf DESC, distance, term LIMIT {SPELL_K}
 
 QUERIES.update({"spellcheck": q_spellcheck})
 ORACLES.update({"spellcheck": SQL_SPELLCHECK})
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog distinct sketch — full oracle
+# ---------------------------------------------------------------------
+
+
+def q_hll(sf_dir: str) -> pd.DataFrame:
+    """Per-source HyperLogLog distinct-text estimate
+    (ops/sketches.py:hll_distinct — p=10, 1024 registers, max-merged
+    partials: associative/commutative/idempotent, so registers are
+    bit-identical across engines and partitionings; rho comes from
+    exact integer bit-compares, NOT floor(log2), in BOTH engines).
+    The output exposes n_zero and the integer register sum alongside
+    the estimate, so the oracle discriminates on register content."""
+    from ..ops.sketches import hll_distinct
+
+    ds = _docs(sf_dir, ["text", "source"])
+    df = hll_distinct(ds, "text", "source").to_pandas()
+    df["n_zero"] = df["n_zero"].astype("int64")
+    df["sum_rho"] = df["sum_rho"].astype("int64")
+    return df.sort_values("group").reset_index(drop=True)
+
+
+def _sql_hll() -> str:
+    from ..ops.sketches import HLL_P, HLL_Q
+
+    m = 1 << HLL_P
+    qmod = 1 << HLL_Q
+    branches = "\n".join(
+        f"   WHEN w >= {1 << (HLL_Q - k)} THEN {k}"
+        for k in range(1, HLL_Q + 1))
+    return f"""
+WITH h AS (SELECT source AS g, md5_number_lower(text) AS hv
+           FROM documents),
+b AS (SELECT g, (hv % {m})::BIGINT AS bk,
+             ((hv // {m}) % {qmod}) AS w FROM h),
+rh AS (SELECT g, bk, CASE
+{branches}
+   ELSE {HLL_Q + 1} END AS rho FROM b),
+regs AS (SELECT g, bk, max(rho) AS r FROM rh GROUP BY g, bk),
+agg AS (SELECT g, count(*) AS present, sum(r)::BIGINT AS sum_rho,
+               sum(pow(2.0, -r)) AS sp FROM regs GROUP BY g),
+fin AS (SELECT g, {m} - present AS n_zero, sum_rho,
+               (0.7213 / (1 + 1.079 / {m})) * {m} * {m}
+                 / (sp + ({m} - present)) AS e_raw
+        FROM agg)
+SELECT g AS "group",
+       round(CASE WHEN e_raw <= {2.5 * m} AND n_zero > 0
+                  THEN {m} * ln({m}.0 / n_zero)
+                  ELSE e_raw END, 6) AS est,
+       n_zero::BIGINT AS n_zero, sum_rho
+FROM fin ORDER BY "group"
+"""
+
+
+QUERIES.update({"hll": q_hll})
+ORACLES.update({"hll": _sql_hll()})
