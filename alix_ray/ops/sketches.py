@@ -108,3 +108,90 @@ def hll_distinct(ds: ray.data.Dataset, key_col: str,
     return ray.data.from_pandas(
         estimate(regs.to_pandas()).sort_values("group")
         .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------
+
+CMS_W = 256
+CMS_D = 4
+
+
+def cms_heavy_hitters(tokens: ray.data.Dataset, key_col: str,
+                      phi: float = 0.01, w: int = CMS_W,
+                      d: int = CMS_D,
+                      hash: str = "md5") -> ray.data.Dataset:
+    """Heavy hitters by Count-Min sketch (Cormode & Muthukrishnan
+    2005): a d×w integer counter matrix where partials merge by SUM —
+    like HLL's max, exact under any combination order, so the
+    counters are bit-identical across engines/partitionings and the
+    approximate operator is fully oracle-checkable.  Returns
+    ``(key, est)`` for every candidate whose CMS estimate (min over
+    the d rows) reaches ``phi × N`` — estimates only ever
+    OVER-count (ε·N with probability 1−δ), so the output is a
+    superset of the true heavy hitters, never a miss.
+
+    Scale shape: per batch one local count + d×w bounded counter
+    partial (≤ d·w rows per batch REGARDLESS of batch size), one
+    O(d·w) exchange, and a d·w-int broadcast for the candidate
+    scoring pass.  The candidate set here is the distinct-key set
+    (vocabulary-bounded for token streams); at open-domain key scale
+    the standard companion is a per-batch local top-k union — a
+    superset of the global top-k — so candidates stay bounded too."""
+    if hash not in ("md5", "fnv"):
+        raise ValueError(f"hash must be 'md5' or 'fnv', got {hash!r}")
+    hfn = md5_lower64 if hash == "md5" else _token_hashes
+
+    def counter_partial(batch: pa.Table) -> pa.Table:
+        keys = pd.Series(batch[key_col].to_pylist()).astype(str)
+        local = keys.value_counts()
+        terms = local.index.tolist()
+        cnts = local.to_numpy(np.int64)
+        js, cols, outc = [], [], []
+        for j in range(d):
+            col = (hfn([f"{t}#{j}" for t in terms])
+                   % np.uint64(w)).astype(np.int64)
+            cj = pd.DataFrame({"col": col, "c": cnts}).groupby(
+                "col", as_index=False)["c"].sum()
+            js.extend([j] * len(cj))
+            cols.extend(cj["col"].tolist())
+            outc.extend(cj["c"].tolist())
+        return pa.table({
+            "j": pa.array(np.asarray(js, np.int64)),
+            "col": pa.array(np.asarray(cols, np.int64)),
+            "c": pa.array(np.asarray(outc, np.int64)),
+        })
+
+    counters = np.zeros((d, w), np.int64)
+    total = 0
+    agg = tokens.map_batches(counter_partial,
+                             batch_format="pyarrow").groupby(
+        ["j", "col"]).sum("c")
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        j = b["j"].to_numpy(zero_copy_only=False)
+        col = b["col"].to_numpy(zero_copy_only=False)
+        c = b["sum(c)"].to_numpy(zero_copy_only=False)
+        counters[j, col] += c
+    total = int(counters[0].sum())  # row 0 sums every key once
+
+    cand = tokens.groupby(key_col).count()
+    cnt_ref = ray.put(counters)
+    thresh = phi * total
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cnt_ref)
+        terms = [str(t) for t in batch[key_col].to_pylist()]
+        est = np.full(len(terms), np.iinfo(np.int64).max, np.int64)
+        for j in range(d):
+            col = (hfn([f"{t}#{j}" for t in terms])
+                   % np.uint64(w)).astype(np.int64)
+            est = np.minimum(est, cm[j, col])
+        keep = est >= thresh
+        return pa.table({
+            "key": pa.array([t for t, k in zip(terms, keep) if k],
+                            pa.string()),
+            "est": pa.array(est[keep]),
+        })
+
+    return cand.map_batches(score, batch_format="pyarrow")

@@ -4625,3 +4625,67 @@ FROM fin ORDER BY "group"
 
 QUERIES.update({"hll": q_hll})
 ORACLES.update({"hll": _sql_hll()})
+
+
+# ---------------------------------------------------------------------
+# Count-Min heavy hitters — full oracle
+# ---------------------------------------------------------------------
+
+CMS_PHI = 0.01
+
+
+def q_cms_hh(sf_dir: str) -> pd.DataFrame:
+    """Approximate heavy hitters by Count-Min sketch over the token
+    stream (ops/sketches.py:cms_heavy_hitters — d×w sum-merged
+    integer counters: exact under any combination order, so both
+    engines hold bit-identical counters and the approximate operator
+    is fully oracle-checkable; estimates only ever over-count, so the
+    result is a guaranteed superset of the true φ-heavy set)."""
+    from ..ops.sketches import cms_heavy_hitters
+
+    docs = _docs(sf_dir, ["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        import re
+
+        out = []
+        for t in batch["text"].to_pylist():
+            out.extend(re.findall(r"[a-z0-9]+", (t or "").lower()))
+        return pa.table({"term": pa.array(out, pa.string())})
+
+    stream = docs.map_batches(toks, batch_format="pyarrow")
+    df = cms_heavy_hitters(stream, "term", phi=CMS_PHI).to_pandas()
+    df["est"] = df["est"].astype("int64")
+    return df.sort_values(["est", "key"],
+                          ascending=[False, True]).reset_index(
+        drop=True)
+
+
+def _sql_cms_hh() -> str:
+    from ..ops.sketches import CMS_D, CMS_W
+
+    jvals = ", ".join(f"({j})" for j in range(CMS_D))
+    return f"""
+WITH toks AS ({TOKS}),
+n AS (SELECT count(*)::DOUBLE AS c FROM toks),
+js(j) AS (SELECT * FROM (VALUES {jvals})),
+cms AS (SELECT js.j,
+               (md5_number_lower(term || '#' || js.j::VARCHAR)
+                % {CMS_W})::BIGINT AS col,
+               count(*)::BIGINT AS cnt
+        FROM toks CROSS JOIN js GROUP BY js.j, col),
+cand AS (SELECT DISTINCT term FROM toks),
+est AS (SELECT c.term, min(m.cnt) AS est
+        FROM cand c CROSS JOIN js
+        JOIN cms m ON m.j = js.j
+         AND m.col = (md5_number_lower(c.term || '#' || js.j::VARCHAR)
+                      % {CMS_W})::BIGINT
+        GROUP BY c.term)
+SELECT term AS key, est
+FROM est, n WHERE est >= {CMS_PHI} * n.c
+ORDER BY est DESC, key
+"""
+
+
+QUERIES.update({"cms_hh": q_cms_hh})
+ORACLES.update({"cms_hh": _sql_cms_hh()})

@@ -45,3 +45,29 @@ def test_estimate_accuracy_and_merge_invariance(ray_session):
     est3 = hll_distinct(ds, "k", "g", hash="fnv").to_pandas() \
         .set_index("group")
     assert abs(est3.loc["A", "est"] - 400) < 400 * 0.13
+
+
+def test_cms_superset_and_merge_invariance(ray_session):
+    from alix_ray.ops.sketches import cms_heavy_hitters
+
+    rng = np.random.RandomState(43)
+    # zipfy stream: 'hot' 500x, 'warm' 120x, 60 cold keys 1-5x
+    keys = ["hot"] * 500 + ["warm"] * 120
+    for i in range(60):
+        keys += [f"cold{i}"] * int(rng.randint(1, 6))
+    rng.shuffle(keys)
+    ds = _ds({"k": keys})
+    n = len(keys)
+    got = (cms_heavy_hitters(ds, "k", phi=0.1).to_pandas()
+           .sort_values("key").reset_index(drop=True))
+    # superset guarantee: every true heavy hitter is present, and CMS
+    # never under-counts
+    assert "hot" in set(got["key"])
+    assert "warm" in set(got["key"])
+    est = got.set_index("key")["est"]
+    assert est["hot"] >= 500
+    assert est["warm"] >= 120
+    # sum-merge is partition-order independent: bit-equal
+    got2 = (cms_heavy_hitters(ds.repartition(9), "k", phi=0.1)
+            .to_pandas().sort_values("key").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
