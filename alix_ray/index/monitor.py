@@ -20,7 +20,6 @@ the registry, not with |registry| × |batch|.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -55,7 +54,8 @@ class Percolator:
         self.registry = frozenset(self.qterms["term"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        id_type = batch.schema.field(self.id_col).type
+        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         doc_ids, toks = [], []
         for i, txt in zip(ids, texts):
@@ -66,17 +66,18 @@ class Percolator:
             doc_ids.extend([i] * len(hit))
             toks.extend(hit)
         if not doc_ids:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+            return pa.table({self.id_col: pa.array([], id_type),
                              "query": pa.array([], pa.string())})
-        pairs = pd.DataFrame({"doc_id": np.asarray(doc_ids, np.int64),
-                              "term": toks})
+        pairs = pd.DataFrame({"_id": doc_ids, "term": toks})
         m = pairs.merge(self.qterms, on="term")
-        cnt = m.groupby(["doc_id", "query"])["term"].nunique()
+        cnt = m.groupby(["_id", "query"])["term"].nunique()
         full = cnt[cnt == self.qsize.reindex(
             cnt.index.get_level_values("query")).to_numpy()]
         out = full.reset_index()
+        # the id column keeps its NAME and Arrow TYPE — string ids
+        # and non-default id_col values round-trip unchanged
         return pa.table({
-            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            self.id_col: pa.array(out["_id"].tolist(), id_type),
             "query": pa.array(out["query"].astype(str).tolist(),
                               pa.string()),
         })

@@ -1475,6 +1475,9 @@ def graph_stats(edges: ray.data.Dataset, n_nodes: int,
 
     e = tot["e"]
     num = e * tot["sxy"] - tot["sx"] * tot["sy"]
+    # a degree-REGULAR graph has zero variance on both sides; both
+    # engines pin assortativity to 0.0 there (DuckDB's x/sqrt(0.0)
+    # is NULL, so the oracle needs the same explicit CASE)
     den = np.sqrt(float(e * tot["sxx"] - tot["sx"] ** 2)
                   * float(e * tot["syy"] - tot["sy"] ** 2))
     from .textstats import round_half_away
@@ -1522,16 +1525,17 @@ def robots_filter(pages: ray.data.Dataset,
             pc.extract_regex(urls, P_DOMAIN), "d")
         path = pc.replace_substring_regex(
             urls, pattern=P_AUTHORITY, replacement="")
-        dom_np = np.asarray(dom.to_pylist(), dtype=object)
-        blocked = np.zeros(len(batch), bool)
+        # pure Arrow throughout: no per-row PyObjects, and null urls
+        # (extract_regex -> null domain/path) are never blocked —
+        # fill_null(False) pins that in one place
+        blocked = pa.array(np.zeros(len(batch), bool))
         for d, prefixes in rl.items():
-            dmask = dom_np == d
-            if not dmask.any():
-                continue
+            dmask = pc.fill_null(pc.equal(dom, d), False)
             for pfx in prefixes:
-                blocked |= dmask & pc.starts_with(
-                    path, pattern=pfx).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~blocked))
+                hit = pc.and_(dmask, pc.fill_null(
+                    pc.starts_with(path, pattern=pfx), False))
+                blocked = pc.or_(blocked, hit)
+        return batch.filter(pc.invert(blocked))
 
     return pages.map_batches(fn, batch_format="pyarrow")
 

@@ -70,11 +70,20 @@ def hll_distinct(ds: ray.data.Dataset, key_col: str,
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_pylist()
         grp = batch[group_col].to_pylist()
-        h = hfn([k if k is not None else "" for k in keys])
+        # null keys/groups are EXCLUDED from the sketch — the same
+        # rule the oracle pins with IS NOT NULL (hashing a sentinel
+        # or dropping groups silently would diverge the registers)
+        pairs = [(g, k) for g, k in zip(grp, keys)
+                 if g is not None and k is not None]
+        if not pairs:
+            return pa.schema([("g", pa.string()), ("b", pa.int64()),
+                              ("r", pa.int64())]).empty_table()
+        h = hfn([k for _, k in pairs])
         bucket = (h % np.uint64(m)).astype(np.int64)
         w = (h >> np.uint64(p)) & mask_q
         rho = _rho40(w)
-        df = pd.DataFrame({"g": grp, "b": bucket, "r": rho})
+        df = pd.DataFrame({"g": [g for g, _ in pairs], "b": bucket,
+                           "r": rho})
         agg = df.groupby(["g", "b"], as_index=False)["r"].max()
         return pa.table({
             "g": pa.array(agg["g"].astype(str).tolist(), pa.string()),
@@ -144,8 +153,10 @@ def cms_heavy_hitters(tokens: ray.data.Dataset, key_col: str,
     hfn = md5_lower64 if hash == "md5" else _token_hashes
 
     def counter_partial(batch: pa.Table) -> pa.Table:
-        keys = pd.Series(batch[key_col].to_pylist()).astype(str)
-        local = keys.value_counts()
+        # null keys are excluded (astype(str) would mint a literal
+        # 'None' heavy hitter with no oracle counterpart)
+        keys = pd.Series(batch[key_col].to_pylist()).dropna()
+        local = keys.astype(str).value_counts()
         terms = local.index.tolist()
         cnts = local.to_numpy(np.int64)
         js, cols, outc = [], [], []
@@ -181,7 +192,8 @@ def cms_heavy_hitters(tokens: ray.data.Dataset, key_col: str,
 
     def score(batch: pa.Table) -> pa.Table:
         cm = ray.get(cnt_ref)
-        terms = [str(t) for t in batch[key_col].to_pylist()]
+        terms = [str(t) for t in batch[key_col].to_pylist()
+                 if t is not None]
         est = np.full(len(terms), np.iinfo(np.int64).max, np.int64)
         for j in range(d):
             col = (hfn([f"{t}#{j}" for t in terms])

@@ -4322,10 +4322,12 @@ SELECT e_cnt AS n_edges,
        (SELECT count(*) FROM dk)::BIGINT AS n_distinct,
        (SELECT count(*) FROM dk a JOIN dk b
         ON a.src = b.dst AND a.dst = b.src)::BIGINT AS n_reciprocal,
-       round((e_cnt * sxy - sx * sy)
-             / sqrt((e_cnt * sxx - sx * sx)::DOUBLE
-                    * (e_cnt * syy - sy * sy)::DOUBLE), 6)
-         AS assortativity
+       CASE WHEN (e_cnt * sxx - sx * sx)
+                 * (e_cnt * syy - sy * sy) > 0
+            THEN round((e_cnt * sxy - sx * sy)
+                       / sqrt((e_cnt * sxx - sx * sx)::DOUBLE
+                              * (e_cnt * syy - sy * sy)::DOUBLE), 6)
+            ELSE 0.0 END AS assortativity
 FROM sums
 """
 
@@ -4429,7 +4431,10 @@ def q_coreness(sf_dir: str) -> pd.DataFrame:
         })
 
     edges = docs.map_batches(mk_edges, batch_format="pyarrow")
-    df = coreness(edges, n).to_pandas()
+    # max_iter pinned to the oracle's CTE depth: a graph needing more
+    # rounds RAISES (naming the constant) instead of silently
+    # hash-mismatching against an under-iterated h32
+    df = coreness(edges, n, max_iter=CORE_SQL_LEVELS).to_pandas()
     df["node"] = df["node"].astype("int64")
     df["coreness"] = df["coreness"].astype("int64")
     return df.sort_values("node").reset_index(drop=True)
@@ -4542,6 +4547,8 @@ def q_spellcheck(sf_dir: str) -> pd.DataFrame:
     from ..index.engine import _lev_leq
 
     def dist(t: str) -> int:
+        if t == SPELL_QUERY:
+            return 0
         return 1 if _lev_leq(SPELL_QUERY, t, 1) else SPELL_MAX_EDITS
 
     rows = sorted(((t, int(ix.cf[t]), dist(t)) for t in cands),
@@ -4557,7 +4564,8 @@ SQL_SPELLCHECK = f"""
 WITH toks AS ({TOKS}),
 stats AS (SELECT term, count(*)::BIGINT AS cf FROM toks GROUP BY term),
 cand AS (SELECT term, cf,
-                CASE WHEN levenshtein(term, '{SPELL_QUERY}') <= 1
+                CASE WHEN term = '{SPELL_QUERY}' THEN 0
+                     WHEN levenshtein(term, '{SPELL_QUERY}') <= 1
                      THEN 1 ELSE {SPELL_MAX_EDITS} END AS distance
          FROM stats
          WHERE levenshtein(term, '{SPELL_QUERY}') <= {SPELL_MAX_EDITS})
@@ -4601,7 +4609,8 @@ def _sql_hll() -> str:
         for k in range(1, HLL_Q + 1))
     return f"""
 WITH h AS (SELECT source AS g, md5_number_lower(text) AS hv
-           FROM documents),
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
 b AS (SELECT g, (hv % {m})::BIGINT AS bk,
              ((hv // {m}) % {qmod}) AS w FROM h),
 rh AS (SELECT g, bk, CASE

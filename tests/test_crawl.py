@@ -645,11 +645,26 @@ class TestCoreness:
 
         rng = np.random.RandomState(23)
         n = 60
-        ds = _ds({"src": rng.randint(0, n, 250),
-                  "dst": rng.randint(0, n, 250)})
+        src = rng.randint(0, n, 250)
+        dst = rng.randint(0, n, 250)
+        ds = _ds({"src": src, "dst": dst})
         a = coreness(ds, n).to_pandas()
         b = coreness(ds.repartition(9), n).to_pandas()
         pd.testing.assert_frame_equal(a, b)
-        # coreness never exceeds degree
-        from alix_ray.ops.crawl import graph_stats  # noqa: F401
+        # coreness never exceeds the simple-graph degree
+        deg = np.zeros(n, np.int64)
+        for s_, d_ in {(min(x, y), max(x, y))
+                       for x, y in zip(src, dst) if x != y}:
+            deg[s_] += 1
+            deg[d_] += 1
+        assert (a["coreness"].to_numpy() <= deg).all()
         assert (a["coreness"] >= 0).all()
+
+
+def test_robots_null_urls_never_blocked(ray_session):
+    from alix_ray.ops.crawl import robots_filter
+
+    ds = _ds({"doc_id": [0, 1, 2],
+              "url": ["http://a.com/p/1", None, "http://a.com/q"]})
+    got = robots_filter(ds, {"a.com": ["/p/1"]}).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2]

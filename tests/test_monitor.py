@@ -50,3 +50,14 @@ def test_partition_independence_and_registry_prefilter(ray_session):
     out = p(pa.table({"doc_id": pa.array([9], pa.int64()),
                       "text": pa.array(["unregistered words only"])}))
     assert out.num_rows == 0
+
+
+def test_string_ids_and_custom_id_col(ray_session):
+    from alix_ray.index.monitor import percolate
+
+    docs = _docs({"page": ["u1", "u2"],
+                  "text": ["scan join", "nothing"]})
+    got = (percolate(docs, {"sj": ["scan", "join"]}, id_col="page")
+           .to_pandas())
+    assert list(got.columns) == ["page", "query"]
+    assert got["page"].tolist() == ["u1"]

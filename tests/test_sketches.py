@@ -28,7 +28,6 @@ def test_estimate_accuracy_and_merge_invariance(ray_session):
     ka = [f"url-a-{i}" for i in range(400)]
     kb = [f"url-b-{i}" for i in range(90)]
     keys = (ka + kb) * 3
-    grps = ["A"] * len(ka) * 1 + ["B"] * len(kb)
     grps = (["A"] * 400 + ["B"] * 90) * 3
     order = rng.permutation(len(keys))
     ds = _ds({"k": [keys[i] for i in order],
