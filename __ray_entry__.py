@@ -103,7 +103,7 @@ _DRIVER_PRIORITY = [
     "degree_dist", "host_graph", "crawl_schedule", "components",
     "components_dist", "fuzzy", "regex", "wildcard", "term_range",
     "more_like_this", "search_page2", "search_facets", "bulk_queries",
-    "triangles", "clustering", "graph_stats", "robots", "coreness", "percolate", "spellcheck", "hll", "cms_hh",
+    "triangles", "clustering", "graph_stats", "robots", "coreness", "percolate", "spellcheck", "hll", "cms_hh", "bm25_filtered", "bm25_and",
     "lm_perplexity",
     "curate",
     "cluster_reps", "blocklist", "quantiles_by_source", "cross_dedup",

@@ -4698,3 +4698,76 @@ ORDER BY est DESC, key
 
 QUERIES.update({"cms_hh": q_cms_hh})
 ORACLES.update({"cms_hh": _sql_cms_hh()})
+
+
+# ---------------------------------------------------------------------
+# filtered + conjunctive BM25 — full oracles
+# ---------------------------------------------------------------------
+
+FILTER_LANG = "en"
+
+
+def q_bm25_filtered(sf_dir: str) -> pd.DataFrame:
+    """filterQuery conjunction (Op.java yearQuery/typeQuery shape):
+    BM25 over the standard query with a lang='en' doc mask — docs
+    outside the filter never score, df/idf stay CORPUS-wide (Lucene
+    filter semantics: the filter restricts candidates, it does not
+    reweight — pinned identically in the oracle, which keeps the df
+    CTE unfiltered)."""
+    import pyarrow.parquet as _pq
+
+    from ..ops.textstats import round_half_away
+    from ..query.filters import type_mask
+
+    ix = _index(sf_dir)
+    full = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "lang"]).to_pandas()
+    langs = np.empty(ix.n_slots, dtype=object)
+    langs[full["doc_id"].to_numpy(np.int64)] = \
+        full["lang"].to_numpy(object)
+    mask = type_mask(langs, FILTER_LANG)
+    res = ix.search_exact(list(BM25_QUERY_TERMS), 10,
+                          filter_mask=mask)
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+SQL_BM25_FILTERED = _sql_bm25(
+    BM25_QUERY_TERMS, 10,
+    final_where=("WHERE doc_id IN (SELECT doc_id FROM documents "
+                 f"WHERE lang = '{FILTER_LANG}')"))
+
+
+def q_bm25_and(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive BM25 (mode='and'): only docs containing EVERY
+    query term score (BooleanQuery MUST semantics); scores are the
+    same OR-mode sums, restricted."""
+    from ..ops.textstats import round_half_away
+
+    ix = _index(sf_dir)
+    res = ix.search_exact(list(BM25_QUERY_TERMS), 10, mode="and")
+    return pd.DataFrame({
+        "doc_id": [d for d, _ in res],
+        "score": round_half_away([s for _, s in res]),
+    })
+
+
+_AND_TLIST = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+SQL_BM25_AND = _sql_bm25(
+    BM25_QUERY_TERMS, 10,
+    final_where=f"""WHERE doc_id IN (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT term) AS nt
+    FROM (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text),
+                        '[^a-z0-9]+'), x -> x <> '')) AS term
+          FROM documents)
+    WHERE term IN ({_AND_TLIST}) GROUP BY doc_id)
+  WHERE nt = {len(BM25_QUERY_TERMS)})""")
+
+QUERIES.update({"bm25_filtered": q_bm25_filtered,
+                "bm25_and": q_bm25_and})
+ORACLES.update({"bm25_filtered": SQL_BM25_FILTERED,
+                "bm25_and": SQL_BM25_AND})
