@@ -130,7 +130,9 @@ CMS_D = 4
 def cms_heavy_hitters(tokens: ray.data.Dataset, key_col: str,
                       phi: float = 0.01, w: int = CMS_W,
                       d: int = CMS_D,
-                      hash: str = "md5") -> ray.data.Dataset:
+                      hash: str = "md5",
+                      candidates: str = "distinct"
+                      ) -> ray.data.Dataset:
     """Heavy hitters by Count-Min sketch (Cormode & Muthukrishnan
     2005): a d×w integer counter matrix where partials merge by SUM —
     like HLL's max, exact under any combination order, so the
@@ -144,12 +146,22 @@ def cms_heavy_hitters(tokens: ray.data.Dataset, key_col: str,
     Scale shape: per batch one local count + d×w bounded counter
     partial (≤ d·w rows per batch REGARDLESS of batch size), one
     O(d·w) exchange, and a d·w-int broadcast for the candidate
-    scoring pass.  The candidate set here is the distinct-key set
-    (vocabulary-bounded for token streams); at open-domain key scale
-    the standard companion is a per-batch local top-k union — a
-    superset of the global top-k — so candidates stay bounded too."""
+    scoring pass.  ``candidates="distinct"`` (default) scores every
+    distinct key — vocabulary-bounded for token streams, and the
+    oracle-parity mode; ``candidates="local"`` is the open-domain
+    production path: only keys whose LOCAL batch share reaches φ
+    become candidates (≤ 1/φ per batch).  By pigeonhole a globally
+    φ-heavy key has local share ≥ φ in at least one batch, so the
+    pruned set still contains every true heavy hitter — the two
+    modes can differ only on collision-inflated FALSE positives
+    (asserted by test), which is why "local" is not the oracle
+    default."""
     if hash not in ("md5", "fnv"):
         raise ValueError(f"hash must be 'md5' or 'fnv', got {hash!r}")
+    if candidates not in ("distinct", "local"):
+        raise ValueError(
+            f"candidates must be 'distinct' or 'local', "
+            f"got {candidates!r}")
     hfn = md5_lower64 if hash == "md5" else _token_hashes
 
     def counter_partial(batch: pa.Table) -> pa.Table:
@@ -186,7 +198,19 @@ def cms_heavy_hitters(tokens: ray.data.Dataset, key_col: str,
         counters[j, col] += c
     total = int(counters[0].sum())  # row 0 sums every key once
 
-    cand = tokens.groupby(key_col).count()
+    if candidates == "distinct":
+        cand = tokens.groupby(key_col).count()
+    else:
+        def local_cand(batch: pa.Table) -> pa.Table:
+            ks = pd.Series(batch[key_col].to_pylist()).dropna()
+            vc = ks.astype(str).value_counts()
+            keep = vc[vc >= phi * max(len(ks), 1)]
+            return pa.table({key_col: pa.array(keep.index.tolist(),
+                                               pa.string())})
+
+        cand = tokens.map_batches(
+            local_cand, batch_format="pyarrow").groupby(
+            key_col).count()
     cnt_ref = ray.put(counters)
     thresh = phi * total
 

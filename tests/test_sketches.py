@@ -70,3 +70,19 @@ def test_cms_superset_and_merge_invariance(ray_session):
     got2 = (cms_heavy_hitters(ds.repartition(9), "k", phi=0.1)
             .to_pandas().sort_values("key").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_cms_local_candidates_keep_true_heavies(ray_session):
+    from alix_ray.ops.sketches import cms_heavy_hitters
+
+    rng = np.random.RandomState(47)
+    keys = ["hot"] * 400 + [f"cold{i}" for i in range(200)] * 2
+    rng.shuffle(keys)
+    ds = _ds({"k": keys}).repartition(6)
+    full = cms_heavy_hitters(ds, "k", phi=0.2).to_pandas()
+    loc = cms_heavy_hitters(ds, "k", phi=0.2,
+                            candidates="local").to_pandas()
+    # the pruned candidate set keeps every true heavy hitter and is a
+    # subset of the distinct-candidate output
+    assert "hot" in set(loc["key"])
+    assert set(loc["key"]) <= set(full["key"])
